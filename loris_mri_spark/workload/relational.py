@@ -1,0 +1,764 @@
+"""Relational operator workload (SURVEY §2.2-§2.8) on the driver testdata.
+
+Each query re-expresses a reference operator class on the TPC-H-ish tables
+per the mapping table in FIXTURES.md. All plans are pure DataFrame API —
+no UDFs — so Catalyst keeps them in whole-stage codegen, pushes filters to
+the parquet scan, and broadcasts the small sides.
+
+Floating-point aggregates are ROUND()ed identically on both sides: decimal
+sums are order-dependent at the 1e-12 level across partitionings, and the
+oracle hash is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.workload import query
+
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# Flagship: pricing summary (A1/A2-class aggregation + F2/F5 filters).
+# The reference's per-archive rollups (`dicom_archive_loader_pipeline.py:
+# 408-427`) are this shape: filter, group, count + conditional sums.
+# --------------------------------------------------------------------------
+@query(
+    "flagship_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                          AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                     AS avg_price,
+           COUNT(*)                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J1 — FK equi-join chain (files ⋈ session ⋈ candidate ≡ lineitem ⋈ orders ⋈
+# customer ⋈ nation). nation is broadcast like the reference's psc/Project
+# dims (`MRI.pm:1119-1121`).
+# --------------------------------------------------------------------------
+@query(
+    "j1_customer_order_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    """,
+)
+def j1_customer_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — left outer join with zero-preserving counts (BIDS naming rel,
+# `database_lib/mri_protocol.py:108-125`).
+# --------------------------------------------------------------------------
+@query(
+    "j3_left_join_order_counts",
+    oracle="""
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey)                      AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j3_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — anti-join: rows lacking a matching child (files without a pic EAV
+# row, `uploadNeuroDB/mass_pic.pl:148-171` — there done via temp table +
+# LEFT JOIN ... IS NULL; Spark has the operator natively).
+# --------------------------------------------------------------------------
+@query(
+    "j5_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j5_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# J6 — semi-join existence check (duplicate-violation suppression,
+# `imaging.py:263-271`).
+# --------------------------------------------------------------------------
+@query(
+    "j6_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j6_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# J4 — self-join validation: entities that exist but fail a cross-check
+# (CandID/PSCID mismatch detector, `MRIProcessingUtility.pm:2056-2081`).
+# Here: customers with orders but no 'O'-status order.
+# --------------------------------------------------------------------------
+@query(
+    "j4_selfjoin_mismatch",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def j4_selfjoin_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    open_orders = o.filter(F.col("o_orderstatus") == "O")
+    return with_orders.join(
+        open_orders, with_orders.c_custkey == open_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# J9 — self-join on derivation edges (files.SourceFileID chains,
+# `tools/delete_imaging_upload.pl:1009-1030`): join each row to the root of
+# its group; here each order to the customer's first order.
+# --------------------------------------------------------------------------
+@query(
+    "j9_self_join_first_order",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(date_diff('day', f.first_date, o.o_orderdate) AS BIGINT)
+             AS days_since_first
+    FROM orders o
+    JOIN (SELECT o_custkey, MIN(o_orderdate) AS first_date
+          FROM orders GROUP BY o_custkey) f
+      ON o.o_custkey = f.o_custkey
+    """,
+)
+def j9_self_join_first_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_date"))
+    return (
+        o.join(first.withColumnRenamed("o_custkey", "fk"), o.o_custkey == F.col("fk"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.to_date("first_date"))
+            .cast("long")
+            .alias("days_since_first"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W1 — row_number per partition (AcqOrderPerModality,
+# `MRIProcessingUtility.pm:2209-2268`).
+# --------------------------------------------------------------------------
+@query(
+    "w1_row_number_order_seq",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+             AS seq
+    FROM orders
+    """,
+)
+def w1_row_number_order_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W2 — lead/next-event (next field-map time bound, `imaging.py:879-890`).
+# --------------------------------------------------------------------------
+@query(
+    "w2_lead_next_event",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_ts_us
+    FROM events
+    """,
+)
+def w2_lead_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Timestamps are exchanged as epoch MICROS (bigint): the parquet column
+    # is TIMESTAMP(NANOS), which DuckDB truncates to µs on read, and µs
+    # epochs (~1.7e15) survive the pandas nullable-int -> float64 conversion
+    # exactly (ns epochs would not).
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.lead(us).over(w).alias("next_ts_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — top-1 by ordering (latest visit label, `MRIProcessingUtility.pm:
+# 206-212`).
+# --------------------------------------------------------------------------
+@query(
+    "w3_top1_latest_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           ROUND(o_totalprice, 2) AS latest_price
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC,
+                                                o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def w3_top1_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round("o_totalprice", 2).alias("latest_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — grouped IFNULL(MAX(...),0)+1 (next visit number, `MRI.pm:220-224`).
+# --------------------------------------------------------------------------
+@query(
+    "a2_next_sequence_number",
+    oracle="""
+    SELECT c.c_custkey, COALESCE(MAX(x.seq), 0) + 1 AS next_seq
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey)
+                           AS BIGINT) AS seq
+               FROM orders) x
+      ON c.c_custkey = x.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def a2_next_sequence_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seqs = o.select("o_custkey", F.row_number().over(w).cast("long").alias("seq"))
+    return (
+        c.join(seqs, c.c_custkey == seqs.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg((F.coalesce(F.max("seq"), F.lit(0)) + 1).alias("next_seq"))
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — global min/max (FileID range sharding, `MRI.pm:1584`).
+# --------------------------------------------------------------------------
+@query(
+    "a3_global_minmax",
+    oracle="""
+    SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           COUNT(*) AS n
+    FROM orders
+    """,
+)
+def a3_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — DISTINCT projection (distinct scan types per archive,
+# `database_lib/files.py:145-163`).
+# --------------------------------------------------------------------------
+@query(
+    "a4_distinct_projection",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def a4_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --------------------------------------------------------------------------
+# A5 — group-collapse dedup summary (series collapse keyed on
+# (sequName, seriesNum, echoN) carrying first params + count,
+# `dicom-archive/DICOM/DCMSUM.pm:651-677`).
+# --------------------------------------------------------------------------
+@query(
+    "a5_series_collapse",
+    oracle="""
+    SELECT l_orderkey, l_suppkey,
+           COUNT(*)                              AS n_files,
+           MIN(l_linenumber)                     AS first_line,
+           ROUND(SUM(l_quantity), 2)             AS sum_qty,
+           ROUND(MIN_BY(l_extendedprice,
+                        l_linenumber * 200000.0 + l_extendedprice), 2)
+             AS first_price
+    FROM lineitem
+    GROUP BY l_orderkey, l_suppkey
+    """,
+)
+def a5_series_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count("*").alias("n_files"),
+        F.min("l_linenumber").alias("first_line"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        # Duplicate (orderkey, suppkey, linenumber) tuples exist in the data,
+        # so the arg-min key must be total: fold the value into it
+        # (linenumber <= 7, price < 2e5 keeps the composite monotone).
+        F.round(
+            F.min_by(
+                "l_extendedprice",
+                F.col("l_linenumber") * 200000.0 + F.col("l_extendedprice"),
+            ),
+            2,
+        ).alias("first_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A6 — conditional per-group counts (dcm_count vs file_count,
+# `DCMSUM.pm:540-590`).
+# --------------------------------------------------------------------------
+@query(
+    "a6_conditional_counts",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)      AS n_suppliers,
+           ROUND(SUM(CASE WHEN l_discount > 0.05
+                          THEN l_extendedprice ELSE 0 END), 2)
+             AS discounted_value
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def a6_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
+                    0.0
+                )
+            ),
+            2,
+        ).alias("discounted_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# O1 — multi-key sort + LIMIT top-k (scan listing order, `DCMSUM.pm:722-736`;
+# LIMIT, `MRIProcessingUtility.pm:212`). Total ordering via key tie-breaks
+# makes the limited set deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "o1_topk_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 100
+    """,
+)
+def o1_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(100)
+        .select(
+            "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U1 — UNION (distinct) of query branches (`delete_imaging_upload.pl:
+# 885-894`).
+# --------------------------------------------------------------------------
+@query(
+    "u1_union_branches",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def u1_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# U2 — ordered dedup preserving first match (`imaging.py:666`
+# list(dict.fromkeys(...))). In Spark, priority-sort + dropDuplicates is
+# nondeterministic, so the engine's canonical form is row_number over the
+# priority ordering — same pattern the protocol matcher uses (O4).
+# --------------------------------------------------------------------------
+@query(
+    "u2_ordered_dedup_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS top_orderkey, o_orderpriority AS top_priority
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderpriority ASC,
+                                                o_orderdate ASC,
+                                                o_orderkey ASC) AS rn
+          FROM orders) t
+    WHERE rn = 1
+    """,
+)
+def u2_ordered_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderpriority").asc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("top_orderkey"),
+            F.col("o_orderpriority").alias("top_priority"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# F2/F6/F7/F10 — predicate gauntlet: equality, BETWEEN (dates and id range),
+# IN-list, case-insensitive regex. All of these push down to the parquet
+# scan except the regex (check PushedFilters in .explain).
+# --------------------------------------------------------------------------
+@query(
+    "f_predicate_gauntlet",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderdate
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND o_orderstatus IN ('F', 'O')
+      AND regexp_matches(o_orderpriority, '(?i)^[1-3]-')
+      AND o_orderkey BETWEEN 1000 AND 500000
+    """,
+)
+def f_predicate_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+        & F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_orderpriority").rlike("(?i)^[1-3]-")
+        & F.col("o_orderkey").between(1000, 500000)
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+
+
+# --------------------------------------------------------------------------
+# C1/C2/C4/C5/C6 — scalar function projection: regex extract/replace,
+# string ops, rounding, conditionals, md5 (`DCMSUM.pm:1241-1267` hashing;
+# `imaging.py:1200` regex rewrite).
+# --------------------------------------------------------------------------
+@query(
+    "c_scalar_functions",
+    oracle="""
+    SELECT c_custkey,
+           LOWER(c_name)                                   AS name_lower,
+           CONCAT_WS('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_key,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1)           AS name_num,
+           REGEXP_REPLACE(c_name, '^Customer#0*', '')      AS name_short,
+           ROUND(c_acctbal, 1)                             AS bal_r,
+           CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+           MD5(c_name)                                     AS name_md5,
+           LENGTH(TRIM(c_mktsegment))                      AS seg_len
+    FROM customer
+    """,
+)
+def c_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_num"),
+        F.regexp_replace("c_name", "^Customer#0*", "").alias("name_short"),
+        F.round("c_acctbal", 1).alias("bal_r"),
+        F.when(F.col("c_acctbal") < 0, "neg").otherwise("pos").alias("bal_sign"),
+        F.md5("c_name").alias("name_md5"),
+        F.length(F.trim(F.col("c_mktsegment"))).cast("long").alias("seg_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C3 — date/time functions (DICOM date parse + year bucketing,
+# `dicom_archive_loader_pipeline.py:348`).
+# --------------------------------------------------------------------------
+@query(
+    "c3_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT)                AS order_year,
+           STRFTIME(o_orderdate, '%Y-%m')                   AS order_month,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch
+    FROM orders
+    """,
+)
+def c3_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C7 — JSON extraction (BIDS sidecar parsing, `imaging.py:531-553`).
+# --------------------------------------------------------------------------
+@query(
+    "c7_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def c7_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# --------------------------------------------------------------------------
+# EAV pivot — long attribute rows -> wide matrix (parameter_file pivot,
+# SURVEY §1.1; `groupBy().pivot()` is the engine's `pivot_parameters`).
+# --------------------------------------------------------------------------
+@query(
+    "eav_pivot_user_event_matrix",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def eav_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # Explicit pivot-value list: at 100 TB the distinct-collection step must
+    # be bounded by a registry (SURVEY §4 point 4 — parameter_type mirror).
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    piv = e.groupBy("user_id").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — per-group range + global range merge (channel seriesRange + global
+# signal_range, `loris_ephys_chunker/.../chunking.py:110-114,193-196`).
+# --------------------------------------------------------------------------
+@query(
+    "a7_range_merge",
+    oracle="""
+    SELECT event_type AS scope, MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__global__' AS scope, MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events
+    """,
+)
+def a7_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_group = e.groupBy(F.col("event_type").alias("scope")).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    overall = e.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    ).select(F.lit("__global__").alias("scope"), "vmin", "vmax")
+    return per_group.unionByName(overall)
+
+
+# --------------------------------------------------------------------------
+# C10 — longest-common-prefix per group (`MRIProcessingUtility.pm:244-289`)
+# via the min/max trick: LCP(group) == LCP(min(name), max(name)); prefix
+# equality is monotone, so counting matching prefix lengths gives the LCP.
+# --------------------------------------------------------------------------
+@query(
+    "c10_lcp_per_group",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           SUBSTR(MIN(c_name), 1,
+             CAST(len(list_filter(range(1, least(length(MIN(c_name)),
+                                                 length(MAX(c_name))) + 1),
+                  i -> substr(MIN(c_name), 1, i) = substr(MAX(c_name), 1, i)))
+                  AS INT)) AS lcp
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def c10_lcp_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_name").alias("mn"),
+        F.max("c_name").alias("mx"),
+    )
+    lcp_len = F.expr(
+        "size(filter(sequence(1, least(length(mn), length(mx))),"
+        " i -> substring(mn, 1, i) = substring(mx, 1, i)))"
+    )
+    return g.select(
+        "c_nationkey",
+        "n_customers",
+        F.expr("substring(mn, 1, "
+               "size(filter(sequence(1, least(length(mn), length(mx))),"
+               " i -> substring(mn, 1, i) = substring(mx, 1, i))))").alias("lcp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# T5 — tumbling-window aggregation over the event stream (extension beyond
+# the reference, SURVEY §2.9 T5; batch form of the streaming windowed agg).
+# Spark's window() buckets are epoch-aligned, i.e. date_trunc('hour').
+# --------------------------------------------------------------------------
+@query(
+    "t5_tumbling_window_agg",
+    oracle="""
+    SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )

@@ -1,0 +1,345 @@
+"""Rule-engine workload — the reference's core computations re-expressed on
+the driver testdata (SURVEY §2.3 J7/J8/J10, §2.2 F4/F5/F6).
+
+- j7_*: protocol identification — lineitem rows play the scans, an inline
+  rule table plays mri_protocol (11-way interval match, NULL = wildcard,
+  first-match priority `ORDER BY CenterID ASC, ScannerID DESC`).
+- qc_checks_violations: the mri_protocol_checks engine over melted headers.
+- j8_*: as-of temporal join (IntendedFor field-map assignment).
+- j10_*: lookup get-or-create with deterministic ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.operators.asof_join import asof_join
+from loris_mri_spark.operators.get_or_create import get_or_create
+from loris_mri_spark.operators.protocol_match import (
+    ExactSpec,
+    RangeSpec,
+    identify_protocol,
+)
+from loris_mri_spark.operators.qc_checks import melt_headers, run_qc_checks
+from loris_mri_spark.workload import query
+
+# ---------------------------------------------------------------------------
+# The inline rule table (mirrors mri_protocol, FIXTURES.md): NULL bound =
+# open end, NULL exact = wildcard. Priority = (prio_center ASC,
+# prio_scanner DESC, rule_id ASC), exactly MRI.pm:397's specific-before-
+# generic ordering.
+# ---------------------------------------------------------------------------
+_RULES = [
+    # (rule_id, returnflag, linestatus, qty_min, qty_max, price_min,
+    #  price_max, disc_min, disc_max, prio_center, prio_scanner, scan_type)
+    (1, "R", None, 1.0, 25.0, None, None, None, None, 1, 2, "ret_small"),
+    (2, "R", None, 20.0, 50.0, None, None, None, None, 1, 1, "ret_large"),
+    (3, "A", "F", None, None, None, 20000.0, None, None, 2, 1, "af_cheap"),
+    (4, "A", None, None, None, 20000.0, None, None, None, 2, 1, "a_expensive"),
+    (5, "N", "O", 1.0, 50.0, 0.0, 200000.0, 0.0, 0.05, 3, 1, "no_lowdisc"),
+    (6, None, None, None, None, None, None, 0.06, 0.10, 4, 1, "high_discount"),
+    (7, None, None, 30.0, None, None, None, None, None, 5, 1, "bulk"),
+    (8, None, None, None, None, 50000.0, None, None, None, 5, 2, "premium"),
+]
+
+_RULES_SCHEMA = StructType(
+    [
+        StructField("rule_id", LongType()),
+        StructField("returnflag", StringType()),
+        StructField("linestatus", StringType()),
+        StructField("qty_min", DoubleType()),
+        StructField("qty_max", DoubleType()),
+        StructField("price_min", DoubleType()),
+        StructField("price_max", DoubleType()),
+        StructField("disc_min", DoubleType()),
+        StructField("disc_max", DoubleType()),
+        StructField("prio_center", LongType()),
+        StructField("prio_scanner", LongType()),
+        StructField("scan_type", StringType()),
+    ]
+)
+
+_RULES_VALUES_SQL = ",\n      ".join(
+    "("
+    + ", ".join(
+        "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else repr(v))
+        for v in row
+    )
+    + ")"
+    for row in _RULES
+)
+
+_RULES_CTE = f"""
+    rules(rule_id, returnflag, linestatus, qty_min, qty_max, price_min,
+          price_max, disc_min, disc_max, prio_center, prio_scanner,
+          scan_type) AS (VALUES
+      {_RULES_VALUES_SQL})
+"""
+
+# in_range(value, lo, hi) with the reference's exact NULL semantics
+# (imaging.py:1261-1299), as a SQL fragment factory for the oracle.
+def _sql_in_range(value: str, lo: str, hi: str) -> str:
+    return f"""(CASE WHEN {lo} IS NULL AND {hi} IS NULL THEN TRUE
+        ELSE {value} IS NOT NULL
+             AND ({lo} IS NULL OR {value} >= {lo})
+             AND ({hi} IS NULL OR {value} <= {hi}) END)"""
+
+
+_J7_MATCH_SQL = f"""
+    WITH {_RULES_CTE},
+    matches AS (
+      SELECT l.l_orderkey, l.l_linenumber, r.scan_type, r.rule_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.l_orderkey, l.l_linenumber
+               ORDER BY r.prio_center ASC, r.prio_scanner DESC, r.rule_id ASC
+             ) AS rn
+      FROM lineitem l
+      JOIN rules r
+        ON (r.returnflag IS NULL OR r.returnflag = l.l_returnflag)
+       AND (r.linestatus IS NULL OR r.linestatus = l.l_linestatus)
+       AND {_sql_in_range('l.l_quantity', 'r.qty_min', 'r.qty_max')}
+       AND {_sql_in_range('l.l_extendedprice', 'r.price_min', 'r.price_max')}
+       AND {_sql_in_range('l.l_discount', 'r.disc_min', 'r.disc_max')}
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           COALESCE(m.scan_type, 'unidentified') AS scan_type,
+           m.rule_id
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM matches WHERE rn = 1) m
+      ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.l_linenumber
+"""
+
+
+def _rules_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_RULES, schema=_RULES_SCHEMA)
+
+
+def _identified_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    scans = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    return identify_protocol(
+        scans,
+        _rules_df(spark),
+        scan_key=("l_orderkey", "l_linenumber"),
+        ranges=(
+            RangeSpec("l_quantity", "qty_min", "qty_max"),
+            RangeSpec("l_extendedprice", "price_min", "price_max"),
+            RangeSpec("l_discount", "disc_min", "disc_max"),
+        ),
+        exacts=(
+            ExactSpec("l_returnflag", "returnflag"),
+            ExactSpec("l_linestatus", "linestatus"),
+        ),
+        priority=(
+            F.col("r.prio_center").asc(),
+            F.col("r.prio_scanner").desc(),
+            F.col("r.rule_id").asc(),
+        ),
+        rule_output_cols=("scan_type", "rule_id"),
+    )
+
+
+@query("j7_protocol_identification", oracle=_J7_MATCH_SQL)
+def j7_protocol_identification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every lineitem 'scan' matched to its first-priority protocol rule;
+    unmatched rows labelled 'unidentified' (ref: MRI.pm:307-526)."""
+    return _identified_lineitems(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "scan_type", "rule_id"
+    )
+
+
+@query(
+    "j7_scan_type_rollup",
+    oracle=f"""
+    WITH identified AS ({_J7_MATCH_SQL})
+    SELECT scan_type, COUNT(*) AS n_scans
+    FROM identified GROUP BY scan_type
+    """,
+)
+def j7_scan_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-id rollup (mri_upload count rollups, SURVEY §2.4 A8)."""
+    return (
+        _identified_lineitems(spark, sf_dir)
+        .groupBy("scan_type")
+        .agg(F.count("*").alias("n_scans"))
+    )
+
+
+@query(
+    "j7_violation_rows",
+    oracle=f"""
+    WITH identified AS ({_J7_MATCH_SQL})
+    SELECT i.l_orderkey, i.l_linenumber,
+           printf('%.2f', l.l_quantity)      AS qty_value,
+           printf('%.2f', l.l_extendedprice) AS price_value,
+           printf('%.2f', l.l_discount)      AS disc_value,
+           CONCAT(l.l_returnflag, '/', l.l_linestatus) AS flag_value
+    FROM identified i
+    JOIN lineitem l
+      ON i.l_orderkey = l.l_orderkey AND i.l_linenumber = l.l_linenumber
+    WHERE i.scan_type = 'unidentified'
+    """,
+)
+def j7_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unidentified scans routed to the violation sink with stringified
+    parameter values (mri_protocol_violated_scans, imaging.py:276-301)."""
+    ident = _identified_lineitems(spark, sf_dir)
+    return ident.filter(F.col("scan_type") == "unidentified").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_string("%.2f", F.col("l_quantity")).alias("qty_value"),
+        F.format_string("%.2f", F.col("l_extendedprice")).alias("price_value"),
+        F.format_string("%.2f", F.col("l_discount")).alias("disc_value"),
+        F.concat_ws("/", F.col("l_returnflag"), F.col("l_linestatus")).alias(
+            "flag_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QC checks engine (mri_protocol_checks -> mri_violations_log).
+# ---------------------------------------------------------------------------
+_QC_SQL = """
+    WITH checks(header, valid_min, valid_max, valid_regex, severity) AS (
+      VALUES ('totalprice', 5000.0, 300000.0, CAST(NULL AS VARCHAR), 'exclude'),
+             ('orderpriority', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+              '^[1-3]-', 'warning')),
+    vals AS (
+      SELECT o_orderkey, 'totalprice' AS header,
+             o_totalprice AS value_num, CAST(NULL AS VARCHAR) AS value_str
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'orderpriority', CAST(NULL AS DOUBLE), o_orderpriority
+      FROM orders)
+    SELECT v.o_orderkey, v.header, v.value_num, v.value_str, c.severity
+    FROM vals v JOIN checks c ON v.header = c.header
+    WHERE NOT (
+      (CASE WHEN c.valid_min IS NULL AND c.valid_max IS NULL THEN TRUE
+            ELSE v.value_num IS NOT NULL
+                 AND (c.valid_min IS NULL OR v.value_num >= c.valid_min)
+                 AND (c.valid_max IS NULL OR v.value_num <= c.valid_max) END)
+      AND (c.valid_regex IS NULL
+           OR (v.value_str IS NOT NULL
+               AND regexp_matches(v.value_str, c.valid_regex)))
+    )
+"""
+
+
+@query("qc_checks_violations", oracle=_QC_SQL)
+def qc_checks_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed QC checks as violation-log rows (imaging.py:706-809)."""
+    o = load_table(spark, sf_dir, "orders")
+    values = melt_headers(
+        o,
+        key_cols=("o_orderkey",),
+        numeric_headers=("o_totalprice",),
+        string_headers=("o_orderpriority",),
+    ).withColumn(
+        "header",
+        F.when(F.col("header") == "o_totalprice", "totalprice").otherwise(
+            "orderpriority"
+        ),
+    )
+    checks = spark.createDataFrame(
+        [
+            ("totalprice", 5000.0, 300000.0, None, "exclude"),
+            ("orderpriority", None, None, "^[1-3]-", "warning"),
+        ],
+        schema=StructType(
+            [
+                StructField("header", StringType()),
+                StructField("valid_min", DoubleType()),
+                StructField("valid_max", DoubleType()),
+                StructField("valid_regex", StringType()),
+                StructField("severity", StringType()),
+            ]
+        ),
+    )
+    return run_qc_checks(values, checks, key_cols=("o_orderkey",))
+
+
+# ---------------------------------------------------------------------------
+# J8 — as-of join: each purchase event picks up the user's most recent
+# click at-or-before it (IntendedFor assignment, imaging.py:851-892).
+# ---------------------------------------------------------------------------
+@query(
+    "j8_asof_purchase_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           (SELECT MAX(epoch_us(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS asof_click_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def j8_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exchanged as epoch micros — see w2_lead_next_event for why.
+    e = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("ts_us"), us.alias("click_us")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=("user_id",),
+        left_ts="ts_us",
+        right_ts="ts_us",
+        value_cols=("click_us",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — get-or-create over the observed event types against a fixed lookup
+# (parameter_type auto-create, imaging.py:344-380).
+# ---------------------------------------------------------------------------
+@query(
+    "j10_get_or_create",
+    oracle="""
+    WITH existing(name, id) AS (VALUES ('click', 1), ('view', 2), ('purchase', 3)),
+    names AS (SELECT DISTINCT event_type AS name FROM events),
+    found AS (
+      SELECT e.name, CAST(e.id AS BIGINT) AS id
+      FROM existing e JOIN names n ON e.name = n.name),
+    missing AS (
+      SELECT n.name,
+             CAST(100 + ROW_NUMBER() OVER (ORDER BY n.name) AS BIGINT) AS id
+      FROM names n LEFT JOIN existing e ON n.name = e.name
+      WHERE e.name IS NULL)
+    SELECT name, id FROM found
+    UNION ALL
+    SELECT name, id FROM missing
+    """,
+)
+def j10_get_or_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    existing = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3)],
+        schema=StructType(
+            [StructField("name", StringType()), StructField("id", LongType())]
+        ),
+    )
+    return get_or_create(
+        e.select(F.col("event_type").alias("name")),
+        existing,
+        name_col="name",
+        id_col="id",
+        id_base=100,
+    )
