@@ -43,11 +43,16 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (lazy parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — illegal for Spark's reader —
-    so it arrives as int64 nanos (see session.py nanosAsLong) and is exposed
-    twice: ``ts_ns`` (exact long, use for ordering/output) and ``ts``
-    (µs-truncated timestamp, use for window/date functions).
+    ``events.ts`` is parquet TIMESTAMP(NANOS) — illegal for Spark's reader
+    unless ``spark.sql.legacy.parquet.nanosAsLong`` is on. That conf is
+    runtime-settable, so it is set HERE, at read time, not at session build
+    time: the engine must work on any caller-provided SparkSession (the
+    driver harness builds its own). The column then arrives as int64 nanos
+    and is exposed twice: ``ts_ns`` (exact long, use for ordering/output)
+    and ``ts`` (µs-truncated timestamp, use for window/date functions).
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -65,7 +70,9 @@ def load_catalog(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TESTDATA_TABLES:
         p = table_path(sf_dir, name)
         if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+            # Route through load_table so every access path sees the same
+            # normalized schema (events ts_ns/ts in particular).
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -42,6 +42,12 @@ def in_range(
     - only min set              -> value >= min
     - only max set              -> value <= max
     - both set                  -> min <= value <= max
+
+    Deliberate divergence from the reference: `imaging.py:1276` tests Python
+    truthiness (``not field_min``), so a bound of 0/0.0 is treated there as
+    "unset". This engine treats 0 as a real bound — NULL is the ONLY
+    wildcard — because silently discarding zero bounds is a data-dependent
+    footgun. Rule authors who want an open end must write NULL.
     """
     v, lo, hi = _c(value_col), _c(min_col), _c(max_col)
     no_restriction = lo.isNull() & hi.isNull()

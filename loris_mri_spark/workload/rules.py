@@ -26,6 +26,7 @@ from loris_mri_spark.operators.asof_join import asof_join
 from loris_mri_spark.operators.get_or_create import get_or_create
 from loris_mri_spark.operators.protocol_match import (
     ExactSpec,
+    PrioritySpec,
     RangeSpec,
     identify_protocol,
 )
@@ -94,28 +95,30 @@ def _sql_in_range(value: str, lo: str, hi: str) -> str:
              AND ({hi} IS NULL OR {value} <= {hi}) END)"""
 
 
+# Per-ROW first-match (the reference matches one file at a time,
+# imaging.py:555-704). (l_orderkey, l_linenumber) is NOT unique in the
+# testdata, so the oracle must never re-join on it — the lateral subquery
+# evaluates each physical row independently and the value columns are
+# carried straight through (no fan-out; cf. round-1 wrong answer).
 _J7_MATCH_SQL = f"""
-    WITH {_RULES_CTE},
-    matches AS (
-      SELECT l.l_orderkey, l.l_linenumber, r.scan_type, r.rule_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY l.l_orderkey, l.l_linenumber
-               ORDER BY r.prio_center ASC, r.prio_scanner DESC, r.rule_id ASC
-             ) AS rn
-      FROM lineitem l
-      JOIN rules r
-        ON (r.returnflag IS NULL OR r.returnflag = l.l_returnflag)
-       AND (r.linestatus IS NULL OR r.linestatus = l.l_linestatus)
-       AND {_sql_in_range('l.l_quantity', 'r.qty_min', 'r.qty_max')}
-       AND {_sql_in_range('l.l_extendedprice', 'r.price_min', 'r.price_max')}
-       AND {_sql_in_range('l.l_discount', 'r.disc_min', 'r.disc_max')}
-    )
+    WITH {_RULES_CTE}
     SELECT l.l_orderkey, l.l_linenumber,
+           l.l_quantity, l.l_extendedprice, l.l_discount,
+           l.l_returnflag, l.l_linestatus,
            COALESCE(m.scan_type, 'unidentified') AS scan_type,
            m.rule_id
     FROM lineitem l
-    LEFT JOIN (SELECT * FROM matches WHERE rn = 1) m
-      ON l.l_orderkey = m.l_orderkey AND l.l_linenumber = m.l_linenumber
+    LEFT JOIN LATERAL (
+      SELECT r.scan_type, r.rule_id
+      FROM rules r
+      WHERE (r.returnflag IS NULL OR r.returnflag = l.l_returnflag)
+        AND (r.linestatus IS NULL OR r.linestatus = l.l_linestatus)
+        AND {_sql_in_range('l.l_quantity', 'r.qty_min', 'r.qty_max')}
+        AND {_sql_in_range('l.l_extendedprice', 'r.price_min', 'r.price_max')}
+        AND {_sql_in_range('l.l_discount', 'r.disc_min', 'r.disc_max')}
+      ORDER BY r.prio_center ASC, r.prio_scanner DESC, r.rule_id ASC
+      LIMIT 1
+    ) m ON TRUE
 """
 
 
@@ -132,7 +135,6 @@ def _identified_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identify_protocol(
         scans,
         _rules_df(spark),
-        scan_key=("l_orderkey", "l_linenumber"),
         ranges=(
             RangeSpec("l_quantity", "qty_min", "qty_max"),
             RangeSpec("l_extendedprice", "price_min", "price_max"),
@@ -143,15 +145,21 @@ def _identified_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             ExactSpec("l_linestatus", "linestatus"),
         ),
         priority=(
-            F.col("r.prio_center").asc(),
-            F.col("r.prio_scanner").desc(),
-            F.col("r.rule_id").asc(),
+            PrioritySpec("prio_center"),
+            PrioritySpec("prio_scanner", ascending=False),
+            PrioritySpec("rule_id"),
         ),
         rule_output_cols=("scan_type", "rule_id"),
     )
 
 
-@query("j7_protocol_identification", oracle=_J7_MATCH_SQL)
+@query(
+    "j7_protocol_identification",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, scan_type, rule_id
+    FROM ({_J7_MATCH_SQL})
+    """,
+)
 def j7_protocol_identification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every lineitem 'scan' matched to its first-priority protocol rule;
     unmatched rows labelled 'unidentified' (ref: MRI.pm:307-526)."""
@@ -181,15 +189,13 @@ def j7_scan_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_violation_rows",
     oracle=f"""
     WITH identified AS ({_J7_MATCH_SQL})
-    SELECT i.l_orderkey, i.l_linenumber,
-           printf('%.2f', l.l_quantity)      AS qty_value,
-           printf('%.2f', l.l_extendedprice) AS price_value,
-           printf('%.2f', l.l_discount)      AS disc_value,
-           CONCAT(l.l_returnflag, '/', l.l_linestatus) AS flag_value
-    FROM identified i
-    JOIN lineitem l
-      ON i.l_orderkey = l.l_orderkey AND i.l_linenumber = l.l_linenumber
-    WHERE i.scan_type = 'unidentified'
+    SELECT l_orderkey, l_linenumber,
+           printf('%.2f', l_quantity)      AS qty_value,
+           printf('%.2f', l_extendedprice) AS price_value,
+           printf('%.2f', l_discount)      AS disc_value,
+           CONCAT(l_returnflag, '/', l_linestatus) AS flag_value
+    FROM identified
+    WHERE scan_type = 'unidentified'
     """,
 )
 def j7_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +326,8 @@ def j8_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM existing e JOIN names n ON e.name = n.name),
     missing AS (
       SELECT n.name,
-             CAST(100 + ROW_NUMBER() OVER (ORDER BY n.name) AS BIGINT) AS id
+             CAST(GREATEST(100, (SELECT MAX(id) FROM existing))
+                  + ROW_NUMBER() OVER (ORDER BY n.name) AS BIGINT) AS id
       FROM names n LEFT JOIN existing e ON n.name = e.name
       WHERE e.name IS NULL)
     SELECT name, id FROM found
