@@ -1,0 +1,83 @@
+"""Benchmark runner — times every declared query at the bench scale factor.
+
+Prints ONE JSON line (last line of stdout):
+  {"metric": "workload_total_sec", "value": <total>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <sf>, "n_queries": N}
+
+Each query is forced end-to-end with the `noop` sink (full execution on the
+executors, no result serialization to Python) — the honest measure of plan
+cost. Config: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+local[$SPARK_GRAFT_CPUS] (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from loris_mri_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="loris-mri-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from loris_mri_spark import workload
+
+    workload.load_all()
+
+    # Warm-up: JVM JIT + parquet footers + file-index caches, so per-query
+    # numbers measure the plan, not first-touch costs.
+    from loris_mri_spark.catalog import TESTDATA_TABLES, load_table
+
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(workload.QUERIES):
+        fn = workload.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a broken query must not kill the bench
+            print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    result = {
+        "metric": "workload_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    sys.stdout.flush()
+    print(json.dumps(result), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
