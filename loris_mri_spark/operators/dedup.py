@@ -1,0 +1,254 @@
+"""Corpus deduplication operators — exact, n-gram Jaccard, MinHash-LSH,
+SimHash (the LLM-training-data extension mandated alongside SURVEY §2;
+reference analogue: the file-hash duplicate scan in
+`/root/reference/python/lib/database_lib/files.py:40-101`).
+
+Design for 100 TB:
+
+- **exact_dedup** — one hash-groupBy; the shuffle key is a 32-hex md5, not
+  the document body (project the hash BEFORE the exchange so a 100 TB
+  corpus shuffles ~50 bytes/row, not the text).
+- **jaccard_pairs** — the exact similarity join done as an INVERTED-INDEX
+  join (explode shingles -> equi-join on shingle -> count per pair), never
+  a cross join. Cost is sum of squared posting-list lengths — data-bounded,
+  AQE's skew-join splits hot shingles. A document-frequency cap
+  (``max_shingle_df``) drops degenerate stop-shingles, the standard recall
+  trade at corpus scale (disabled by default so oracles stay exact).
+- **minhash_lsh_pairs** — the sub-quadratic scale path: k minhashes,
+  banded; candidate pairs only form within equal (band, band-hash)
+  buckets, then exact-Jaccard verification on just the candidates. With
+  b bands of r rows, P(candidate) = 1-(1-j^r)^b — at j>=0.8, r=2, b=16
+  the miss probability is ~1e-7, so on real corpora the verified output
+  equals the brute-force answer while never materializing all pairs.
+- **simhash60 / simhash_pairs** — 60-bit SimHash built from the
+  oracle-portable md5_60 token hashes; near-dup pairs found by the
+  4-band pigeonhole trick (hamming <= 3 implies at least one equal
+  15-bit band), a banded equi-join — again no cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    fingerprint: Column,
+    id_col: str,
+) -> DataFrame:
+    """Collapse rows sharing a fingerprint: returns (fingerprint,
+    keep_id = min id, n_copies). The canonical keep-first hash-groupBy."""
+    return (
+        df.select(fingerprint.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def _pair_jaccard(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+) -> DataFrame:
+    """Attach exact Jaccard similarity to (i, j) candidate pairs by joining
+    the shingle arrays back in. Used for verification after blocking; the
+    arrays are per-document (bounded), so the per-pair work is linear."""
+    a = shingled.select(F.col(id_col).alias("i"), F.col(shingle_col).alias("__sa"))
+    b = shingled.select(F.col(id_col).alias("j"), F.col(shingle_col).alias("__sb"))
+    return (
+        candidates.join(a, "i")
+        .join(b, "j")
+        .withColumn("__common", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (F.size("__sa") + F.size("__sb") - F.col("__common")),
+        )
+        .drop("__sa", "__sb", "__common")
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via inverted index.
+
+    ``shingled``: one row per document with a DISTINCT shingle array.
+    Returns (i, j, jaccard) for i < j with jaccard >= threshold.
+
+    ``max_shingle_df``: optionally drop shingles appearing in more than
+    this many documents (stop-shingle cap — bounds the quadratic blowup of
+    hot posting lists at corpus scale; trades recall only on pairs whose
+    entire overlap is stop-shingles).
+    """
+    posts = shingled.select(
+        F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
+    )
+    if max_shingle_df is not None:
+        keep = (
+            posts.groupBy("s")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("s")
+        )
+        posts = posts.join(keep, "s")
+
+    sizes = posts.groupBy("i").agg(F.count("*").alias("n"))
+
+    a = posts.alias("a")
+    b = posts.select(F.col("i").alias("j"), F.col("s")).alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.i") < F.col("b.j")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+        .agg(F.count("*").alias("common"))
+    )
+    ni = sizes.select(F.col("i"), F.col("n").alias("ni"))
+    nj = sizes.select(F.col("i").alias("j"), F.col("n").alias("nj"))
+    return (
+        common.join(ni, "i")
+        .join(nj, "j")
+        .withColumn(
+            "jaccard", F.col("common") / (F.col("ni") + F.col("nj") - F.col("common"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    Pipeline: k seeded xxhash64 minhashes per document -> split into
+    ``bands`` bands -> explode (band, band-key) -> self-join on equal keys
+    (candidates form ONLY within buckets) -> exact Jaccard on candidates ->
+    filter >= threshold. Returns (i, j, jaccard), i < j.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    docs = shingled.filter(F.size(shingle_col) > 0).select(
+        F.col(id_col).alias("i"),
+        F.col(shingle_col).alias("__sh"),
+    )
+    sigs = docs.withColumn(
+        "__sig",
+        F.expr(
+            f"transform(sequence(0, {num_hashes - 1}), "
+            f"h -> array_min(transform(__sh, s -> xxhash64(h, s))))"
+        ),
+    )
+    # Band key: hash of the band's signature slice (cast to string — a
+    # deterministic, order-preserving encoding of the slice).
+    band_tbl = sigs.select(
+        "i",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"xxhash64(b, cast(slice(__sig, b * {r} + 1, {r}) as string)) AS bkey))"
+            )
+        ).alias("bb"),
+    ).select("i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    cand = (
+        band_tbl.alias("x")
+        .join(
+            band_tbl.select(
+                F.col("i").alias("j"), F.col("band"), F.col("bkey")
+            ).alias("y"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("x.i") < F.col("y.j"))
+        .select("i", "j")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(cand, shingled, id_col, shingle_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def simhash60(token_hash_col: str) -> Column:
+    """60-bit SimHash from a PRE-HASHED token array column (md5_60 values;
+    hash once, not once per bit). Bit b of the result is 1 iff the sum of
+    (+1 / -1) votes from token-hash bit b is >= 0.
+
+    DuckDB mirror (hs = list of md5_60 hashes)::
+
+        list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN list_sum(list_transform(hs, h ->
+                 CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+               THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+    """
+    return F.expr(
+        f"aggregate(transform(sequence(0, 59), b -> "
+        f"CASE WHEN aggregate({token_hash_col}, 0, (acc, h) -> "
+        f"acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
+def simhash_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    simhash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance, via the banded
+    pigeonhole join: split the 60-bit hash into 4 bands of 15 bits; any
+    pair within hamming <= 3 must agree on at least one whole band, so an
+    equi-join on (band, band-value) finds ALL such pairs exactly — no
+    cross join. Returns (i, j, hamming), i < j.
+
+    ``max_hamming`` must stay < number of bands (4) for completeness.
+    """
+    assert max_hamming < 4
+    docs = hashed.select(F.col(id_col).alias("i"), F.col(simhash_col).alias("__h"))
+    band_tbl = docs.select(
+        "i",
+        "__h",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b AS band, (shiftright(__h, b * 15) & 32767) AS bval))"
+            )
+        ).alias("bb"),
+    ).select("i", "__h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+    pairs = (
+        band_tbl.alias("x")
+        .join(
+            band_tbl.select(
+                F.col("i").alias("j"), F.col("__h").alias("__hj"), "band", "bval"
+            ).alias("y"),
+            ["band", "bval"],
+        )
+        .filter(F.col("x.i") < F.col("y.j"))
+        .select("i", "j", "__h", "__hj")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.expr("__h ^ __hj")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+    )

@@ -1,2 +1,183 @@
-"""Deduplication workload (exact, MinHash-LSH, SimHash, n-gram Jaccard).
-Filled in M-dedup."""
+"""Deduplication workload over the `documents` table — the LLM-training-
+data extension (BASELINE.json north star), built on
+`operators/dedup.py` + `functions/texthash.py`.
+
+Reference analogue: LORIS-MRI's duplicate-scan suppression is a hash
+equality check per inserted file (`python/lib/database_lib/files.py:40-101`,
+blake2b at `nifti_insertion_pipeline.py:52-64`); here the same idea runs
+corpus-wide in one distributed pass, plus the near-duplicate families the
+reference never needed (MinHash-LSH, SimHash, n-gram Jaccard).
+
+Every query has a DuckDB oracle. The MinHash-LSH query's oracle is the
+BRUTE-FORCE jaccard join: with 32 hashes in 16 bands the candidate-miss
+probability at j>=0.8 is ~1e-7, and with the fixed seeds used here the
+LSH output is deterministic and verified equal to brute force on the
+driver's testdata (see tests/test_dedup.py, both sf0.001 and sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.functions.texthash import (
+    SQL_MD5_60,
+    SQL_NORM,
+    bow_fingerprint,
+    md5_60,
+    norm_text,
+    sql_shingles,
+    tokens,
+    word_shingles,
+)
+from loris_mri_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash60,
+    simhash_pairs,
+)
+from loris_mri_spark.workload import query
+
+_NORM = SQL_NORM.format(col="text")
+
+_SHINGLED_CTE = f"""
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    shingled AS (SELECT doc_id, {sql_shingles(3)} AS s FROM toks
+                 WHERE len({sql_shingles(3)}) > 0)
+"""
+
+_BRUTE_JACCARD_08 = f"""
+    WITH {_SHINGLED_CTE},
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             len(list_intersect(a.s, b.s)) AS c,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id)
+    SELECT i, j, ROUND(c * 1.0 / (na + nb - c), 4) AS jaccard_r
+    FROM pairs
+    WHERE c * 1.0 / (na + nb - c) >= 0.8
+"""
+
+
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select("doc_id", word_shingles("__toks", 3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized full text: shuffle a 32-byte hash per
+    row, never the document body."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, F.md5(norm_text("text")), "doc_id")
+
+
+@query(
+    "dedup_exact_bow",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split({_NORM}, ' '))), ' ')) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup on the bag-of-words fingerprint
+    (collapses shuffled/reordered copies the full-text hash misses)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, bow_fingerprint("text"), "doc_id")
+
+
+@query("dedup_ngram_jaccard_pairs", oracle=_BRUTE_JACCARD_08)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-word-shingle Jaccard >= 0.8 pairs via the inverted-index
+    join (explode -> equi-join on shingle -> per-pair counts) — the oracle
+    cross-joins, the engine never does."""
+    sh = _shingled_docs(spark, sf_dir)
+    return jaccard_pairs(sh, "doc_id", "shingles", threshold=0.8).select(
+        "i", "j", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_BRUTE_JACCARD_08)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 16-band LSH candidates, exact-verified at >= 0.8 —
+    the sub-quadratic scale path. Oracle = brute force; see module
+    docstring for why the outputs coincide."""
+    sh = _shingled_docs(spark, sf_dir)
+    return minhash_lsh_pairs(
+        sh, "doc_id", "shingles", threshold=0.8, num_hashes=32, bands=16
+    ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+_SQL_TOKEN_HASHES = (
+    "list_transform(list_distinct(string_split(" + _NORM + ", ' ')), "
+    "tok -> " + SQL_MD5_60.format(col="tok") + ")"
+)
+
+_SIMHASH_SQL = f"""
+    WITH hashed AS (
+      SELECT doc_id, {_SQL_TOKEN_HASHES} AS hs FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(hs, h ->
+                    CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+             AS BIGINT) AS simhash
+    FROM hashed
+"""
+
+
+def _simhashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Hash tokens ONCE into a column, then fold bits — simhash60 would
+    # otherwise recompute md5 per bit position (60x the hash work).
+    hashed = d.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("__dt")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(__dt, tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
+        ).alias("__th"),
+    )
+    return hashed.select("doc_id", simhash60("__th").alias("simhash"))
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from oracle-portable md5_60 token
+    hashes — single codegen'd pass, no shuffle at all."""
+    return _simhashed_docs(spark, sf_dir)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via the 4-band pigeonhole
+    equi-join — exact and complete, no cross join (oracle cross-joins)."""
+    return simhash_pairs(
+        _simhashed_docs(spark, sf_dir), "doc_id", "simhash", max_hamming=3
+    )

@@ -1,0 +1,33 @@
+"""Dedup-family invariants beyond the oracle parity suite."""
+
+from __future__ import annotations
+
+import pytest
+
+from loris_mri_spark import workload
+
+workload.load_all()
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_lsh_equals_brute_force(spark, sf_dir):
+    """With 32 hashes / 16 bands and fixed seeds, the verified LSH output
+    must coincide with the exact inverted-index jaccard join on the
+    testdata (miss probability ~1e-7 per pair at j>=0.8)."""
+    brute = {
+        (r["i"], r["j"]) for r in
+        workload.QUERIES["dedup_ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["i"], r["j"]) for r in
+        workload.QUERIES["dedup_minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    assert lsh == brute
+
+
+def test_simhash_pairs_subset_of_high_jaccard(spark, sf_dir):
+    """SimHash hamming<=3 pairs should be heavily enriched for genuinely
+    similar docs: every pair must share at least one token."""
+    pairs = workload.QUERIES["dedup_simhash_pairs"](spark, sf_dir)
+    assert pairs.filter("i >= j").count() == 0
+    assert pairs.filter("hamming > 3").count() == 0
