@@ -1,0 +1,255 @@
+"""Vector similarity-search operators over embedding columns
+(`array<float>`) — the ANN extension mandated alongside SURVEY §2.
+
+Design for 100 TB:
+
+- **cosine_topk** — the exact baseline: BROADCAST the (bounded) query set,
+  one codegen'd pass over the corpus computing dot/norms with JVM
+  higher-order functions (zip_with + aggregate, all double math — no
+  Python, no UDF), then a per-query top-k window over a narrow
+  (query_id, vec_id, cos) projection. Never a corpus x corpus cross join.
+- **ivf_topk** — the scale path: coarse-quantize the corpus (here: the
+  label column as the cell id; in production a trained codebook), rank
+  cells per query by centroid cosine, search only ``nprobe`` cells. The
+  per-cell search reuses the same broadcast pattern; candidate count drops
+  by ~|cells|/nprobe.
+- **hyperplane_lsh_pairs** — random-hyperplane signatures (driver-side
+  deterministic literals), banded equi-join for candidate pairs, exact
+  cosine verification. Sub-quadratic; recall is tunable via
+  (n_planes, bands).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double arrays (sequential left-fold sums —
+    mirrors DuckDB's list_sum order so oracles agree to float precision)."""
+    return dot(a, b) / l2_norm(a) / l2_norm(b)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector against the corpus.
+
+    ``queries`` is broadcast (bounded query-set contract); the corpus is
+    scanned once. Self-matches (same id) are excluded. Returns
+    (query_id, neighbor_id, rank, cos) with rank 1..k, ties broken by
+    neighbor_id ascending.
+    """
+    qid = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(qid).alias("query_id"), as_double(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("__cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: search only the ``nprobe`` cells whose centroid is
+    most cosine-similar to the query. Deterministic given the cell
+    assignment. Returns (query_id, neighbor_id, rank, cos).
+
+    The centroid table is |cells| rows — computed with one partial-agg
+    shuffle (posexplode -> avg per (cell, dim) -> re-assemble), broadcast
+    thereafter. At 100 TB only the candidate cells' vectors are scored:
+    the cell filter prunes the corpus scan by cell partition at rest.
+    """
+    cdouble = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("__cell"),
+        as_double(vec_col).alias("__cv"),
+    )
+    centroids = (
+        cdouble.select("__cell", F.posexplode("__cv").alias("__pos", "__v"))
+        .groupBy("__cell", "__pos")
+        .agg(F.avg("__v").alias("__avg"))
+        .groupBy("__cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__avg"))
+            ).alias("__pairs")
+        )
+        .select(
+            "__cell",
+            F.transform("__pairs", lambda p: p["__avg"]).alias("__centroid"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("__cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "__qv",
+            "__cell",
+            cosine(F.col("__qv"), F.col("__centroid")).alias("__ccos"),
+        )
+        .withColumn("__crank", F.row_number().over(probe_w))
+        .filter(F.col("__crank") <= nprobe)
+        .select("query_id", "__qv", "__cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cdouble, "__cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: str = "hp") -> list[list[float]]:
+    """Deterministic pseudo-random unit-less hyperplanes from md5 — stable
+    across runs/executors (SURVEY §7.3 reproducible-identity discipline)."""
+    planes = []
+    for b in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{j}".encode()).hexdigest()
+            u = int(h[:15], 16) / float(1 << 60)  # [0, 1)
+            row.append(2.0 * u - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 32,
+    bands: int = 16,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, via random-hyperplane
+    LSH: sign-bit signature (n_planes bits) -> banded equi-join for
+    candidates -> exact cosine verification. Returns (i, j, cos), i < j.
+
+    P(candidate) = 1 - (1 - p^r)^bands with p = 1 - theta/pi; with 32
+    planes in 16 bands of 2 the miss rate at cos 0.5 is ~2e-4 and falls
+    super-exponentially as cos -> 1.
+    """
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim)
+
+    v = df.select(F.col(id_col).alias("i"), as_double(vec_col).alias("__v"))
+    bits = [
+        (dot(F.col("__v"), F.array(*[F.lit(x) for x in plane])) >= 0).cast("int")
+        for plane in planes
+    ]
+    sig = v.select(
+        "i",
+        "__v",
+        *[
+            F.concat_ws(
+                "", *[bits[band * r + t].cast("string") for t in range(r)]
+            ).alias(f"__b{band}")
+            for band in range(bands)
+        ],
+    )
+    band_tbl = sig.select(
+        "i",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"), F.col(f"__b{band}").alias("bkey")
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("i", "__v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    cand = (
+        band_tbl.alias("x")
+        .join(
+            band_tbl.select(
+                F.col("i").alias("j"), F.col("__v").alias("__vj"), "band", "bkey"
+            ).alias("y"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("x.i") < F.col("y.j"))
+        .select("i", "j", "__v", "__vj")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("__v"), F.col("__vj")))
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j", "cos")
+    )

@@ -1,2 +1,163 @@
-"""Embedding similarity workload (cosine near-dup, ANN top-k).
-Filled in M-vectors."""
+"""Similarity-search workload over the `embeddings` table
+(vec_id bigint, embedding float[64], label int) — ANN extension mandated
+alongside SURVEY §2 (BASELINE.json north star).
+
+Float discipline for oracle parity: both engines cast float32 -> double
+BEFORE any arithmetic and fold sums sequentially (Spark `aggregate` /
+DuckDB `list_sum`), so cosine values agree to ~1e-15 and ROUND(...,6) is
+stable on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.operators.vectors import (
+    cosine_topk,
+    hyperplane_lsh_pairs,
+    ivf_topk,
+)
+from loris_mri_spark.workload import query
+
+# Shared DuckDB fragments: double-cast vectors + sequential-fold cosine.
+_V_CTE = """
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings)
+"""
+
+_SQL_COS = (
+    "(list_sum(list_transform(range(1, 65), k -> {a}[k] * {b}[k]))"
+    " / sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " / sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+@query(
+    "ann_cosine_topk_exact",
+    oracle=f"""
+    WITH {_V_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for a bounded query set (vec_id < 10):
+    broadcast queries, ONE scan of the corpus, JVM-side double math."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(
+        e.filter(F.col("vec_id") < 10), e, id_col="vec_id", vec_col="embedding", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_V_CTE},
+    centroids AS (
+      SELECT cell, list(avg_v ORDER BY pos) AS cv FROM (
+        SELECT label AS cell, pos, AVG(vv) AS avg_v
+        FROM (SELECT label, unnest(range(0, 64)) AS pos, unnest(emb) AS vv
+              FROM v)
+        GROUP BY label, pos)
+      GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    cell_ranked AS (
+      SELECT q.query_id, q.qv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_SQL_COS.format(a='q.qv', b='c.cv')} DESC,
+                                         c.cell ASC) AS crank
+      FROM q CROSS JOIN centroids c),
+    probed AS (SELECT query_id, qv, cell FROM cell_ranked WHERE crank <= 2),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='p.qv', b='c.emb')} AS cos
+      FROM probed p JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scale path: probe the 2 most-similar cells (label = coarse
+    cell), search only those cells' vectors. Deterministic, so it has a
+    full oracle; recall vs the exact answer is measured in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        e.filter(F.col("vec_id") < 10),
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        cell_col="label",
+        k=5,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+@query(
+    "vec_centroid_per_label",
+    oracle="""
+    SELECT label,
+           CAST(pos AS BIGINT) AS pos,
+           ROUND(AVG(v), 6) AS avg_val
+    FROM (SELECT label,
+                 unnest(range(0, 64)) AS pos,
+                 unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, flattened to (label, pos, avg) — the W4
+    ordered-position/posexplode operator (SURVEY §2.5; chunk-index
+    enumeration `loris_ephys_chunker/.../chunking.py:141-157`) applied to
+    embedding components."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("avg_val"))
+    )
+
+
+@query("vec_cosine_pairs_lsh")  # rows-only: LSH recall is probabilistic
+def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.45 found via random-hyperplane
+    LSH (32 planes, 16 bands) + exact verification — the sub-quadratic
+    embedding near-dup path. No SQL oracle (recall is probabilistic, not
+    expressible); tests assert the output is a subset of the brute-force
+    answer and measure recall (tests/test_vectors.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = hyperplane_lsh_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.45, dim=64
+    )
+    return out.select("i", "j", F.round("cos", 6).alias("cos_r"))

@@ -1,0 +1,57 @@
+"""Vector-family invariants beyond the oracle parity suite."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loris_mri_spark import workload
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.operators.vectors import as_double, cosine
+
+workload.load_all()
+
+
+def _brute_pairs(spark, sf_dir, threshold):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("i"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("j"), F.col("v").alias("vb"))
+    return {
+        (r["i"], r["j"])
+        for r in a.crossJoin(b)
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("i", "j")
+        .collect()
+    }
+
+
+def test_lsh_pairs_subset_and_recall(spark, sf_dir):
+    lsh = {
+        (r["i"], r["j"])
+        for r in workload.QUERIES["vec_cosine_pairs_lsh"](spark, sf_dir).collect()
+    }
+    brute = _brute_pairs(spark, sf_dir, 0.45)
+    assert lsh <= brute, "LSH returned a pair below threshold (precision break)"
+    if brute:
+        recall = len(lsh) / len(brute)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9 on testdata"
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF correctness is oracle-checked; this measures recall vs exact.
+    The synthetic labels are WEAK cosine clusters (max pairwise cosine in
+    the corpus is ~0.51), so nprobe=2/10 recovers ~30% here — on real
+    clustered embeddings this rises with cluster purity. Assert a floor so
+    a broken probe selection (recall ~ nprobe/cells * k ~ 0) still fails."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in workload.QUERIES["ann_cosine_topk_exact"](spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in workload.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.2
