@@ -27,6 +27,21 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` ONCE as a lambda variable and evaluate ``body`` on it:
+    ``transform(array(value), x -> body(x))[1]``.
+
+    Catalyst's CollapseProject substitutes aliased expressions into their
+    references; when the reference sits inside a higher-order-function
+    lambda the substituted expression is RE-EVALUATED PER ELEMENT — an
+    aliased n-element array used inside an n-iteration transform goes
+    quadratic (observed: the winnowing fingerprint went from seconds to
+    minutes). A lambda variable is immune to substitution, so this is the
+    engine's `let`-expression for expensive intermediates.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def norm_text(col: Column | str) -> Column:
     """Canonical text normalization: lowercase, collapse whitespace, trim.
     DuckDB mirror: ``lower(trim(regexp_replace(x, '\\s+', ' ', 'g')))``."""

@@ -185,10 +185,15 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash60(token_hash_col: str) -> Column:
-    """60-bit SimHash from a PRE-HASHED token array column (md5_60 values;
-    hash once, not once per bit). Bit b of the result is 1 iff the sum of
-    (+1 / -1) votes from token-hash bit b is >= 0.
+def simhash60(token_hashes: Column) -> Column:
+    """60-bit SimHash from a PRE-HASHED token array (md5_60 values). Bit b
+    of the result is 1 iff the sum of (+1 / -1) votes from token-hash bit
+    b is >= 0.
+
+    The hash array is `let`-bound so the 60 per-bit folds reference a
+    lambda variable — without it Catalyst's projection collapse would
+    re-evaluate the tokenize+md5 pipeline once PER BIT (see
+    functions/texthash.let).
 
     DuckDB mirror (hs = list of md5_60 hashes)::
 
@@ -197,13 +202,20 @@ def simhash60(token_hash_col: str) -> Column:
                  CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
                THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
     """
-    return F.expr(
-        f"aggregate(transform(sequence(0, 59), b -> "
-        f"CASE WHEN aggregate({token_hash_col}, 0, (acc, h) -> "
-        f"acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 "
-        f"THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END), "
-        f"cast(0 as bigint), (acc, x) -> acc + x)"
-    )
+    from loris_mri_spark.functions.texthash import let
+
+    def vote_fn(mask: Column):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    def body(hs: Column) -> Column:
+        total = F.lit(0).cast("long")
+        for b in range(60):
+            mask = F.lit(1 << b).cast("long")
+            vote = F.aggregate(hs, F.lit(0), vote_fn(mask))
+            total = total + F.when(vote >= 0, mask).otherwise(F.lit(0).cast("long"))
+        return total
+
+    return let(token_hashes, body)
 
 
 def simhash_pairs(

@@ -145,17 +145,12 @@ _SIMHASH_SQL = f"""
 
 def _simhashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # Hash tokens ONCE into a column, then fold bits — simhash60 would
-    # otherwise recompute md5 per bit position (60x the hash work).
-    hashed = d.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("__dt")
-    ).select(
-        "doc_id",
-        F.expr(
-            "transform(__dt, tok -> cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint))"
-        ).alias("__th"),
+    token_hashes = F.transform(
+        F.array_distinct(tokens("text")), lambda tok: md5_60(tok)
     )
-    return hashed.select("doc_id", simhash60("__th").alias("simhash"))
+    # simhash60 let-binds the hash array, so tokenize+md5 run once per row
+    # even though the 60 bit-folds each reference the array.
+    return d.select("doc_id", simhash60(token_hashes).alias("simhash"))
 
 
 @query("dedup_simhash", oracle=_SIMHASH_SQL)

@@ -1,2 +1,315 @@
-"""Text-analysis workload over the documents table (training-data pipeline
-operators mandated by BASELINE.json's north star). Filled in M-text."""
+"""Text-analysis workload over the `documents` table — language ID,
+quality scoring, token stats, TF-IDF, winnowing fingerprints (the
+LLM-training-data extension mandated alongside SURVEY §2).
+
+All queries are pure Column-expression plans (JVM-side, codegen'd): split /
+explode / transform / aggregate — NO Python UDFs. Each has a DuckDB oracle
+built from the mirrored list functions.
+
+Reference analogue: the HED/BIDS string parsing and per-file text metadata
+extraction (`/root/reference/python/lib/physio/hed.py:63-120`,
+`loris_bids_importer/.../events.py:81-155`) generalized to corpus-scale
+document profiling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.functions.texthash import SQL_NORM, norm_text, tokens
+from loris_mri_spark.workload import query
+
+_NORM = SQL_NORM.format(col="text")
+
+# Tiny per-language marker lists for the n-gram/stopword language-ID
+# heuristic. Tie-break: first language in _LANG_ORDER with the max score.
+_STOPLISTS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "los", "las", "y", "es"],
+    "fr": ["le", "les", "et", "est", "une"],
+    "zh": ["de", "shi", "le", "bu"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+_EN_STOPS = _STOPLISTS["en"]
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, n_chars, string_split({_NORM}, ' ') AS t
+                  FROM documents)
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)              AS n_chars,
+           CAST(len(t) AS BIGINT)               AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           ROUND(list_sum(list_transform(t, x -> length(x))) * 1.0 / len(t), 4)
+             AS avg_token_len,
+           ROUND(len(list_distinct(t)) * 1.0 / len(t), 4) AS type_token_ratio
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity profile per document."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+                 tokens("text").alias("t"))
+    return t.select(
+        "doc_id",
+        "n_chars",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.size("t"),
+            4,
+        ).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct("t")) / F.size("t"), 4).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+def _sql_hits(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _STOPLISTS[lang])
+    return f"len(list_filter(t, x -> list_contains([{lst}], x)))"
+
+
+_LANGID_HITS = ",\n           ".join(
+    f"{_sql_hits(lang)} AS h_{lang}" for lang in _LANG_ORDER
+)
+_LANGID_GREATEST = "GREATEST(" + ", ".join(f"h_{x}" for x in _LANG_ORDER) + ")"
+_LANGID_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN h_{lang} = {_LANGID_GREATEST} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    + " END"
+)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+           {_LANGID_HITS}
+      FROM toks)
+    SELECT doc_id, {_LANGID_CASE} AS pred_lang,
+           CAST({_LANGID_GREATEST} AS BIGINT) AS n_hits
+    FROM hits
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-list language-ID heuristic: count marker-word hits per
+    language, argmax with a fixed tie order — one pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("t"))
+    def _hits(lang: str):
+        arr = F.array(*[F.lit(w) for w in _STOPLISTS[lang]])
+        return F.size(F.filter("t", lambda x: F.array_contains(arr, x))).alias(
+            f"h_{lang}"
+        )
+
+    hit_cols = [_hits(lang) for lang in _LANG_ORDER]
+    hits = t.select("doc_id", *hit_cols)
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in _LANG_ORDER])
+    pred = F.lit(None).cast("string")
+    # Build the CASE chain in reverse so the FIRST lang in order wins ties.
+    for lang in reversed(_LANG_ORDER):
+        pred = F.when(F.col(f"h_{lang}") == best, lang).otherwise(pred)
+    return hits.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("n_hits")
+    )
+
+
+_EN_LIST_SQL = ", ".join(f"'{w}'" for w in _EN_STOPS)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_NORM} AS norm,
+                      string_split({_NORM}, ' ') AS t
+               FROM documents)
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           CAST(len(t) AS BIGINT)       AS n_tokens,
+           ROUND((length(norm) - length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')))
+                 * 1.0 / length(norm), 4) AS punct_ratio,
+           ROUND((length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')))
+                 * 1.0 / length(norm), 4) AS digit_ratio,
+           ROUND(len(list_filter(t, x -> list_contains([{_EN_LIST_SQL}], x)))
+                 * 1.0 / len(t), 4) AS stop_ratio,
+           CASE WHEN len(t) BETWEEN 5 AND 1000
+                 AND (length(norm) - length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')))
+                     * 1.0 / length(norm) < 0.1
+                 AND len(list_filter(t, x -> list_contains([{_EN_LIST_SQL}], x)))
+                     * 1.0 / len(t) BETWEEN 0.01 AND 0.7
+                THEN 'good' ELSE 'suspect' END AS quality
+    FROM n
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality profile: length, punctuation/digit ratios,
+    stopword ratio, and a rule-based good/suspect flag (the classic
+    pre-training corpus filter shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", norm_text("text").alias("norm"), tokens("text").alias("t")
+    )
+    stops = F.array(*[F.lit(w) for w in _EN_STOPS])
+    punct = (
+        F.length("norm") - F.length(F.regexp_replace("norm", "[a-z0-9 ]", ""))
+    ) / F.length("norm")
+    digit = (
+        F.length("norm") - F.length(F.regexp_replace("norm", "[0-9]", ""))
+    ) / F.length("norm")
+    stop_ratio = F.size(F.filter("t", lambda x: F.array_contains(stops, x))) / F.size(
+        "t"
+    )
+    good = (
+        F.size("t").between(5, 1000)
+        & (punct < 0.1)
+        & stop_ratio.between(0.01, 0.7)
+    )
+    return n.select(
+        "doc_id",
+        F.length("norm").cast("long").alias("n_chars_norm"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(digit, 4).alias("digit_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.when(good, "good").otherwise("suspect").alias("quality"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS BIGINT)
+               AS rank
+      FROM scored)
+    SELECT doc_id, term, rank, ROUND(score, 6) AS score_r
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode -> partial-agg tf -> df
+    join (broadcast: vocabulary is small relative to the corpus) -> window
+    top-k. The doc count is a broadcast scalar, not a collected literal."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", F.round("score", 6).alias("score_r"))
+    )
+
+
+@query(
+    "text_fingerprint_winnow",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, length({_NORM}) - 3),
+               i -> CAST(('0x' || substr(md5(substr({_NORM}, i, 5)), 1, 15))
+                         AS BIGINT)) AS h
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - 2, 1)),
+                 i -> list_min(h[i:i+3])))) AS fp
+      FROM grams),
+    final AS (
+      SELECT doc_id, fp FROM wins WHERE len(fp) > 0)
+    SELECT doc_id,
+           CAST(len(fp) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ','))
+             AS fp_hash
+    FROM final
+    """,
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (rolling-hash): char 5-gram md5_60
+    hashes, min per sliding window of 4, distinct-sorted mins hashed to a
+    single fingerprint id. Single codegen'd pass, no shuffle.
+
+    Every intermediate array is `let`-bound (functions/texthash.let):
+    aliased arrays referenced inside higher-order lambdas are re-evaluated
+    per element after projection collapse — the naive aliased version of
+    this query was quadratic per row (minutes, not seconds, at sf0.01).
+    """
+    from loris_mri_spark.functions.texthash import let, md5_60
+
+    empty = F.array().cast("array<bigint>")
+
+    def fingerprint(nrm: Column) -> Column:
+        grams = F.when(
+            F.length(nrm) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.length(nrm) - 4),
+                lambda i: md5_60(F.substr(nrm, i, F.lit(5))),
+            ),
+        ).otherwise(empty)
+
+        def windows(h: Column) -> Column:
+            # Guard: Spark's sequence(1, 0) counts DOWN, so short docs need
+            # an explicit empty branch (DuckDB's range(1, 0) is empty).
+            return F.when(
+                F.size(h) >= 4,
+                F.array_sort(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(h) - 3),
+                            lambda i: F.array_min(F.slice(h, i, 4)),
+                        )
+                    )
+                ),
+            ).otherwise(empty)
+
+        return let(grams, windows)
+
+    d = load_table(spark, sf_dir, "documents")
+    wins = d.select(
+        "doc_id",
+        let(norm_text("text"), fingerprint).alias("fp"),
+    ).filter(F.size("fp") > 0)
+    return wins.select(
+        "doc_id",
+        F.size("fp").cast("long").alias("n_fp"),
+        F.md5(F.concat_ws(",", F.transform("fp", lambda x: x.cast("string")))).alias(
+            "fp_hash"
+        ),
+    )
