@@ -41,6 +41,7 @@ def load_all() -> None:
         dedup,
         rules,
         relational,
+        signals,
         text,
         vectors,
     )

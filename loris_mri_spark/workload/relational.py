@@ -762,3 +762,135 @@ def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# F3 — null-aware unique-key filter (`eqNullSafe` / <=>): the duplicate-scan
+# detector every insertion runs (`python/lib/db/queries/file.py:11-28`,
+# `database_lib/files.py:57-70` — SeriesUID/EchoTime/PhaseEncodingDirection
+# may each be NULL, and NULL must match NULL). Here: signup events sharing
+# (user_id, nullable derived key), self-joined null-safely.
+# --------------------------------------------------------------------------
+@query(
+    "f3_nullsafe_duplicate_scan",
+    oracle="""
+    WITH scans AS (
+      SELECT event_id, user_id,
+             NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0)
+               AS ped
+      FROM events WHERE event_type = 'signup')
+    SELECT a.event_id AS first_id, b.event_id AS dup_id,
+           a.user_id, a.ped
+    FROM scans a JOIN scans b
+      ON a.user_id = b.user_id
+     AND a.ped IS NOT DISTINCT FROM b.ped
+     AND a.event_id < b.event_id
+    """,
+)
+def f3_nullsafe_duplicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    scans = e.filter(F.col("event_type") == "signup").select(
+        "event_id",
+        "user_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("long") % 7, F.lit(0)
+        ).alias("ped"),
+    )
+    a, b = scans.alias("a"), scans.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & F.col("a.ped").eqNullSafe(F.col("b.ped"))
+        & (F.col("a.event_id") < F.col("b.event_id")),
+    ).select(
+        F.col("a.event_id").alias("first_id"),
+        F.col("b.event_id").alias("dup_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.ped").alias("ped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F9 — case-insensitive equality (`MRI.pm:150`
+# `LOWER(s.Visit_label)=LOWER(?)`): explicit ci collation per comparison.
+# --------------------------------------------------------------------------
+@query(
+    "f9_ci_equality",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE LOWER(c_mktsegment) = LOWER('BuIlDiNg')
+    """,
+)
+def f9_ci_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loris_mri_spark.functions.predicates import eq_case_insensitive
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(eq_case_insensitive(F.col("c_mktsegment"), F.lit("BuIlDiNg"))).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# U3 — set difference on map keys (additional event fields = row keys minus
+# known fields, `loris_bids_importer/.../events.py:114-121`): build a
+# per-row map with data-dependent keys, subtract the known-key set.
+# --------------------------------------------------------------------------
+@query(
+    "u3_map_key_difference",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(list_filter(
+             [CASE WHEN value > 50 THEN 'big_value' END,
+              CASE WHEN event_type = 'error' THEN 'error_flag' END,
+              'event_type', 'k'],
+             x -> x IS NOT NULL
+                  AND NOT list_contains(['event_type', 'onset', 'duration'], x))),
+             ',') AS extra_keys
+    FROM events
+    """,
+)
+def u3_map_key_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # Data-dependent map: NULL-valued entries are dropped by map_filter, so
+    # each row's key set varies (mirrors BIDS rows with optional columns).
+    m = F.map_filter(
+        F.create_map(
+            F.lit("big_value"), F.when(F.col("value") > 50, F.lit("y")),
+            F.lit("error_flag"), F.when(F.col("event_type") == "error", F.lit("y")),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("k"), F.get_json_object("props", "$.k"),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    known = F.array(F.lit("event_type"), F.lit("onset"), F.lit("duration"))
+    return e.select(
+        "event_id",
+        F.concat_ws(
+            ",", F.array_sort(F.array_except(F.map_keys(m), known))
+        ).alias("extra_keys"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C9 — deterministic ID generation (SURVEY §7.3: the reference's random
+# 6-digit CandID + collision retry, `lib/candidate.py:105-114`, replaced by
+# content hashing so ids are reproducible across runs and executors).
+# --------------------------------------------------------------------------
+@query(
+    "c9_deterministic_ids",
+    oracle="""
+    SELECT DISTINCT event_type AS name,
+           CAST(('0x' || substr(md5(event_type), 1, 15)) AS BIGINT) AS det_id
+    FROM events
+    """,
+)
+def c9_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loris_mri_spark.functions.texthash import md5_60
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.col("event_type").alias("name"))
+        .distinct()
+        .select("name", md5_60(F.col("name")).alias("det_id"))
+    )
