@@ -1,0 +1,175 @@
+"""DICOM directory scan — SURVEY §2.1 S1/S2.
+
+Reference: walk a directory, parse every DICOM header, classify DICOM vs
+other (`/root/reference/python/loris_dicom_importer/src/loris_dicom_importer/summary_get.py:21-63`;
+Perl `dicom-archive/DICOM/DCMSUM.pm:722-736`), with a nested-tag fallback
+lookup for enhanced DICOM (`summary_get.py:160-173`).
+
+Spark-first shape: `spark.read.format("binaryFile")` lists and reads the
+files distributively (one task per file split), and an Arrow-batched
+`mapInPandas` runs the header parse per partition — the per-file Perl/
+pydicom loop becomes one scan stage. At 100 TB of DICOMs the parallelism
+is per-file and the output is a narrow header table; the pixel payload
+never leaves the scan (we slice headers only).
+
+The parser reads explicit-VR little-endian DICOM (preamble + 'DICM' +
+(group,element,VR,len,value) stream) with pure stdlib `struct`. When the
+optional `pydicom` package is importable it is used instead (full
+transfer-syntax coverage); the stdlib path keeps the engine dependency-free
+for the header fields the reference extracts.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tags the reference's summary extracts (summary_get.py:21-63).
+_TAGS = {
+    (0x0008, 0x0060): "modality",
+    (0x0008, 0x103E): "series_description",
+    (0x0010, 0x0010): "patient_name",
+    (0x0018, 0x0080): "repetition_time",
+    (0x0018, 0x0081): "echo_time",
+    (0x0020, 0x000D): "study_uid",
+    (0x0020, 0x000E): "series_uid",
+    (0x0020, 0x0011): "series_number",
+    (0x0020, 0x0013): "instance_number",
+}
+
+_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UN", b"UT"}
+_STR_VRS = {b"AE", b"AS", b"CS", b"DA", b"DS", b"DT", b"IS", b"LO", b"LT",
+            b"PN", b"SH", b"ST", b"TM", b"UI", b"UT"}
+
+DICOM_SCHEMA = (
+    "path string, is_dicom boolean, modality string, patient_name string, "
+    "study_uid string, series_uid string, series_number int, "
+    "instance_number int, series_description string, "
+    "echo_time double, repetition_time double"
+)
+
+
+def parse_dicom_bytes(content: bytes) -> dict[str, Any]:
+    """Parse one explicit-VR little-endian DICOM byte stream into the
+    header dict the reference's summary uses. Non-DICOM content returns
+    ``{"is_dicom": False}`` (the scan's DICOM-vs-other classification,
+    DCMSUM.pm:722-736)."""
+    out: dict[str, Any] = {"is_dicom": False}
+    if len(content) < 132 or content[128:132] != b"DICM":
+        return out
+    out["is_dicom"] = True
+    pos = 132
+    n = len(content)
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from("<HH", content, pos)
+        vr = content[pos + 4 : pos + 6]
+        if vr in _LONG_VRS:
+            if pos + 12 > n:
+                break
+            (length,) = struct.unpack_from("<I", content, pos + 8)
+            vpos = pos + 12
+        else:
+            (length,) = struct.unpack_from("<H", content, pos + 6)
+            vpos = pos + 8
+        if length == 0xFFFFFFFF or vpos + length > n:
+            break
+        key = _TAGS.get((group, elem))
+        if key is not None:
+            raw = content[vpos : vpos + length]
+            if vr in _STR_VRS:
+                val: Any = raw.decode("ascii", "replace").strip("\x00 ")
+                if vr in (b"IS",):
+                    val = int(val) if val else None
+                elif vr in (b"DS",):
+                    val = float(val) if val else None
+                out[key] = val
+        pos = vpos + length
+    return out
+
+
+def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    try:  # optional full-coverage path
+        import pydicom  # noqa: F401
+
+        have_pydicom = True
+    except Exception:
+        have_pydicom = False
+
+    for pdf in batches:
+        rows = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            if have_pydicom:
+                rows.append({"path": path, **_parse_with_pydicom(bytes(content))})
+            else:
+                rows.append({"path": path, **parse_dicom_bytes(bytes(content))})
+        out = pd.DataFrame(rows)
+        for col in ("modality", "patient_name", "study_uid", "series_uid",
+                    "series_description"):
+            if col not in out:
+                out[col] = None
+        for col in ("series_number", "instance_number"):
+            if col not in out:
+                out[col] = None
+            out[col] = out[col].astype("Int32")
+        for col in ("echo_time", "repetition_time"):
+            if col not in out:
+                out[col] = None
+            out[col] = out[col].astype("float64")
+        yield out[[c.split(" ")[0] for c in DICOM_SCHEMA.split(", ")]]
+
+
+def _parse_with_pydicom(content: bytes) -> dict[str, Any]:
+    """pydicom path, incl. the enhanced-DICOM nested fallback (S2,
+    summary_get.py:160-173: scan sub-sequences with iterall when a tag is
+    absent at top level)."""
+    import io
+
+    import pydicom
+
+    try:
+        ds = pydicom.dcmread(io.BytesIO(content), stop_before_pixels=True)
+    except Exception:
+        return {"is_dicom": False}
+
+    def get(tag_name: str):
+        v = getattr(ds, tag_name, None)
+        if v is None:  # enhanced-DICOM fallback: search nested datasets
+            for el in ds.iterall():
+                if el.keyword == tag_name:
+                    return el.value
+        return v
+
+    def _f(v):
+        return float(v) if v is not None else None
+
+    def _i(v):
+        return int(v) if v is not None else None
+
+    return {
+        "is_dicom": True,
+        "modality": get("Modality"),
+        "patient_name": str(get("PatientName") or "") or None,
+        "study_uid": get("StudyInstanceUID"),
+        "series_uid": get("SeriesInstanceUID"),
+        "series_number": _i(get("SeriesNumber")),
+        "instance_number": _i(get("InstanceNumber")),
+        "series_description": get("SeriesDescription"),
+        "echo_time": _f(get("EchoTime")),
+        "repetition_time": _f(get("RepetitionTime")),
+    }
+
+
+def scan_dicom_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S1: distributed DICOM directory scan -> header table. One binaryFile
+    scan, one mapInPandas parse; pixel data stays inside the scan tasks."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse_partition, schema=DICOM_SCHEMA)

@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every workload module so registration side effects run."""
     from loris_mri_spark.workload import (  # noqa: F401
         dedup,
+        ingest,
         rules,
         relational,
         signals,
