@@ -43,6 +43,7 @@ def load_all() -> None:
         rules,
         relational,
         signals,
+        sinkops,
         text,
         vectors,
     )

@@ -1,0 +1,246 @@
+"""Sink + external-operator workload (SURVEY §2.1 S10-S17, §2.10 X3),
+over the fixtures and the star-schema tables.
+
+Write-path queries write under ``<repo>/.scratch`` (gitignored) into a
+fresh per-run directory, then read the sink back and return it — the
+declared query checks the full write+read round trip against the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.operators.external import run_external
+from loris_mri_spark.sinks import (
+    append_with_ids,
+    encode_float_chunk,
+    overwrite_partitions,
+    png_preview_udf,
+    to_s3_url,
+)
+from loris_mri_spark.sources.archive import read_tar_members
+from loris_mri_spark.workload import query
+
+_REPO = Path(__file__).resolve().parents[2]
+FIXTURES = str(_REPO / "tests" / "fixtures")
+SCRATCH = str(_REPO / ".scratch")
+
+
+def _run_dir(tag: str) -> str:
+    os.makedirs(SCRATCH, exist_ok=True)
+    return tempfile.mkdtemp(prefix=f"{tag}-", dir=SCRATCH)
+
+
+@query(
+    "s10_append_with_ids",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(source || '/' || CAST(doc_id AS VARCHAR)),
+                 1, 15)) AS BIGINT) AS id,
+           doc_id, source
+    FROM documents
+    """,
+)
+def s10_append_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11: bulk append with deterministic content-hash ids — the
+    row-at-a-time autoincrement insert (`lib/database.py:146-186`) as one
+    write job; the query round-trips through the parquet sink."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = _run_dir("s10")
+    append_with_ids(
+        d,
+        path,
+        id_col="id",
+        natural_key=F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string")),
+    )
+    return spark.read.parquet(path).select("id", "doc_id", "source")
+
+
+@query(
+    "s12_partition_overwrite",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN value * 2
+                          ELSE value END), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s12_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: UPDATE-as-partition-overwrite — write the table partitioned on
+    the mutation key, then dynamically overwrite ONE partition with
+    updated rows (`lib/database.py:188-208`; update one upload's rows
+    without rewriting the table)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _run_dir("s12")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    updated = e.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    overwrite_partitions(updated, path, ["event_type"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "s13_s3_url_rewrite",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('s3://loris-bucket/nifti/sub-01_T1w.nii'),
+      ('s3://loris-bucket/nifti/sub-01_task-rest_bold.nii'),
+      ('s3://loris-bucket/nifti/sub-02_T1w.nii.gz'))
+      AS t(s3_url)
+    """,
+)
+def s13_s3_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: local-path -> s3:// URL rewrite (`aws_s3.py:93-257`); actual
+    S3 IO is the s3a:// scheme on a connector-equipped cluster."""
+    files = (
+        spark.read.format("binaryFile")
+        .load(f"{FIXTURES}/nifti")
+        .select("path")
+    )
+    return files.select(to_s3_url(F.col("path"), "loris-bucket").alias("s3_url"))
+
+
+@query("s14_chunk_encode")  # rows-only: binary framing; round-trip in tests
+def s14_chunk_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: FloatChunk binary sink encoding (`chunking.py:134-157`):
+    chunk the embedding signals, frame each chunk as
+    [index][downsampling][n][f32*n] bytes. Payload integrity is checked by
+    round-trip decode in tests/test_sinkops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    chunks = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), c -> slice(embedding, c * 16 + 1, 16))"
+            )
+        ).alias("chunk_idx", "samples"),
+    )
+    enc = chunks.select(
+        "vec_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        encode_float_chunk(
+            F.col("chunk_idx"), F.lit(1), F.col("samples")
+        ).alias("payload"),
+    )
+    return enc.select(
+        "vec_id",
+        "chunk_idx",
+        F.length("payload").cast("long").alias("payload_len"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query("s15_png_preview")  # rows-only: PNG structure asserted in tests
+def s15_png_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: preview-pic sink (`imaging.py:1176-1219`): deterministic 8x8
+    grayscale thumbnail of each document's bytes encoded as a REAL PNG
+    (stdlib zlib encoder). tests/test_sinkops.py validates magic + CRCs."""
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    png = d.select(
+        "doc_id",
+        png_preview_udf(F.encode("text", "utf-8")).alias("png"),
+    )
+    return png.select(
+        "doc_id",
+        F.length("png").cast("long").alias("png_len"),
+        (F.substring("png", 2, 3) == F.lit("PNG")).alias("has_magic"),
+    )
+
+
+_S17_INTENDED = "func/sub-01_task-rest_bold.nii.gz"
+
+
+@query(
+    "s17_json_rewrite",
+    oracle=f"""
+    WITH docs AS (
+      SELECT regexp_extract(filename, '(sub-[0-9A-Za-z]+)', 1) AS subject,
+             json_merge_patch(content,
+               '{{"IntendedFor": "{_S17_INTENDED}"}}') AS doc
+      FROM read_text('{FIXTURES}/bids/sub-*_task-rest_bold.json')),
+    canon AS (
+      SELECT subject,
+             array_to_string(list_sort(list_transform(json_keys(doc),
+               k -> k || '=' || json_extract_string(doc, '$.' || k))), '|')
+               AS canonical
+      FROM docs)
+    SELECT subject, canonical, md5(canonical) AS rewrite_hash
+    FROM canon
+    """,
+)
+def s17_json_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: JSON document rewrite + rehash (`imaging.py:1064-1110`: set
+    IntendedFor in the sidecar, rewrite, re-blake2b). Canonical form =
+    sorted key=value entries, so the hash is key-order independent on
+    both engines."""
+    raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{FIXTURES}/bids/sub-*_task-rest_bold.json")
+        .withColumn("__file", F.col("_metadata.file_path"))
+    )
+    m = F.map_concat(
+        F.from_json("value", "map<string,string>"),
+        F.create_map(F.lit("IntendedFor"), F.lit(_S17_INTENDED)),
+    )
+    canon = F.concat_ws(
+        "|",
+        F.array_sort(
+            F.transform(
+                F.map_entries(m), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+            )
+        ),
+    )
+    return raw.select(
+        F.regexp_extract("__file", r"(sub-[0-9A-Za-z]+)", 1).alias("subject"),
+        canon.alias("canonical"),
+        F.md5(canon).alias("rewrite_hash"),
+    )
+
+
+def _tar_member_md5_values() -> str:
+    rows = []
+    with tarfile.open(f"{FIXTURES}/archive/study.tar.gz", "r:*") as tar:
+        for m in sorted(tar.getmembers(), key=lambda m: m.name):
+            if m.isfile():
+                data = tar.extractfile(m).read()
+                rows.append(f"('{m.name}', '{hashlib.md5(data).hexdigest()}')")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(member, content_md5)"
+
+
+@query("s16_external_md5sum", oracle=_tar_member_md5_values())
+def s16_external_md5sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16/X3: external-binary operator — archive members fan out to
+    `md5sum` subprocesses with task-local temp files; stdout maps back
+    onto the rows (`dicom_archive_loader_pipeline.py:146-180` pattern with
+    a universally-present stand-in binary). Golden oracle: the committed
+    fixture archive's member hashes."""
+    members = read_tar_members(spark, f"{FIXTURES}/archive/study.tar.gz")
+    out = run_external(
+        members,
+        ["md5sum", "{input}"],
+        content_col="content",
+        passthrough_cols=["member"],
+    )
+    return out.filter(F.col("exit_code") == 0).select(
+        "member",
+        F.split(F.col("stdout"), " ").getItem(0).alias("content_md5"),
+    )

@@ -1,0 +1,55 @@
+"""Binary-sink integrity checks (S14 chunk framing, S15 PNG structure)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from loris_mri_spark import workload
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.sinks import decode_float_chunk, encode_float_chunk, png_preview_udf
+
+workload.load_all()
+
+
+def test_float_chunk_roundtrip(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").limit(5)
+    enc = e.select(
+        "vec_id",
+        F.col("embedding").alias("samples"),
+        encode_float_chunk(F.lit(7), F.lit(2), F.col("embedding")).alias("payload"),
+    ).collect()
+    for r in enc:
+        idx, ds, vals = decode_float_chunk(bytes(r["payload"]))
+        assert (idx, ds) == (7, 2)
+        assert len(vals) == 64
+        for a, b in zip(vals, r["samples"]):
+            assert abs(a - b) < 1e-6
+
+
+def test_png_preview_is_valid_png(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(3)
+    rows = d.select(png_preview_udf(F.encode("text", "utf-8")).alias("png")).collect()
+    for r in rows:
+        b = bytes(r["png"])
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        # walk chunks, verify CRCs, find IHDR 8x8 grayscale + IDAT inflates
+        pos = 8
+        seen = []
+        while pos < len(b):
+            (length,) = struct.unpack_from(">I", b, pos)
+            tag = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+            assert crc == (zlib.crc32(tag + data) & 0xFFFFFFFF)
+            seen.append(tag)
+            if tag == b"IHDR":
+                w, h, depth, color = struct.unpack_from(">IIBB", data, 0)
+                assert (w, h, depth, color) == (8, 8, 8, 0)
+            if tag == b"IDAT":
+                raw = zlib.decompress(data)
+                assert len(raw) == 8 * 9  # 8 rows x (1 filter byte + 8 px)
+            pos += 12 + length
+        assert seen[0] == b"IHDR" and seen[-1] == b"IEND" and b"IDAT" in seen
