@@ -1,0 +1,110 @@
+"""Multimodal binary-column operators — the image/audio/video extension
+mandated alongside SURVEY §2 (BASELINE.json north star).
+
+Column model (SURVEY §1.1 "blobs + sidecar metadata"): media is an opaque
+`binary` column plus typed metadata (media_type, n_bytes, content hash) —
+the path/hash/params row the reference keeps for NIfTI/MINC blobs
+(`python/lib/imaging_lib/nifti.py`, `nifti_insertion_pipeline.py:88-92`).
+
+Processing model: decode / feature-extract / resize / frame-sample are
+Arrow-batched `mapInPandas` stages. The BYTE-LEVEL math here (block-mean
+"resize" of a raw grayscale interpretation, frame slicing, per-frame
+checksums) is real and tested; the CODEC step (JPEG/PNG/WAV decode) is a
+clearly-marked stub that raises NotImplementedError unless a decoder
+callback is injected — the runtime image has no imaging libraries, and
+the Spark-side plumbing (schemas, batching, partitioning) is what must
+hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, side int, mean_px double, std_px double, "
+    "thumb array<double>"
+)
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def decode_media(content: bytes, media_type: str,
+                 decoder: Callable[[bytes], "np.ndarray"] | None = None) -> "np.ndarray":
+    """STUB BOUNDARY: real codec decode requires an imaging library not
+    present in this runtime. Inject ``decoder`` (e.g. PIL/ffmpeg-backed)
+    to decode actual media; without one, raw bytes are interpreted as
+    8-bit grayscale — deterministic, so every downstream stage is
+    testable."""
+    if decoder is not None:
+        return decoder(content)
+    if media_type in ("image/raw", "application/octet-stream"):
+        return np.frombuffer(content, dtype=np.uint8)
+    raise NotImplementedError(
+        f"no decoder for media_type={media_type!r}; inject decoder="
+    )
+
+
+def extract_features(df: DataFrame, content_col: str, id_col: str,
+                     thumb_side: int = 4) -> DataFrame:
+    """Feature extraction: interpret bytes as a square grayscale image
+    (crop to the largest square), block-mean 'resize' to
+    thumb_side x thumb_side, emit dims + pixel stats + thumbnail."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                px = decode_media(bytes(blob), "image/raw")
+                side = int(math.isqrt(len(px)))
+                img = px[: side * side].reshape(side, side).astype("float64")
+                block = max(side // thumb_side, 1)
+                crop = img[: block * thumb_side, : block * thumb_side]
+                thumb = crop.reshape(
+                    thumb_side, block, thumb_side, block
+                ).mean(axis=(1, 3))
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_bytes": len(px),
+                        "side": side,
+                        "mean_px": round(float(img.mean()), 6),
+                        "std_px": round(float(img.std()), 6),
+                        "thumb": [round(float(v), 6) for v in thumb.ravel()],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, content_col: str, id_col: str,
+                  frame_bytes: int = 64, every_k: int = 4) -> DataFrame:
+    """Frame sampling: treat the byte stream as fixed-size frames, keep
+    every k-th full frame, emit per-frame checksums (the video analogue
+    of the chunk pyramid)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                n_frames = len(b) // frame_bytes
+                for f in range(0, n_frames, every_k):
+                    frame = b[f * frame_bytes : (f + 1) * frame_bytes]
+                    rows.append(
+                        {
+                            "doc_id": int(i),
+                            "frame_idx": f,
+                            "frame_md5": hashlib.md5(frame).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -40,10 +40,13 @@ def load_all() -> None:
     from loris_mri_spark.workload import (  # noqa: F401
         dedup,
         ingest,
+        multimodal,
+        plugin_ops,
         rules,
         relational,
         signals,
         sinkops,
+        streaming_ops,
         text,
         vectors,
     )

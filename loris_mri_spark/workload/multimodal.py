@@ -1,0 +1,77 @@
+"""Multimodal-column workload: binary media columns with typed metadata,
+decode-stage feature extraction, frame sampling (BASELINE.json north
+star). Media bytes are the documents' UTF-8 text (the corpus is ASCII, so
+byte framing == char framing and DuckDB's VARCHAR hashes oracle the
+binary path exactly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.operators.media import extract_features, sample_frames
+from loris_mri_spark.workload import query
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           'image/raw' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal column contract: opaque binary + typed metadata
+    (media_type, size, content hash) — SURVEY §1.1's blob row
+    (path/hash/params) as engine-native columns."""
+    d = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.lit("image/raw").alias("media_type"),
+        F.length(bin_col).cast("long").alias("n_bytes"),
+        F.sha2(bin_col, 256).alias("content_sha256"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             substr(text, f * 64 + 1, 64) AS frame
+      FROM documents,
+           unnest(range(0, CAST(octet_length(encode(text)) // 64 AS INT))) t(f)
+      WHERE f % 4 = 0)
+    SELECT doc_id, frame_idx, md5(frame) AS frame_md5 FROM frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary stream (every 4th 64-byte frame,
+    per-frame checksum) via mapInPandas — the video-column access
+    pattern; the oracle frames the ASCII text identically."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    return sample_frames(d, "content", "doc_id", frame_bytes=64, every_k=4)
+
+
+@query("mm_decode_features")  # rows-only: thumbnail floats; golden in tests
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract stage: bytes -> grayscale interpretation
+    -> stats + 4x4 block-mean thumbnail (the codec itself is the injected
+    stub boundary — see operators/media.decode_media). Golden-checked in
+    tests/test_multimodal.py against a numpy reference."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    feats = extract_features(d, "content", "doc_id")
+    return feats.select(
+        "doc_id", "n_bytes", "side", "mean_px", "std_px",
+        F.round(F.element_at("thumb", 1), 6).alias("thumb_00"),
+        F.round(F.element_at("thumb", 16), 6).alias("thumb_33"),
+    )

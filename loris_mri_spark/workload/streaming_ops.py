@@ -1,0 +1,116 @@
+"""Streaming workload (SURVEY §2.9 T1-T4). Every query drains a real
+Structured Streaming job with availableNow and returns its final state —
+which must equal the batch answer, so each has a full DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.streaming.incremental import (
+    SCRATCH,
+    run_foreach_batch_append,
+    run_to_memory,
+    stream_events,
+)
+from loris_mri_spark.workload import query
+
+
+@query(
+    "t1_incremental_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def t1_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: checkpointed file-source ingest (the `incoming/` cron sweep,
+    `imaging_upload_file_cronjob.pl`) — streaming aggregation over the
+    discovered files; availableNow drains to the exact batch totals."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_memory(agg, "complete", "t1")
+
+
+@query(
+    "t2_upload_state_machine",
+    oracle="""
+    SELECT user_id,
+           MAX_BY(event_type, epoch_us(ts) * 100 + event_id % 100) AS last_state,
+           COUNT(*) AS n_transitions,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+                AS BOOLEAN) AS insertion_complete
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def t2_upload_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: upload state machine (`mri_upload.py:24-34`,
+    `base_pipeline.py:82-90`): per upload (user), the streaming agg keeps
+    the LAST observed state (argmax by event time, event_id tie-break),
+    transition count, and a completion flag."""
+    sdf = stream_events(spark, sf_dir)
+    agg = sdf.groupBy("user_id").agg(
+        F.max_by(
+            "event_type",
+            F.expr("ts_ns div 1000") * 100 + F.col("event_id") % 100,
+        ).alias("last_state"),
+        F.count("*").alias("n_transitions"),
+        (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0).alias(
+            "insertion_complete"
+        ),
+    )
+    return run_to_memory(agg, "complete", "t2")
+
+
+@query(
+    "t3_stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def t3_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: duplicate suppression within a watermark (re-upload dedup,
+    `database_lib/files.py:40-101`): the stream unioned with itself (every
+    row a duplicate) drops to exactly-once via watermark + dropDuplicates
+    on the upload key."""
+    sdf = stream_events(spark, sf_dir)
+    doubled = sdf.unionByName(sdf)
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append", "t3")
+
+
+@query(
+    "t4_notification_append_log",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS error_code
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def t4_notification_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: append-only notification spool (`NeuroDB/Notify.pm`): error
+    events stream into an append-only parquet log via foreachBatch; the
+    query returns the spool's content."""
+    sdf = stream_events(spark, sf_dir)
+    errors = sdf.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("error_code"),
+    )
+    os.makedirs(SCRATCH, exist_ok=True)
+    sink = tempfile.mkdtemp(prefix=f"t4-spool-{uuid.uuid4().hex[:6]}-", dir=SCRATCH)
+    run_foreach_batch_append(errors, sink, "t4")
+    return spark.read.parquet(sink)
