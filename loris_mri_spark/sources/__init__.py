@@ -13,6 +13,11 @@ from loris_mri_spark.sources.bids import (
     read_sidecar_json,
 )
 from loris_mri_spark.sources.dicom import parse_dicom_bytes, scan_dicom_dir
+from loris_mri_spark.sources.eeg import parse_edf_bytes, read_edf_channels
+from loris_mri_spark.sources.minc_ecat import (
+    read_ecat_main_headers,
+    read_minc_headers,
+)
 from loris_mri_spark.sources.nifti import parse_nifti_bytes, read_nifti_headers
 
 __all__ = [
@@ -22,6 +27,10 @@ __all__ = [
     "read_sidecar_json",
     "parse_dicom_bytes",
     "scan_dicom_dir",
+    "parse_edf_bytes",
+    "read_edf_channels",
+    "read_ecat_main_headers",
+    "read_minc_headers",
     "parse_nifti_bytes",
     "read_nifti_headers",
 ]

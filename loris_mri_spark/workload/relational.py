@@ -894,3 +894,36 @@ def c9_deterministic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("name", md5_60(F.col("name")).alias("det_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# F8/J11 — binary-collation comparisons (`MRIProcessingUtility.pm:2090`
+# `WHERE BINARY Visit_label=?`; `delete_imaging_upload.pl:1255-1258`
+# `COLLATE utf8_bin` join). Spark's default string equality IS binary, so
+# the engine states the collation explicitly per comparison: == for
+# utf8_bin sites, eq_case_insensitive for LOWER() sites.
+# --------------------------------------------------------------------------
+@query(
+    "f8_j11_binary_collation",
+    oracle="""
+    WITH probe(seg) AS (VALUES ('BUILDING'), ('building'), ('MACHINERY'))
+    SELECT p.seg, COUNT(c.c_custkey) AS n_matches
+    FROM probe p LEFT JOIN customer c ON c.c_mktsegment = p.seg
+    GROUP BY p.seg
+    """,
+)
+def f8_j11_binary_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    c = load_table(spark, sf_dir, "customer")
+    probe = c.sparkSession.createDataFrame(
+        [("BUILDING",), ("building",), ("MACHINERY",)],
+        schema=StructType([StructField("seg", StringType())]),
+    )
+    # binary-collation join: 'building' matches nothing (data is upper).
+    return (
+        F.broadcast(probe)
+        .join(c, c.c_mktsegment == F.col("seg"), "left")
+        .groupBy("seg")
+        .agg(F.count("c_custkey").alias("n_matches"))
+    )

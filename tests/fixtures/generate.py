@@ -87,6 +87,39 @@ def write_dicom(path: str, patient: str, study_uid: str, series_uid: str,
         f.write(b"\x00" * 128 + b"DICM" + body)
 
 
+# ---------------------------------------------------------------------------
+# EDF (European Data Format, public spec: fixed-width ASCII header +
+# 2-byte LE samples) — the EEG raw source S7.
+# ---------------------------------------------------------------------------
+def write_edf(path: str, channels: list[str], n_records: int, spr: int) -> None:
+    ns = len(channels)
+
+    def pad(s: str, n: int) -> bytes:
+        return s[:n].ljust(n).encode("ascii")
+
+    header_bytes = 256 + 256 * ns
+    hdr = b"".join([
+        pad("0", 8), pad("SUB001 F X LORIS", 80), pad("Startdate 01-JAN-2024", 80),
+        pad("01.01.24", 8), pad("00.00.00", 8), pad(str(header_bytes), 8),
+        pad("", 44), pad(str(n_records), 8), pad("1", 8), pad(str(ns), 4),
+    ])
+    fields = [
+        (16, channels), (80, ["transducer"] * ns), (8, ["uV"] * ns),
+        (8, ["-100"] * ns), (8, ["100"] * ns), (8, ["-2048"] * ns),
+        (8, ["2047"] * ns), (80, ["HP:0.1Hz"] * ns), (8, [str(spr)] * ns),
+        (32, [""] * ns),
+    ]
+    for width, vals in fields:
+        hdr += b"".join(pad(v, width) for v in vals)
+    data = b""
+    for r in range(n_records):
+        for c in range(ns):
+            samples = [((r * spr + k) * (7 + 3 * c)) % 4000 - 2000 for k in range(spr)]
+            data += struct.pack(f"<{spr}h", *samples)
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+
+
 def main() -> None:
     # --- DICOM study: 2 series x 3 instances + 1 non-dicom stray file
     ddir = _mkdir(os.path.join(HERE, "dicom"))
@@ -162,6 +195,11 @@ def main() -> None:
         z.write(buf.getvalue())
     with open(tar_path, "wb") as f:
         f.write(gzbuf.getvalue())
+
+    # --- EDF (EEG raw, S7)
+    edir = _mkdir(os.path.join(HERE, "eeg"))
+    write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
+              ["EEG Fp1", "EEG Fp2", "ECG"], n_records=4, spr=64)
 
     print("fixtures written under", HERE)
 
