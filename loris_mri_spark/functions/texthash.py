@@ -62,24 +62,34 @@ def md5_60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(token_array_col: str, n: int = 3) -> Column:
-    """Distinct n-word shingle array from an EXISTING token-array column
-    (named, so the lambda can reference it). Documents shorter than ``n``
-    tokens yield an empty array.
+def word_shingles(tokens_col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingle array from a token-array expression.
+    Documents shorter than ``n`` tokens yield an empty array.
+
+    The token array is `let`-bound: without it, Catalyst inlines the
+    tokenize expression into every element access of the shingle lambda
+    (n accesses x n_shingles re-splits per row — observed 15s for 5000
+    docs at sf0.1; ~0.5s let-bound).
 
     DuckDB mirror (t = token list, n=3)::
 
         list_distinct(list_transform(range(1, greatest(len(t)-1, 1)),
                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
     """
-    t = token_array_col
-    concat_parts = ", ' ', ".join(f"element_at({t}, i + {k})" for k in range(n))
-    return F.expr(
-        f"CASE WHEN size({t}) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size({t}) - {n - 1}), "
-        f"i -> concat({concat_parts}))) "
-        f"ELSE array() END"
-    ).cast("array<string>")
+    def body(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.get(t, i + k) for k in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(_c(tokens_col), body)
 
 
 def bow_fingerprint(col: Column | str) -> Column:

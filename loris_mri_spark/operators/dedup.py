@@ -142,15 +142,24 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
 
+    from loris_mri_spark.functions.texthash import let
+
     docs = shingled.filter(F.size(shingle_col) > 0).select(
         F.col(id_col).alias("i"),
         F.col(shingle_col).alias("__sh"),
     )
+    # let-bind the shingle array: the signature's outer transform would
+    # otherwise re-evaluate the (inlined) shingle pipeline once per hash.
     sigs = docs.withColumn(
         "__sig",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            f"h -> array_min(transform(__sh, s -> xxhash64(h, s))))"
+        let(
+            F.col("__sh"),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda h: F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(h, s))
+                ),
+            ),
         ),
     )
     # Band key: hash of the band's signature slice (cast to string — a
@@ -232,17 +241,39 @@ def simhash_pairs(
 
     ``max_hamming`` must stay < number of bands (4) for completeness.
     """
+    from loris_mri_spark.functions.texthash import let
+
+    from loris_mri_spark.functions.texthash import let
+
     assert max_hamming < 4
     docs = hashed.select(F.col(id_col).alias("i"), F.col(simhash_col).alias("__h"))
-    band_tbl = docs.select(
+    # let-bind the simhash value: when the caller's hash column is itself
+    # a (collapsed) expression, carrying it next to the band explode would
+    # re-evaluate it per reference; binding keeps it to one evaluation.
+    packed = docs.select(
         "i",
-        "__h",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "b -> struct(b AS band, (shiftright(__h, b * 15) & 32767) AS bval))"
-            )
-        ).alias("bb"),
+        let(
+            F.col("__h"),
+            lambda h: F.struct(
+                h.alias("h"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(h, b * 15)
+                            .bitwiseAND(F.lit(32767))
+                            .alias("bval"),
+                        )
+                        for b in range(4)
+                    ]
+                ).alias("bands"),
+            ),
+        ).alias("__s"),
+    )
+    band_tbl = packed.select(
+        "i",
+        F.col("__s.h").alias("__h"),
+        F.explode("__s.bands").alias("bb"),
     ).select("i", "__h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
 
     pairs = (

@@ -24,6 +24,9 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -206,50 +209,53 @@ def hyperplane_lsh_pairs(
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(n_planes, dim)
 
+    from loris_mri_spark.functions.texthash import let
+
     v = df.select(F.col(id_col).alias("i"), as_double(vec_col).alias("__v"))
-    bits = [
-        (dot(F.col("__v"), F.array(*[F.lit(x) for x in plane])) >= 0).cast("int")
-        for plane in planes
-    ]
-    sig = v.select(
-        "i",
-        "__v",
-        *[
-            F.concat_ws(
-                "", *[bits[band * r + t].cast("string") for t in range(r)]
-            ).alias(f"__b{band}")
-            for band in range(bands)
-        ],
+
+    # Signature computation is a dense matrix product (n x dim @ dim x
+    # n_planes) — the one place vectorized Python beats JVM higher-order
+    # functions: an Arrow-batched pandas UDF does the matmul in numpy
+    # (the 32-way zip_with/aggregate expression tree cost ~10s at sf0.1
+    # in codegen'd JVM vs milliseconds here, plus seconds of codegen
+    # compile for the giant expression). The band table stays NARROW
+    # (id + band key): the candidate join and distinct never shuffle
+    # embedding arrays.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    plane_mat = np.asarray(planes, dtype="float64")  # n_planes x dim
+
+    @pandas_udf(ArrayType(StringType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.map(lambda a: np.asarray(a, dtype="float64")))
+        bits = (mat @ plane_mat.T >= 0).astype("uint8")  # n x n_planes
+        out = [
+            ["".join(map(str, row[b * r : (b + 1) * r])) for b in range(bands)]
+            for row in bits
+        ]
+        return pd.Series(out)
+
+    band_tbl = v.select(
+        "i", F.posexplode(band_keys(F.col("__v"))).alias("band", "bkey")
     )
-    band_tbl = sig.select(
-        "i",
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"), F.col(f"__b{band}").alias("bkey")
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("i", "__v", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
     cand = (
         band_tbl.alias("x")
         .join(
-            band_tbl.select(
-                F.col("i").alias("j"), F.col("__v").alias("__vj"), "band", "bkey"
-            ).alias("y"),
+            band_tbl.select(F.col("i").alias("j"), "band", "bkey").alias("y"),
             ["band", "bkey"],
         )
         .filter(F.col("x.i") < F.col("y.j"))
-        .select("i", "j", "__v", "__vj")
+        .select("i", "j")
         .distinct()
     )
+    va = v.select(F.col("i"), F.col("__v"))
+    vb = v.select(F.col("i").alias("j"), F.col("__v").alias("__vj"))
     return (
-        cand.withColumn("cos", cosine(F.col("__v"), F.col("__vj")))
+        cand.join(va, "i")
+        .join(vb, "j")
+        .withColumn("cos", cosine(F.col("__v"), F.col("__vj")))
         .filter(F.col("cos") >= threshold)
         .select("i", "j", "cos")
     )

@@ -36,9 +36,20 @@ _REPO = Path(__file__).resolve().parents[2]
 SCRATCH = str(_REPO / ".scratch")
 
 
-def _checkpoint(tag: str) -> str:
+def scratch_dir(prefix: str) -> str:
+    """Fresh scratch dir; prior dirs with the same prefix are pruned so
+    repeated runs (tests, driver rounds, bench) don't accumulate."""
+    import shutil
+
     os.makedirs(SCRATCH, exist_ok=True)
-    return tempfile.mkdtemp(prefix=f"ckpt-{tag}-", dir=SCRATCH)
+    for old in os.listdir(SCRATCH):
+        if old.startswith(f"{prefix}-"):
+            shutil.rmtree(os.path.join(SCRATCH, old), ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}-", dir=SCRATCH)
+
+
+def _checkpoint(tag: str) -> str:
+    return scratch_dir(f"ckpt-{tag}")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,8 +64,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
-    os.makedirs(SCRATCH, exist_ok=True)
-    incoming = tempfile.mkdtemp(prefix="incoming-", dir=SCRATCH)
+    incoming = scratch_dir("incoming")
     dst = os.path.join(incoming, "events-000.parquet")
     try:
         os.link(src, dst)

@@ -63,11 +63,9 @@ _BRUTE_JACCARD_08 = f"""
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", tokens("text").alias("__toks"))
-        .select("doc_id", word_shingles("__toks", 3).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+    return d.select(
+        "doc_id", word_shingles(tokens("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
 
 
 @query(

@@ -36,7 +36,14 @@ SCRATCH = str(_REPO / ".scratch")
 
 
 def _run_dir(tag: str) -> str:
+    """Fresh sink dir per run; prior runs of the same tag are pruned so
+    repeated invocations (tests, driver rounds, bench) don't accumulate."""
+    import shutil
+
     os.makedirs(SCRATCH, exist_ok=True)
+    for old in os.listdir(SCRATCH):
+        if old.startswith(f"{tag}-"):
+            shutil.rmtree(os.path.join(SCRATCH, old), ignore_errors=True)
     return tempfile.mkdtemp(prefix=f"{tag}-", dir=SCRATCH)
 
 

@@ -5,16 +5,14 @@ which must equal the batch answer, so each has a full DuckDB oracle."""
 from __future__ import annotations
 
 import os
-import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from loris_mri_spark.streaming.incremental import (
-    SCRATCH,
     run_foreach_batch_append,
     run_to_memory,
+    scratch_dir,
     stream_events,
 )
 from loris_mri_spark.workload import query
@@ -110,7 +108,6 @@ def t4_notification_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.get_json_object("props", "$.k").cast("long").alias("error_code"),
     )
-    os.makedirs(SCRATCH, exist_ok=True)
-    sink = tempfile.mkdtemp(prefix=f"t4-spool-{uuid.uuid4().hex[:6]}-", dir=SCRATCH)
+    sink = scratch_dir("t4-spool")
     run_foreach_batch_append(errors, sink, "t4")
     return spark.read.parquet(sink)
