@@ -1,0 +1,78 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests pin the plan shapes that matter at scale: filter pushdown
+reaching the parquet scan, broadcasts on small sides, no cartesian
+products, zero-shuffle single-scan protocol matching, top-k compiling to
+TakeOrderedAndProject. A regression here is a perf bug even if results
+stay correct.
+"""
+
+from __future__ import annotations
+
+from loris_mri_spark import workload
+
+workload.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf_dir):
+    df = workload.QUERIES["f_predicate_gauntlet"](spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters: [" in plan
+    # the BETWEEN bounds must be pushed, not just IsNotNull
+    assert "GreaterThanOrEqual(o_orderkey,1000" in plan.replace(" ", "")
+
+
+def test_j7_single_scan_no_shuffle(spark, sf_dir):
+    df = workload.QUERIES["j7_protocol_identification"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_j1_broadcasts_dimension(spark, sf_dir):
+    df = workload.QUERIES["j1_customer_order_revenue"](spark, sf_dir)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    df = workload.QUERIES["o1_topk_lineitems"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """CartesianProduct = the O(n^2) plan the similarity operators must
+    never produce (broadcast nested loops over a bounded side are fine)."""
+    for name in (
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash_pairs",
+        "vec_cosine_pairs_lsh",
+        "ann_cosine_topk_exact",
+        "ann_ivf_topk",
+    ):
+        plan = _plan(workload.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_column_pruning_narrow_read_schema(spark, sf_dir):
+    """A 2-column projection must not read the full table."""
+    df = workload.QUERIES["a4_distinct_projection"](spark, sf_dir)
+    plan = _formatted(df)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderstatus" in read and "o_orderpriority" in read
+    assert "o_totalprice" not in read and "o_comment" not in read
