@@ -53,41 +53,76 @@ DICOM_SCHEMA = (
 )
 
 
-def parse_dicom_bytes(content: bytes) -> dict[str, Any]:
-    """Parse one explicit-VR little-endian DICOM byte stream into the
-    header dict the reference's summary uses. Non-DICOM content returns
-    ``{"is_dicom": False}`` (the scan's DICOM-vs-other classification,
-    DCMSUM.pm:722-736)."""
-    out: dict[str, Any] = {"is_dicom": False}
-    if len(content) < 132 or content[128:132] != b"DICM":
-        return out
-    out["is_dicom"] = True
-    pos = 132
-    n = len(content)
-    while pos + 8 <= n:
+def _decode_value(vr: bytes, raw: bytes) -> Any:
+    val: Any = raw.decode("ascii", "replace").strip("\x00 ")
+    if vr == b"IS":
+        return int(val) if val else None
+    if vr == b"DS":
+        return float(val) if val else None
+    return val
+
+
+def _walk_dataset(
+    content: bytes, pos: int, end: int, depth: int, found: dict[str, tuple[int, Any]]
+) -> int:
+    """Walk one explicit-VR dataset in content[pos:end], recording the
+    SHALLOWEST occurrence of each interesting tag (S2 fallback semantics:
+    a top-level tag wins; nested sequence items are searched when the tag
+    is absent at top level — summary_get.py:160-173 iterall). Recurses
+    into SQ sequences (defined and undefined length). Returns the end
+    position reached."""
+    while pos + 8 <= end:
         group, elem = struct.unpack_from("<HH", content, pos)
+        if (group, elem) == (0xFFFE, 0xE00D) or (group, elem) == (0xFFFE, 0xE0DD):
+            return pos + 8  # item/sequence delimiter
+        if group == 0xFFFE and elem == 0xE000:  # item header inside SQ
+            (ilen,) = struct.unpack_from("<I", content, pos + 4)
+            ipos = pos + 8
+            iend = end if ilen == 0xFFFFFFFF else min(ipos + ilen, end)
+            pos = _walk_dataset(content, ipos, iend, depth, found)
+            continue
         vr = content[pos + 4 : pos + 6]
         if vr in _LONG_VRS:
-            if pos + 12 > n:
+            if pos + 12 > end:
                 break
             (length,) = struct.unpack_from("<I", content, pos + 8)
             vpos = pos + 12
         else:
             (length,) = struct.unpack_from("<H", content, pos + 6)
             vpos = pos + 8
-        if length == 0xFFFFFFFF or vpos + length > n:
+        if vr == b"SQ":
+            sq_end = end if length == 0xFFFFFFFF else min(vpos + length, end)
+            pos = _walk_dataset(content, vpos, sq_end, depth + 1, found)
+            if length != 0xFFFFFFFF:
+                pos = sq_end
+            continue
+        if length == 0xFFFFFFFF or vpos + length > end:
             break
         key = _TAGS.get((group, elem))
-        if key is not None:
-            raw = content[vpos : vpos + length]
-            if vr in _STR_VRS:
-                val: Any = raw.decode("ascii", "replace").strip("\x00 ")
-                if vr in (b"IS",):
-                    val = int(val) if val else None
-                elif vr in (b"DS",):
-                    val = float(val) if val else None
-                out[key] = val
+        if key is not None and vr in _STR_VRS:
+            prev = found.get(key)
+            if prev is None or depth < prev[0]:
+                found[key] = (depth, _decode_value(vr, content[vpos : vpos + length]))
         pos = vpos + length
+    return pos
+
+
+def parse_dicom_bytes(content: bytes) -> dict[str, Any]:
+    """Parse one explicit-VR little-endian DICOM byte stream into the
+    header dict the reference's summary uses, including the S2
+    enhanced-DICOM fallback: tags absent at top level are taken from the
+    shallowest nested sequence item that carries them
+    (`summary_get.py:160-173`). Non-DICOM content returns
+    ``{"is_dicom": False}`` (DICOM-vs-other classification,
+    DCMSUM.pm:722-736)."""
+    out: dict[str, Any] = {"is_dicom": False}
+    if len(content) < 132 or content[128:132] != b"DICM":
+        return out
+    out["is_dicom"] = True
+    found: dict[str, tuple[int, Any]] = {}
+    _walk_dataset(content, 132, len(content), 0, found)
+    for key, (_depth, val) in found.items():
+        out[key] = val
     return out
 
 

@@ -120,6 +120,30 @@ def write_edf(path: str, channels: list[str], n_records: int, spr: int) -> None:
         f.write(hdr + data)
 
 
+def write_enhanced_dicom(path: str) -> None:
+    """Enhanced-DICOM-style file: timing tags live ONLY inside a nested
+    functional-groups sequence (S2 fallback target)."""
+    inner = b"".join([
+        _tag(0x0018, 0x0080, b"DS", b"1200.00"),
+        _tag(0x0018, 0x0081, b"DS", b"15.50"),
+    ])
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, len(inner)) + inner
+    sq = struct.pack("<HH2sHI", 0x5200, 0x9229, b"SQ", 0, len(item)) + item
+    body = b"".join([
+        _tag(0x0008, 0x0060, b"CS", b"MR"),
+        _tag(0x0008, 0x103E, b"LO", b"enhanced_multiframe"),
+        _tag(0x0010, 0x0010, b"PN", b"SUB002"),
+        _tag(0x0020, 0x000D, b"UI", b"1.2.840.99999.2"),
+        _tag(0x0020, 0x000E, b"UI", b"1.2.840.99999.2.1"),
+        _tag(0x0020, 0x0011, b"IS", b"1"),
+        _tag(0x0020, 0x0013, b"IS", b"1"),
+        sq,
+        _tag(0x7FE0, 0x0010, b"OW", bytes(range(32))),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + body)
+
+
 def main() -> None:
     # --- DICOM study: 2 series x 3 instances + 1 non-dicom stray file
     ddir = _mkdir(os.path.join(HERE, "dicom"))
@@ -195,6 +219,10 @@ def main() -> None:
         z.write(buf.getvalue())
     with open(tar_path, "wb") as f:
         f.write(gzbuf.getvalue())
+
+    # --- enhanced DICOM (S2 nested-tag fallback)
+    edicom = _mkdir(os.path.join(HERE, "dicom_enhanced"))
+    write_enhanced_dicom(os.path.join(edicom, "MR.enh.1.dcm"))
 
     # --- EDF (EEG raw, S7)
     edir = _mkdir(os.path.join(HERE, "eeg"))
