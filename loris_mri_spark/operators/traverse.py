@@ -1,0 +1,61 @@
+"""Derivation-DAG traversal — SURVEY §2.3 J9 at depth (transitive
+closure) and the delete-upload cascade that consumes it.
+
+Reference: `files.SourceFileID` self-edges and `files_intermediary`
+input→output chains walked row-at-a-time to find everything derived from
+an upload before cascading deletes
+(`/root/reference/tools/delete_imaging_upload.pl:1009-1030,1098-1146`).
+
+Spark-first shape: iterative frontier expansion — a driver LOOP of joins,
+each round joining the current frontier to the (narrow) edge table and
+anti-joining the visited set. Rounds = DAG depth (derivation chains are
+shallow: scan -> nifti -> qc-pic is depth ~3), so the loop runs O(depth)
+shuffles of frontier-sized data, never materializing the full closure
+matrix. The visited set is unioned incrementally; for very deep graphs
+checkpoint every few rounds to cut lineage growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """All nodes reachable from ``seeds[id_col]`` by following
+    ``edges(src -> dst)``, seeds included. Returns one column ``id_col``.
+
+    Each iteration: frontier ⋈ edges on src -> new dsts, minus visited.
+    Terminates when the frontier drains or ``max_iterations`` is hit
+    (guards cyclic inputs; derivation DAGs are acyclic by construction).
+    """
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    # localCheckpoint each frontier: it truncates lineage, so `visited`
+    # stays a FLAT union of materialized frontiers instead of a plan that
+    # re-derives every earlier round on each termination check (the
+    # un-checkpointed loop went quadratic in plan size; a persist-only
+    # variant kept the whole chain pinned and OOM'd a 1g driver).
+    frontier = seeds.select(F.col(id_col).alias("__id")).distinct().localCheckpoint()
+    visited = frontier
+
+    for _ in range(max_iterations):
+        nxt = (
+            frontier.join(e, frontier["__id"] == e["__src"])
+            .select(F.col("__dst").alias("__id"))
+            .distinct()
+            .join(visited, on="__id", how="left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+
+    return visited.select(F.col("__id").alias(id_col))

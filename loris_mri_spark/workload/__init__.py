@@ -41,6 +41,7 @@ def load_all() -> None:
         dedup,
         ingest,
         multimodal,
+        pipeline,
         plugin_ops,
         rules,
         relational,

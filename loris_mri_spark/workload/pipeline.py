@@ -1,0 +1,148 @@
+"""End-to-end pipeline compositions — the reference's top entry points as
+single DataFrame DAGs (SURVEY §3).
+
+- `pipeline_nifti_insertion`: the §3.2 per-file insertion lifecycle
+  (session/candidate resolution -> duplicate suppression -> protocol
+  identification -> QC flag -> registration with deterministic ids) as
+  ONE declarative plan over the star schema. The reference runs this as
+  one OS process per file (`run_nifti_insertion.py`); here every stage is
+  a narrow transformation and the whole corpus registers in one job.
+- `j9_transitive_closure`: the delete-upload cascade's derivation-DAG
+  reachability (`tools/delete_imaging_upload.pl:1009-1030`) via iterative
+  frontier joins, oracled by a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.functions.texthash import md5_60
+from loris_mri_spark.operators.traverse import transitive_closure
+from loris_mri_spark.plugins import resolve_session_config
+from loris_mri_spark.workload import query
+from loris_mri_spark.workload.rules import _J7_MATCH_SQL, _identified_lineitems
+
+
+@query(
+    "j9_transitive_closure",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT l_orderkey * 10 + l_linenumber - 1 AS src,
+             l_orderkey * 10 + l_linenumber AS dst
+      FROM lineitem WHERE l_linenumber > 1),
+    seeds AS (
+      SELECT DISTINCT l_orderkey * 10 + 1 AS id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' AND l_linenumber = 1 AND o_orderkey < 5000),
+    reach AS (
+      SELECT id FROM seeds
+      UNION
+      SELECT e.dst AS id FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id FROM reach
+    """,
+)
+def j9_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derivation-DAG reachability: lineitem rows chain linenumber n-1 ->
+    n within an order (the files.SourceFileID shape); seeds are the first
+    lines of 'F' orders below key 5000; the closure is every derived row
+    the delete cascade must touch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    node = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    edges = li.filter(F.col("l_linenumber") > 1).select(
+        (node - 1).alias("src"), node.alias("dst")
+    )
+    seeds = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_linenumber") == 1)
+            & (F.col("o_orderkey") < 5000)
+        )
+        .select(node.alias("id"))
+        .distinct()
+    )
+    return transitive_closure(edges, seeds, "src", "dst", "id")
+
+
+_PIPE_ORACLE = f"""
+    WITH identified AS ({_J7_MATCH_SQL}),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity, l_extendedprice, l_discount) AS __rn
+      FROM identified),
+    scans AS (
+      SELECT d.*, o.o_custkey, c.c_nationkey, c.c_custkey
+      FROM dedup d
+      JOIN orders o ON d.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE d.__rn = 1),
+    resolved AS (
+      SELECT *,
+             'PRJ' || c_nationkey AS project,
+             CAST(c_custkey AS VARCHAR) AS candidate,
+             'V' || (c_custkey % 3 + 1) AS visit_label
+      FROM scans)
+    SELECT CAST(('0x' || substr(md5(l_orderkey || ':' || l_linenumber || ':'
+                 || candidate), 1, 15)) AS BIGINT) AS file_id,
+           l_orderkey, l_linenumber, candidate, visit_label, scan_type,
+           CASE WHEN l_discount > 0.08 THEN 'warning' ELSE 'pass' END AS qc_flag
+    FROM resolved
+    WHERE scan_type <> 'unidentified'
+"""
+
+
+@query("pipeline_nifti_insertion", oracle=_PIPE_ORACLE)
+def pipeline_nifti_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.2 insertion lifecycle as one DAG: duplicate-scan
+    suppression (keep-first per scan key — `db/queries/file.py:11-28`),
+    session/candidate resolution through the plugin hook
+    (`get_session_info.py:87-163`), protocol identification (zero-shuffle
+    inline rules — `MRI.pm:307-526`), QC flagging (`imaging.py:706-809`),
+    and registration rows with deterministic content ids. Violations
+    (unidentified) are excluded here — j7_violation_rows is their sink."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    ident = _identified_lineitems(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    dedup = ident.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    scans = (
+        dedup.join(o, dedup.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .withColumn(
+            "patient_id",
+            F.concat(
+                F.lit("PRJ"), F.col("c_nationkey"), F.lit("_"),
+                F.col("c_custkey"), F.lit("_V"), F.col("c_custkey") % 3 + 1,
+            ),
+        )
+    )
+    resolved = resolve_session_config(scans, "patient_id", profile="default")
+    return resolved.filter(F.col("scan_type") != "unidentified").select(
+        md5_60(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                F.col("candidate"),
+            )
+        ).alias("file_id"),
+        "l_orderkey",
+        "l_linenumber",
+        "candidate",
+        "visit_label",
+        "scan_type",
+        F.when(F.col("l_discount") > 0.08, "warning").otherwise("pass").alias(
+            "qc_flag"
+        ),
+    )
