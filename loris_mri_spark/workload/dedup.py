@@ -174,3 +174,33 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         _simhashed_docs(spark, sf_dir), "doc_id", "simhash", max_hamming=3
     )
+
+
+@query(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_BRUTE_JACCARD_08}),
+    nodes AS (SELECT DISTINCT n FROM (SELECT i AS n FROM pairs
+                                      UNION SELECT j FROM pairs)),
+    edges2 AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach AS (
+      SELECT n AS node, n AS r FROM nodes
+      UNION
+      SELECT rr.node, e.j AS r FROM reach rr JOIN edges2 e ON e.i = rr.r)
+    SELECT node AS doc_id, MIN(r) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH pairs -> connected components via min-label
+    propagation (operators/components.py) — the step that turns a pair
+    list into keep/remove sets (keep = min doc_id per component). Oracle:
+    recursive-CTE reachability over the brute-force pair graph."""
+    from loris_mri_spark.operators.components import connected_components
+
+    sh = _shingled_docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        sh, "doc_id", "shingles", threshold=0.8, num_hashes=32, bands=16
+    )
+    comp = connected_components(pairs, "i", "j")
+    return comp.select(F.col("node").alias("doc_id"), "component")

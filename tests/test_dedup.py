@@ -31,3 +31,17 @@ def test_simhash_pairs_subset_of_high_jaccard(spark, sf_dir):
     pairs = workload.QUERIES["dedup_simhash_pairs"](spark, sf_dir)
     assert pairs.filter("i >= j").count() == 0
     assert pairs.filter("hamming > 3").count() == 0
+
+
+def test_connected_components_hand_graph(spark):
+    from loris_mri_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], ["i", "j"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
