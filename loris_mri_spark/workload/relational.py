@@ -927,3 +927,39 @@ def f8_j11_binary_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg")
         .agg(F.count("c_custkey").alias("n_matches"))
     )
+
+
+# --------------------------------------------------------------------------
+# J2/EAV round trip — melt wide columns to parameter rows and pivot them
+# back through the registry-bounded pivot (operators/eav.py;
+# parameter_file <-> wide views, SURVEY §1.1).
+# --------------------------------------------------------------------------
+@query(
+    "eav_melt_pivot_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS VARCHAR)    AS totalprice,
+           o_orderpriority                  AS priority,
+           CAST(o_orderdate AS VARCHAR)     AS orderdate
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def eav_melt_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loris_mri_spark.operators.eav import melt_to_eav, pivot_parameters
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+        )
+    )
+    long_rows = melt_to_eav(o, "o_orderkey", ["totalprice", "priority", "orderdate"])
+    return pivot_parameters(
+        long_rows, "o_orderkey", "name", "value",
+        names=["totalprice", "priority", "orderdate"],
+    )
