@@ -963,3 +963,72 @@ def eav_melt_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         long_rows, "o_orderkey", "name", "value",
         names=["totalprice", "priority", "orderdate"],
     )
+
+
+# --------------------------------------------------------------------------
+# A8-at-scale — salted two-phase rollup over genuinely skewed keys (the
+# events table has 5 hot event_type keys; a 100 TB rollup on them would
+# cap the reduce stage at 5 tasks without salting). Result is identical
+# to the plain aggregation — the oracle proves it.
+# --------------------------------------------------------------------------
+@query(
+    "a8_salted_skew_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a8_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loris_mri_spark.operators.salt import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        e,
+        keys=["event_type"],
+        partial_aggs=[
+            (F.count("*"), "pc"),
+            (F.sum("value"), "ps"),
+            (F.max("value"), "pm"),
+        ],
+        merge_aggs=[
+            (F.sum("pc"), "n_events"),
+            (F.round(F.sum("ps"), 2), "total_value"),
+            (F.round(F.max("pm"), 2), "max_value"),
+        ],
+        n_salts=16,
+    )
+
+
+# --------------------------------------------------------------------------
+# S9/SQL surface — the same engine driven through spark.sql over the
+# registered catalog views (catalog.register_views): DataFrame and SQL
+# are the same plan space; Catalyst sees identical logical plans.
+# --------------------------------------------------------------------------
+@query(
+    "sql_surface_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loris_mri_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
