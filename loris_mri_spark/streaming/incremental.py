@@ -124,3 +124,42 @@ def run_foreach_batch_append(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_running_index(
+    sdf: "DataFrame",
+    key_col: str,
+    order_cols: list[str],
+    id_col: str,
+) -> "DataFrame":
+    """Custom STATEFUL streaming operator via applyInPandasWithState
+    (SURVEY §2.9 extension; the API the ephys/session-ization operators
+    build on): per key, assign each event its running 1-based index in
+    ``order_col`` order, carrying the count across micro-batches in group
+    state. The upload state machine's 'how many transitions so far' is
+    exactly this shape, computed incrementally instead of re-aggregated.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def assign(key, pdfs, state: GroupState):
+        start = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs)).sort_values(order_cols)
+        n = len(rows)
+        out = pd.DataFrame(
+            {
+                id_col: rows[id_col].to_numpy(),
+                key_col: rows[key_col].to_numpy(),
+                "seq": range(start + 1, start + n + 1),
+            }
+        )
+        state.update((start + n,))
+        yield out
+
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        assign,
+        outputStructType=f"{id_col} long, {key_col} long, seq long",
+        stateStructType="n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -111,3 +111,32 @@ def t4_notification_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = scratch_dir("t4-spool")
     run_foreach_batch_append(errors, sink, "t4")
     return spark.read.parquet(sink)
+
+
+@query(
+    "t6_stateful_running_index",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS seq
+    FROM events
+    """,
+)
+def t6_stateful_running_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event index carried in group state across micro-batches — drained
+    with availableNow it must equal the batch ROW_NUMBER."""
+    from loris_mri_spark.streaming.incremental import stateful_running_index
+
+    sdf = stream_events(spark, sf_dir)
+    # order by µs (not ns): the oracle's ts is DuckDB's µs-truncated
+    # timestamp, so tie-breaks must resolve at the same precision.
+    out = stateful_running_index(
+        sdf.select(
+            "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+        ),
+        key_col="user_id",
+        order_cols=["ts_us", "event_id"],
+        id_col="event_id",
+    )
+    return run_to_memory(out, "append", "t6")
