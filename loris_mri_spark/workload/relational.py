@@ -1032,3 +1032,56 @@ def sql_surface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+# --------------------------------------------------------------------------
+# §1.2 type codecs — the reference's stringly-typed columns decoded/encoded
+# as one expression pass: Y/N + true/false + 0/1 booleans, epoch ints,
+# "[a, b, c]" list strings (decorators/{y_n_bool,true_false_bool,int_bool,
+# int_datetime}.py, imaging.py:175-179).
+# --------------------------------------------------------------------------
+@query(
+    "codec_typed_views",
+    oracle="""
+    SELECT o_orderkey,
+           (CASE WHEN o_orderstatus = 'F' THEN 'Y' ELSE 'N' END = 'Y')
+             AS is_final,
+           (o_orderkey % 2 = 1) AS odd_flag,
+           CAST(to_timestamp(o_orderkey * 1000) AS TIMESTAMP) AS fake_insert_ts,
+           '[' || o_orderpriority || ', ' || o_orderstatus || ']'
+             AS tag_list_str,
+           CAST(len(string_split(o_orderpriority || ', ' || o_orderstatus,
+                ', ')) AS BIGINT) AS n_tags
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def codec_typed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loris_mri_spark.functions.codecs import (
+        decode_int_bool,
+        decode_unix_epoch,
+        decode_yn_bool,
+        parse_list_string,
+        serialize_list_string,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    # Build the stringly-typed forms the reference stores, then round-trip
+    # them through the codecs — the typed view IS the query result.
+    staged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "Y").otherwise("N").alias("yn"),
+        (F.col("o_orderkey") % 2).cast("int").alias("ib"),
+        (F.col("o_orderkey") * 1000).alias("epoch"),
+        F.concat(
+            F.lit("["), F.col("o_orderpriority"), F.lit(", "),
+            F.col("o_orderstatus"), F.lit("]"),
+        ).alias("lst"),
+    )
+    return staged.select(
+        "o_orderkey",
+        decode_yn_bool("yn").alias("is_final"),
+        decode_int_bool("ib").alias("odd_flag"),
+        decode_unix_epoch("epoch").alias("fake_insert_ts"),
+        serialize_list_string(parse_list_string("lst")).alias("tag_list_str"),
+        F.size(parse_list_string("lst")).cast("long").alias("n_tags"),
+    )
