@@ -28,6 +28,7 @@ from loris_mri_spark.operators.protocol_match import (
     ExactSpec,
     PrioritySpec,
     RangeSpec,
+    RegexSpec,
     identify_protocol,
 )
 from loris_mri_spark.operators.qc_checks import melt_headers, run_qc_checks
@@ -41,15 +42,19 @@ from loris_mri_spark.workload import query
 # ---------------------------------------------------------------------------
 _RULES = [
     # (rule_id, returnflag, linestatus, qty_min, qty_max, price_min,
-    #  price_max, disc_min, disc_max, prio_center, prio_scanner, scan_type)
-    (1, "R", None, 1.0, 25.0, None, None, None, None, 1, 2, "ret_small"),
-    (2, "R", None, 20.0, 50.0, None, None, None, None, 1, 1, "ret_large"),
-    (3, "A", "F", None, None, None, 20000.0, None, None, 2, 1, "af_cheap"),
-    (4, "A", None, None, None, 20000.0, None, None, None, 2, 1, "a_expensive"),
-    (5, "N", "O", 1.0, 50.0, 0.0, 200000.0, 0.0, 0.05, 3, 1, "no_lowdisc"),
-    (6, None, None, None, None, None, None, 0.06, 0.10, 4, 1, "high_discount"),
-    (7, None, None, 30.0, None, None, None, None, None, 5, 1, "bulk"),
-    (8, None, None, None, None, 50000.0, None, None, None, 5, 2, "premium"),
+    #  price_max, disc_min, disc_max, flag_regex, prio_center,
+    #  prio_scanner, scan_type). flag_regex = the series_description_regex
+    #  analogue (MRI.pm:481-484): ci-regex over the derived
+    #  'returnflag/linestatus' string, NULL = wildcard.
+    (1, "R", None, 1.0, 25.0, None, None, None, None, None, 1, 2, "ret_small"),
+    (2, "R", None, 20.0, 50.0, None, None, None, None, None, 1, 1, "ret_large"),
+    (3, "A", "F", None, None, None, 20000.0, None, None, None, 2, 1, "af_cheap"),
+    (4, "A", None, None, None, 20000.0, None, None, None, None, 2, 1, "a_expensive"),
+    (5, "N", "O", 1.0, 50.0, 0.0, 200000.0, 0.0, 0.05, None, 3, 1, "no_lowdisc"),
+    (6, None, None, None, None, None, None, 0.06, 0.10, None, 4, 1, "high_discount"),
+    (7, None, None, 30.0, None, None, None, None, None, "^r/", 5, 1, "bulk_returned"),
+    (8, None, None, 30.0, None, None, None, None, None, None, 5, 2, "bulk"),
+    (9, None, None, None, None, 50000.0, None, None, None, None, 6, 1, "premium"),
 ]
 
 _RULES_SCHEMA = StructType(
@@ -63,6 +68,7 @@ _RULES_SCHEMA = StructType(
         StructField("price_max", DoubleType()),
         StructField("disc_min", DoubleType()),
         StructField("disc_max", DoubleType()),
+        StructField("flag_regex", StringType()),
         StructField("prio_center", LongType()),
         StructField("prio_scanner", LongType()),
         StructField("scan_type", StringType()),
@@ -81,8 +87,8 @@ _RULES_VALUES_SQL = ",\n      ".join(
 
 _RULES_CTE = f"""
     rules(rule_id, returnflag, linestatus, qty_min, qty_max, price_min,
-          price_max, disc_min, disc_max, prio_center, prio_scanner,
-          scan_type) AS (VALUES
+          price_max, disc_min, disc_max, flag_regex, prio_center,
+          prio_scanner, scan_type) AS (VALUES
       {_RULES_VALUES_SQL})
 """
 
@@ -116,6 +122,10 @@ _J7_MATCH_SQL = f"""
         AND {_sql_in_range('l.l_quantity', 'r.qty_min', 'r.qty_max')}
         AND {_sql_in_range('l.l_extendedprice', 'r.price_min', 'r.price_max')}
         AND {_sql_in_range('l.l_discount', 'r.disc_min', 'r.disc_max')}
+        AND (r.flag_regex IS NULL OR r.flag_regex = ''
+             OR ((l.l_returnflag || '/' || l.l_linestatus) IS NOT NULL
+                 AND regexp_matches(l.l_returnflag || '/' || l.l_linestatus,
+                                    '(?i)' || r.flag_regex)))
       ORDER BY r.prio_center ASC, r.prio_scanner DESC, r.rule_id ASC
       LIMIT 1
     ) m ON TRUE
@@ -131,6 +141,8 @@ def _identified_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans = li.select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
         "l_quantity", "l_extendedprice", "l_discount",
+    ).withColumn(
+        "flag_str", F.concat_ws("/", F.col("l_returnflag"), F.col("l_linestatus"))
     )
     return identify_protocol(
         scans,
@@ -144,6 +156,7 @@ def _identified_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             ExactSpec("l_returnflag", "returnflag"),
             ExactSpec("l_linestatus", "linestatus"),
         ),
+        regexes=(RegexSpec("flag_str", "flag_regex"),),
         priority=(
             PrioritySpec("prio_center"),
             PrioritySpec("prio_scanner", ascending=False),
