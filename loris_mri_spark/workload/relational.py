@@ -1085,3 +1085,44 @@ def codec_typed_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         serialize_list_string(parse_list_string("lst")).alias("tag_list_str"),
         F.size(parse_list_string("lst")).cast("long").alias("n_tags"),
     )
+
+
+# --------------------------------------------------------------------------
+# Profiling extension (SURVEY §2.4 note): exact percentiles per group —
+# the distribution profile a 100 TB ingest QA pass reports. Spark's exact
+# `percentile` and DuckDB's quantile_cont share the linear-interpolation
+# definition, so the oracle is exact.
+# --------------------------------------------------------------------------
+@query(
+    "profile_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_quantity, 0.99), 4)     AS qty_p99,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 4).alias("qty_p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("profile_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) profile — the sketch that
+    replaces exact COUNT(DISTINCT) at 100 TB (no exact-dedup shuffle of
+    the full key set). Estimates are engine-specific, so no SQL oracle;
+    tests/test_profiles.py bounds the relative error against exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
