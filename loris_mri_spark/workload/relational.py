@@ -68,7 +68,9 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j1_customer_order_revenue",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -78,19 +80,25 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j1_customer_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Revenue is summed in DECIMAL (exact, order-independent) and only
+    # then rounded/cast — double sums flipped a 2-decimal rounding
+    # boundary between engines at sf0.1 (SURVEY §7.3 numeric contract).
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
+    dec = "decimal(18,4)"
+    revenue = F.sum(
+        F.col("l_extendedprice").cast(dec)
+        * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(revenue, 2).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -745,21 +753,31 @@ def c10_lcp_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(AVG(value), 4) AS avg_value
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Payload = (count, EXACT decimal total): sums are order-independent
+    # and engine-stable; averages are a consumer-side division. (A
+    # rounded double AVG flipped rounding boundaries between engines at
+    # sf0.1 — half-boundary rounding of a quotient can never be made
+    # engine-portable; exact sums can. SURVEY §7.3 numeric contract.)
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "avg_value",
+            "total_value",
         )
     )
 
