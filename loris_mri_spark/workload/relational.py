@@ -5,9 +5,13 @@ per the mapping table in FIXTURES.md. All plans are pure DataFrame API —
 no UDFs — so Catalyst keeps them in whole-stage codegen, pushes filters to
 the parquet scan, and broadcasts the small sides.
 
-Floating-point aggregates are ROUND()ed identically on both sides: decimal
-sums are order-dependent at the 1e-12 level across partitionings, and the
-oracle hash is exact.
+Numeric contract (SURVEY §7.3): every MULTI-ROW floating sum aggregates in
+DECIMAL — exact and order-independent, so the oracle hash is stable at any
+scale factor and under any partitioning — then rounds/casts the exact
+result to double. Double sums are order-dependent at the 1e-12 level,
+which flips ROUND digits between engines (observed at sf0.1). Quotients
+(AVG) are never rounded for output: half-boundary rounding of a division
+cannot be made engine-portable; consumers divide exact sums by counts.
 """
 
 from __future__ import annotations
@@ -30,12 +34,14 @@ from pyspark.sql.window import Window
     "flagship_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                          AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                          AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                     AS avg_price,
-           COUNT(*)                                           AS count_order
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -43,17 +49,24 @@ from pyspark.sql.window import Window
 )
 def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(18,4)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec))
+            .cast("double")
+            .alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                F.sum(
+                    F.col("l_extendedprice").cast(dec)
+                    * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -113,7 +126,8 @@ def j1_customer_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey,
            COUNT(o.o_orderkey)                      AS n_orders,
-           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0)
+                AS DOUBLE) AS total_spent
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
@@ -126,9 +140,11 @@ def j3_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spent"
-            ),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spent"),
         )
     )
 
@@ -390,7 +406,7 @@ def a4_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_suppkey,
            COUNT(*)                              AS n_files,
            MIN(l_linenumber)                     AS first_line,
-           ROUND(SUM(l_quantity), 2)             AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
            ROUND(MIN_BY(l_extendedprice,
                         l_linenumber * 200000.0 + l_extendedprice), 2)
              AS first_price
@@ -403,7 +419,9 @@ def a5_series_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_orderkey", "l_suppkey").agg(
         F.count("*").alias("n_files"),
         F.min("l_linenumber").alias("first_line"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_qty"),
         # Duplicate (orderkey, suppkey, linenumber) tuples exist in the data,
         # so the arg-min key must be total: fold the value into it
         # (linenumber <= 7, price < 2e5 keeps the composite monotone).
@@ -428,8 +446,9 @@ def a5_series_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_lines,
            COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)      AS n_suppliers,
-           ROUND(SUM(CASE WHEN l_discount > 0.05
-                          THEN l_extendedprice ELSE 0 END), 2)
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                         ELSE 0 END) AS DOUBLE)
              AS discounted_value
     FROM lineitem
     GROUP BY l_orderkey
@@ -441,14 +460,14 @@ def a6_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.round(
-            F.sum(
-                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(
-                    0.0
-                )
-            ),
-            2,
-        ).alias("discounted_value"),
+        F.sum(
+            F.when(
+                F.col("l_discount") > 0.05,
+                F.col("l_extendedprice").cast("decimal(18,4)"),
+            ).otherwise(F.lit(0).cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("discounted_value"),
     )
 
 
@@ -994,7 +1013,7 @@ def eav_melt_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value,
            ROUND(MAX(value), 2) AS max_value
     FROM events GROUP BY event_type
     """,

@@ -76,8 +76,9 @@ def s10_append_with_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(SUM(CASE WHEN event_type = 'click' THEN value * 2
-                          ELSE value END), 2) AS total_value
+           CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+                              ELSE value END AS DECIMAL(14,4))) AS DOUBLE)
+             AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -99,7 +100,9 @@ def s12_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("total_value"),
         )
     )
 

@@ -22,7 +22,7 @@ from loris_mri_spark.workload import query
     "t1_incremental_ingest",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -33,7 +33,9 @@ def t1_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = stream_events(spark, sf_dir)
     agg = sdf.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.col("value").cast("decimal(14,4)"))
+        .cast("double")
+        .alias("total_value"),
     )
     return run_to_memory(agg, "complete", "t1")
 
