@@ -1,8 +1,11 @@
 """Benchmark runner — times every declared query at the bench scale factor.
 
-Prints ONE JSON line (last line of stdout):
+The LAST line of stdout is one COMPACT JSON line (the driver keeps only the
+output tail, so the big per-query map must not live there):
   {"metric": "workload_total_sec", "value": <total>, "unit": "sec",
-   "queries": {"<name>": <sec>, ...}, "sf": <sf>, "n_queries": N}
+   "sf": <sf>, "n_queries": N, "cold_total_sec": <total>}
+The full per-query timing map is printed on an EARLIER stdout line and
+written to BENCH_DETAIL.json next to this script.
 
 Each query is forced end-to-end with the `noop` sink (full execution on the
 executors, no result serialization to Python) — the honest measure of plan
@@ -92,14 +95,23 @@ def main() -> None:
             cold.setdefault(name, -1.0)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
+    detail = {
+        "queries": timings,
+        "cold": cold,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
+    # Per-query map on an EARLIER line; the parseable summary must be LAST.
+    print(json.dumps(detail), flush=True)
     result = {
         "metric": "workload_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
-        "cold_total_sec": round(sum(v for v in cold.values() if v >= 0), 3),
+        "cold_total_sec": cold_total,
     }
     sys.stdout.flush()
     print(json.dumps(result), flush=True)
