@@ -67,5 +67,15 @@ def connected_components(
         labels = updated.drop("__changed")
         if not changed:
             break
+    else:
+        # Cap exhausted while labels were still moving: the labels are NOT
+        # a fixpoint, so a long pairwise chain (a real shape in templated
+        # corpora) would come back as split clusters. Fail loudly rather
+        # than return silently-wrong components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the cap); raise "
+            "max_iterations"
+        )
 
     return labels.select(F.col("node"), F.col("label").alias("component"))

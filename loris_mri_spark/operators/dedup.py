@@ -243,8 +243,6 @@ def simhash_pairs(
     """
     from loris_mri_spark.functions.texthash import let
 
-    from loris_mri_spark.functions.texthash import let
-
     assert max_hamming < 4
     docs = hashed.select(F.col(id_col).alias("i"), F.col(simhash_col).alias("__h"))
     # let-bind the simhash value: when the caller's hash column is itself

@@ -63,20 +63,32 @@ def extract_features(df: DataFrame, content_col: str, id_col: str,
             for i, blob in zip(pdf[id_col], pdf[content_col]):
                 px = decode_media(bytes(blob), "image/raw")
                 side = int(math.isqrt(len(px)))
-                img = px[: side * side].reshape(side, side).astype("float64")
+                img = px[: side * side].reshape(side, side).astype("int64")
+                n = side * side
+                # Exact integer sums -> ONE IEEE division/sqrt each, the
+                # same operation order any SQL engine uses. numpy's
+                # pairwise float mean()/std() accumulates differently in
+                # the last bits, which is engine-divergent; this is
+                # bit-identical to SUM(v)/n and
+                # sqrt(SUM(v*v)/n - (SUM(v)/n)^2) in DuckDB.
+                s = int(img.sum())
+                sq = int((img * img).sum())
+                mean = s / n
+                var = sq / n - mean * mean
                 block = max(side // thumb_side, 1)
                 crop = img[: block * thumb_side, : block * thumb_side]
-                thumb = crop.reshape(
+                bsums = crop.reshape(
                     thumb_side, block, thumb_side, block
-                ).mean(axis=(1, 3))
+                ).sum(axis=(1, 3))
+                area = block * block
                 rows.append(
                     {
                         "doc_id": int(i),
                         "n_bytes": len(px),
                         "side": side,
-                        "mean_px": round(float(img.mean()), 6),
-                        "std_px": round(float(img.std()), 6),
-                        "thumb": [round(float(v), 6) for v in thumb.ravel()],
+                        "mean_px": mean,
+                        "std_px": math.sqrt(var if var > 0 else 0.0),
+                        "thumb": [int(v) / area for v in bsums.ravel()],
                     }
                 )
             yield pd.DataFrame(rows)

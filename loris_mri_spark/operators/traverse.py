@@ -57,5 +57,14 @@ def transitive_closure(
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
+    else:
+        # Frontier still live at the cap: the closure is TRUNCATED (deep or
+        # cyclic graph). A cascade delete planned on a partial closure would
+        # orphan derived rows — fail loudly instead.
+        raise RuntimeError(
+            f"transitive_closure did not drain in {max_iterations} "
+            "iterations (graph deeper than the cap, or cyclic); raise "
+            "max_iterations"
+        )
 
     return visited.select(F.col("__id").alias(id_col))

@@ -206,7 +206,13 @@ def hyperplane_lsh_pairs(
     assert n_planes % bands == 0
     r = n_planes // bands
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # Schema-only probe (no job): an array<T> column's element width is
+        # not in the schema, so require the caller to pass dim rather than
+        # silently running a driver-side first() against a 100 TB input.
+        raise ValueError(
+            "hyperplane_lsh_pairs requires dim= (embedding width); "
+            "sniffing it would run a driver-side job on the full input"
+        )
     planes = _hyperplanes(n_planes, dim)
 
     from loris_mri_spark.functions.texthash import let

@@ -54,11 +54,19 @@ DICOM_SCHEMA = (
 
 
 def _decode_value(vr: bytes, raw: bytes) -> Any:
+    """Classify-don't-fail numeric decode (DCMSUM.pm skip semantics): a
+    multi-valued DS/IS ("1.5\\\\2.5", legal at VM>1) or garbage numeric text
+    yields its first parseable component or None — never an exception that
+    would kill the whole mapInPandas scan job."""
     val: Any = raw.decode("ascii", "replace").strip("\x00 ")
-    if vr == b"IS":
-        return int(val) if val else None
-    if vr == b"DS":
-        return float(val) if val else None
+    if vr in (b"IS", b"DS"):
+        if not val:
+            return None
+        first = val.split("\\", 1)[0].strip()
+        try:
+            return int(first) if vr == b"IS" else float(first)
+        except ValueError:
+            return None
     return val
 
 

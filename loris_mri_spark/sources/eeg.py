@@ -54,6 +54,10 @@ def parse_edf_bytes(content: bytes) -> list[dict[str, Any]]:
     per_channel: list[list[int]] = [[] for _ in range(ns)]
     pos = header_bytes
     for _ in range(n_records):
+        # A truncated final record (partial write, interrupted transfer) is
+        # dropped rather than raising struct.error mid-scan.
+        if pos + 2 * record_len > len(content):
+            break
         for c in range(ns):
             cnt = sprs[c]
             vals = struct.unpack_from(f"<{cnt}h", content, pos)

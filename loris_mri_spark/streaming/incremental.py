@@ -110,12 +110,16 @@ def run_foreach_batch_append(
     sink_path: str,
     tag: str,
 ) -> None:
-    """T4: append-only spool sink — each micro-batch appends atomically
-    (idempotent per checkpoint: a restarted query does not re-append
-    committed batches)."""
+    """T4: append-only spool sink. foreachBatch is only AT-LEAST-ONCE — a
+    batch that fails mid-write is retried under the same batch_id — so a
+    plain ``mode("append")`` would duplicate rows on retry. Idempotence
+    comes from keying the write by batch_id: each batch OVERWRITES its own
+    ``bid=<batch_id>`` subdirectory, so a retry replaces its partial output
+    instead of appending next to it. Readers see ``bid`` as a discovered
+    partition column and drop it."""
 
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(sink_path)
+        batch_df.write.mode("overwrite").parquet(f"{sink_path}/bid={batch_id}")
 
     q = (
         sdf.writeStream.foreachBatch(append_batch)

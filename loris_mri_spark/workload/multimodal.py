@@ -60,18 +60,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d, "content", "doc_id", frame_bytes=64, every_k=4)
 
 
-@query("mm_decode_features")  # rows-only: thumbnail floats; golden in tests
+@query(
+    "mm_decode_features",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(floor(sqrt(CAST(octet_length(encode(text)) AS DOUBLE)))
+                  AS INT) AS side
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, n_bytes, side,
+             GREATEST(side // 4, 1) AS block,
+             CAST(p AS INT) // side AS r,
+             CAST(p AS INT) % side AS c,
+             CAST(ascii(substr(text, CAST(p AS INT) + 1, 1)) AS BIGINT) AS v
+      FROM d, unnest(range(0, CAST(side AS BIGINT) * side)) t(p)
+    )
+    SELECT doc_id, n_bytes, side,
+           CAST(SUM(v) AS DOUBLE) / (side * side) AS mean_px,
+           sqrt(GREATEST(
+             CAST(SUM(v * v) AS DOUBLE) / (side * side)
+               - (CAST(SUM(v) AS DOUBLE) / (side * side))
+                 * (CAST(SUM(v) AS DOUBLE) / (side * side)),
+             0)) AS std_px,
+           CAST(SUM(CASE WHEN r < block AND c < block THEN v END)
+                AS DOUBLE) / (block * block) AS thumb_00,
+           CAST(SUM(CASE WHEN r >= 3 * block AND r < 4 * block
+                          AND c >= 3 * block AND c < 4 * block THEN v END)
+                AS DOUBLE) / (block * block) AS thumb_33
+    FROM px
+    GROUP BY doc_id, n_bytes, side, block
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract stage: bytes -> grayscale interpretation
     -> stats + 4x4 block-mean thumbnail (the codec itself is the injected
-    stub boundary — see operators/media.decode_media). Golden-checked in
-    tests/test_multimodal.py against a numpy reference."""
+    stub boundary — see operators/media.decode_media). Stats come from
+    exact integer sums (single IEEE division/sqrt), so the DuckDB oracle
+    reproduces them bit-identically; the ASCII corpus makes char position
+    == byte position."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("content")
     )
     feats = extract_features(d, "content", "doc_id")
     return feats.select(
         "doc_id", "n_bytes", "side", "mean_px", "std_px",
-        F.round(F.element_at("thumb", 1), 6).alias("thumb_00"),
-        F.round(F.element_at("thumb", 16), 6).alias("thumb_33"),
+        F.element_at("thumb", 1).alias("thumb_00"),
+        F.element_at("thumb", 16).alias("thumb_33"),
     )

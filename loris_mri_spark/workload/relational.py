@@ -1027,12 +1027,14 @@ def a8_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         partial_aggs=[
             (F.count("*"), "pc"),
-            (F.sum("value"), "ps"),
+            # Decimal partial sums: double partial sums are partition-order
+            # dependent and the merge would re-round an inexact total.
+            (F.sum(F.col("value").cast("decimal(14,4)")), "ps"),
             (F.max("value"), "pm"),
         ],
         merge_aggs=[
             (F.sum("pc"), "n_events"),
-            (F.round(F.sum("ps"), 2), "total_value"),
+            (F.sum("ps").cast("double"), "total_value"),
             (F.round(F.max("pm"), 2), "max_value"),
         ],
         n_salts=16,

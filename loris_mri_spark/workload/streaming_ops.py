@@ -112,7 +112,7 @@ def t4_notification_append_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = scratch_dir("t4-spool")
     run_foreach_batch_append(errors, sink, "t4")
-    return spark.read.parquet(sink)
+    return spark.read.parquet(sink).drop("bid")
 
 
 @query(

@@ -27,12 +27,13 @@ def test_decode_features_golden(spark, sf_dir):
         img = px[: side * side].reshape(side, side).astype("float64")
         r = feats[d["doc_id"]]
         assert r["side"] == side
-        assert abs(r["mean_px"] - round(float(img.mean()), 6)) < 1e-9
+        assert abs(r["mean_px"] - float(img.mean())) < 1e-9
+        assert abs(r["std_px"] - float(img.std())) < 1e-6
         block = max(side // 4, 1)
         crop = img[: block * 4, : block * 4]
         thumb = crop.reshape(4, block, 4, block).mean(axis=(1, 3))
-        assert abs(r["thumb_00"] - round(float(thumb[0, 0]), 6)) < 1e-9
-        assert abs(r["thumb_33"] - round(float(thumb[3, 3]), 6)) < 1e-9
+        assert abs(r["thumb_00"] - float(thumb[0, 0])) < 1e-9
+        assert abs(r["thumb_33"] - float(thumb[3, 3])) < 1e-9
 
 
 def test_decode_stub_boundary():
