@@ -70,36 +70,96 @@ def to_s3_url(path_col: Column | str, bucket: str) -> Column:
     )
 
 
+def _pb_varint(n: int) -> bytes:
+    """Protobuf base-128 varint (non-negative)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def pb_encode_float_chunk(
+    index: int, downsampling: int, cutoff: int, samples: list[float]
+) -> bytes:
+    """Wire-compatible proto3 encoding of the reference's `FloatChunk`
+    message (descriptor in `loris_ephys_chunker/.../chunk_pb2.py`:
+    `int64 index = 1; int64 downsampling = 2; int64 cutoff = 3;
+    repeated float samples = 4;`; writer `chunking.py:134-157`). Hand-
+    rolled wire format — varint fields with zero values omitted (proto3),
+    samples packed as little-endian float32 — byte-identical to
+    `FloatChunk(...).SerializeToString()`, so existing chunk viewers read
+    the engine's .buf blobs unchanged."""
+    out = bytearray()
+    if index:
+        out += b"\x08" + _pb_varint(index)
+    if downsampling:
+        out += b"\x10" + _pb_varint(downsampling)
+    if cutoff:
+        out += b"\x18" + _pb_varint(cutoff)
+    if samples:
+        payload = struct.pack(f"<{len(samples)}f", *[float(x) for x in samples])
+        out += b"\x22" + _pb_varint(len(payload)) + payload
+    return bytes(out)
+
+
 def encode_float_chunk(
     index_col: Column, downsampling_col: Column, samples_col: Column
 ) -> Column:
-    """S14: FloatChunk binary encoding (`chunking.py:134-157` writes
-    protobuf `FloatChunk(index, downsampling, samples)` blobs). The engine
-    encodes the same record with a fixed little-endian layout
-    [i32 index][i32 downsampling][i32 n][f32 * n] — a public,
-    dependency-free framing the viewer shim can read; swap in protobuf
-    serialization inside the same UDF when the runtime has it."""
+    """S14: FloatChunk protobuf sink encoding (see pb_encode_float_chunk);
+    cutoff = len(samples), mirroring encode_chunk(chunking.py:134-138)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
     def _enc(idx: pd.Series, ds: pd.Series, samples: pd.Series) -> pd.Series:
-        out = []
-        for i, d, s in zip(idx, ds, samples):
-            vals = [float(x) for x in s]
-            out.append(
-                struct.pack("<iii", int(i), int(d), len(vals))
-                + struct.pack(f"<{len(vals)}f", *vals)
-            )
-        return pd.Series(out)
+        return pd.Series(
+            [
+                pb_encode_float_chunk(int(i), int(d), len(s), list(s))
+                for i, d, s in zip(idx, ds, samples)
+            ]
+        )
 
     return _enc(index_col, downsampling_col, samples_col)
 
 
-def decode_float_chunk(payload: bytes) -> tuple[int, int, list[float]]:
-    """Round-trip decoder for tests/viewer shims."""
-    index, ds, n = struct.unpack_from("<iii", payload, 0)
-    vals = list(struct.unpack_from(f"<{n}f", payload, 12))
-    return index, ds, vals
+def decode_float_chunk(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Proto3 wire decoder for FloatChunk (tests/viewer shims): returns
+    (index, downsampling, cutoff, samples)."""
+    pos, fields = 0, {1: 0, 2: 0, 3: 0}
+    samples: list[float] = []
+    while pos < len(payload):
+        tag = payload[pos]
+        field, wtype = tag >> 3, tag & 7
+        pos += 1
+        if wtype == 0:  # varint
+            val, shift = 0, 0
+            while True:
+                b = payload[pos]
+                val |= (b & 0x7F) << shift
+                shift += 7
+                pos += 1
+                if not b & 0x80:
+                    break
+            fields[field] = val
+        elif wtype == 2:  # length-delimited
+            ln, shift = 0, 0
+            while True:
+                b = payload[pos]
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                pos += 1
+                if not b & 0x80:
+                    break
+            if field == 4:
+                samples = list(struct.unpack_from(f"<{ln // 4}f", payload, pos))
+            pos += ln
+        else:
+            raise ValueError(f"unexpected wire type {wtype}")
+    return fields[1], fields[2], fields[3], samples
 
 
 def png_preview(gray_rows: list[list[int]]) -> bytes:
@@ -124,9 +184,31 @@ def png_preview(gray_rows: list[list[int]]) -> bytes:
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IDAT", _zlib_stored(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """Valid zlib stream using stored (uncompressed) deflate blocks.
+
+    Thumbnails are tens of bytes — compression saves nothing there, and
+    the stored encoding makes the PNG byte length an exact function of
+    the dimensions (len = 8 + 25 + 12 + zlib(2 + 5*nblocks + raw + 4)
+    + 12), so the sink's output size can be oracled precisely. Any
+    inflater reads it (it IS deflate)."""
+    out = bytearray(b"\x78\x01")
+    pos = 0
+    while True:
+        blk = data[pos : pos + 0xFFFF]
+        pos += len(blk)
+        final = 1 if pos >= len(data) else 0
+        out += bytes([final]) + struct.pack("<HH", len(blk), len(blk) ^ 0xFFFF)
+        out += blk
+        if final:
+            break
+    out += struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF)
+    return bytes(out)
 
 
 def png_preview_udf(content_col: Column, size: int = 8) -> Column:

@@ -15,7 +15,10 @@ from loris_mri_spark.sources.bids import (
 from loris_mri_spark.sources.dicom import parse_dicom_bytes, scan_dicom_dir
 from loris_mri_spark.sources.eeg import parse_edf_bytes, read_edf_channels
 from loris_mri_spark.sources.minc_ecat import (
-    read_ecat_main_headers,
+    parse_ecat7_main_header,
+    parse_minc1_bytes,
+    read_ecat_headers,
+    read_ecat_matrices,
     read_minc_headers,
 )
 from loris_mri_spark.sources.nifti import parse_nifti_bytes, read_nifti_headers
@@ -29,7 +32,10 @@ __all__ = [
     "scan_dicom_dir",
     "parse_edf_bytes",
     "read_edf_channels",
-    "read_ecat_main_headers",
+    "parse_ecat7_main_header",
+    "parse_minc1_bytes",
+    "read_ecat_headers",
+    "read_ecat_matrices",
     "read_minc_headers",
     "parse_nifti_bytes",
     "read_nifti_headers",

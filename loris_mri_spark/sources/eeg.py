@@ -100,3 +100,131 @@ def read_edf_channels(spark: SparkSession, path_glob: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_parse_partition, schema=EDF_CHANNEL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# EEGLAB .set (MAT v5) — the second dispatch arm of the reference's loader
+# (python/lib/physio/chunking.py:29-41 routes .set to read_raw_eeglab).
+# MATLAB Level-5 MAT is a PUBLIC container (128-byte text header, then
+# tagged data elements; miMATRIX wraps flags/dims/name/payload), so the
+# header surface MNE reads (EEG.nbchan/srate/pnts/trials + chanlocs
+# labels) parses with stdlib struct — no scipy/MNE needed.
+# --------------------------------------------------------------------------
+
+EEGLAB_CHANNEL_SCHEMA = (
+    "path string, channel_idx int, label string, nbchan int, srate double, "
+    "pnts long, trials int, n_samples long"
+)
+
+_miMATRIX = 14
+_mxSTRUCT, _mxCHAR, _mxDOUBLE = 2, 4, 6
+
+
+def _mat_elements(buf: bytes, pos: int, end: int):
+    """Yield (mtype, payload) for each data element in buf[pos:end],
+    handling both normal and small-data-element formats."""
+    while pos + 8 <= end:
+        (word,) = struct.unpack_from("<I", buf, pos)
+        if word >> 16:  # small data element: size in upper 16 bits
+            mtype, size = word & 0xFFFF, word >> 16
+            yield mtype, buf[pos + 4 : pos + 4 + size]
+            pos += 8
+        else:
+            mtype = word
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            yield mtype, buf[pos + 8 : pos + 8 + size]
+            pos += 8 + size + ((8 - size % 8) % 8)
+
+
+def _mat_matrix_parts(payload: bytes):
+    """Split a miMATRIX payload into (class, dims, name, rest_elements)."""
+    els = _mat_elements(payload, 0, len(payload))
+    _, flags = next(els)
+    cls = struct.unpack_from("<I", flags, 0)[0] & 0xFF
+    _, dimraw = next(els)
+    dims = struct.unpack(f"<{len(dimraw) // 4}i", dimraw)
+    _, nameraw = next(els)
+    name = nameraw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    return cls, dims, name, list(els)
+
+
+def _mat_char_value(rest: list) -> str:
+    mtype, raw = rest[0]
+    if mtype == 4:  # miUINT16 code units
+        return "".join(
+            chr(c) for c in struct.unpack(f"<{len(raw) // 2}H", raw)
+        ).strip()
+    return raw.decode("ascii", "replace").strip()
+
+
+def parse_eeglab_set_bytes(content: bytes) -> list[dict[str, Any]]:
+    """Per-channel rows from an uncompressed MAT v5 EEGLAB .set file:
+    (channel_idx, label, nbchan, srate, pnts, trials, n_samples).
+    Returns [] for non-MAT bytes or a compressed/v7.3 file (those need an
+    injected scipy/MNE loader)."""
+    if len(content) < 136 or content[126:128] not in (b"IM", b"MI"):
+        return []
+    fields: dict[str, float] = {}
+    labels: list[str] = []
+    data_dims: tuple[int, ...] = ()
+    try:
+        for mtype, payload in _mat_elements(content, 128, len(content)):
+            if mtype != _miMATRIX:
+                continue  # compressed (miCOMPRESSED=15) or irrelevant
+            cls, dims, name, rest = _mat_matrix_parts(payload)
+            if cls == _mxDOUBLE and name in ("nbchan", "srate", "pnts", "trials"):
+                _, raw = rest[0]
+                fields[name] = struct.unpack_from("<d", raw, 0)[0]
+            elif cls == _mxSTRUCT and name == "chanlocs":
+                # rest = [field_name_len, field_names, then one matrix per
+                # (element, field)]; we want the char 'labels' values.
+                for sub_mtype, sub_payload in rest[2:]:
+                    if sub_mtype != _miMATRIX:
+                        continue
+                    scls, _sd, _sn, srest = _mat_matrix_parts(sub_payload)
+                    if scls == _mxCHAR and srest:
+                        labels.append(_mat_char_value(srest))
+            elif cls == _mxDOUBLE and name == "data":
+                data_dims = tuple(dims)
+    except (struct.error, IndexError, StopIteration):
+        return []
+    if "nbchan" not in fields:
+        return []
+    nb = int(fields["nbchan"])
+    pnts = int(fields.get("pnts", 0))
+    n_samples = (
+        data_dims[1] if len(data_dims) == 2 and data_dims[0] == nb else pnts
+    )
+    return [
+        {
+            "channel_idx": c,
+            "label": labels[c] if c < len(labels) else None,
+            "nbchan": nb,
+            "srate": fields.get("srate"),
+            "pnts": pnts,
+            "trials": int(fields.get("trials", 1)),
+            "n_samples": n_samples,
+        }
+        for c in range(nb)
+    ]
+
+
+def read_eeglab_channels(spark: SparkSession, path_glob: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.set")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in EEGLAB_CHANNEL_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_eeglab_set_bytes(bytes(content)):
+                    rows.append({"path": path, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=EEGLAB_CHANNEL_SCHEMA)

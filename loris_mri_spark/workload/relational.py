@@ -802,6 +802,111 @@ def t5_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# T5b — SLIDING window aggregation (1 h window, 30 min slide): each event
+# belongs to two overlapping epoch-aligned windows. The oracle expands the
+# membership explicitly (bucket and bucket-30min) — the relational
+# definition of Spark's window(ts, '1 hour', '30 minutes').
+# --------------------------------------------------------------------------
+@query(
+    "t5b_sliding_window_agg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts)
+               + CASE WHEN EXTRACT(minute FROM ts) >= 30
+                      THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS b30
+      FROM events
+    ),
+    expanded AS (
+      SELECT event_type, value,
+             CAST(b30 - CASE WHEN k = 1 THEN INTERVAL 30 MINUTE
+                             ELSE INTERVAL 0 MINUTE END AS TIMESTAMP)
+               AS window_start
+      FROM b, unnest(range(0, 2)) t(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def t5b_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# T5c — SESSION window aggregation (30 min inactivity gap per user):
+# Spark's session_window vs the relational gaps-and-islands definition —
+# a new session starts when the gap from the previous event exceeds the
+# timeout; w.start = first event, w.end = last event + gap.
+# --------------------------------------------------------------------------
+@query(
+    "t5c_session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+    FROM islands GROUP BY user_id, session_id
+    """,
+)
+def t5c_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # F3 — null-aware unique-key filter (`eqNullSafe` / <=>): the duplicate-scan
 # detector every insertion runs (`python/lib/db/queries/file.py:11-28`,
 # `database_lib/files.py:57-70` — SeriesUID/EchoTime/PhaseEncodingDirection
@@ -1153,15 +1258,46 @@ def profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("profile_approx_distinct")  # rows-only: HLL estimates are engine-specific
+@query(
+    "profile_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey)  AS exact_parts,
+           COUNT(DISTINCT l_suppkey)  AS exact_supps,
+           TRUE AS orders_sketch_ok,
+           TRUE AS parts_sketch_ok,
+           TRUE AS supps_sketch_ok
+    FROM lineitem
+    """,
+)
 def profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) profile — the sketch that
     replaces exact COUNT(DISTINCT) at 100 TB (no exact-dedup shuffle of
-    the full key set). Estimates are engine-specific, so no SQL oracle;
-    tests/test_profiles.py bounds the relative error against exact."""
+    the full key set). HLL estimates are engine-specific, so the oracle
+    contract is exact counts + a within-tolerance bound on the sketch
+    (rsd 2%, asserted at 4x): the oracle expects every sketch_ok flag
+    TRUE. The exact COUNT(DISTINCT) here exists to judge the sketch; at
+    production scale only the sketch runs."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_supps"),
+    )
+
+    def ok(approx: str, exact: str) -> F.Column:
+        return (
+            F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(0.08)
+        )
+
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_supps",
+        ok("a_orders", "exact_orders").alias("orders_sketch_ok"),
+        ok("a_parts", "exact_parts").alias("parts_sketch_ok"),
+        ok("a_supps", "exact_supps").alias("supps_sketch_ok"),
     )

@@ -133,28 +133,70 @@ _RESAMPLE_SCHEMA = (
 )
 
 
-@query("c8_applyinpandas_group_resample")  # rows-only: group-map machinery
+@query(
+    "c8_applyinpandas_group_resample",
+    oracle="""
+    WITH px AS (
+      SELECT label, CAST(p AS BIGINT) AS pos,
+             -- widen float->double FIRST (exact), then quantize: a direct
+             -- float->decimal cast rounds the float's SHORTEST repr, which
+             -- disagrees with the exact binary expansion at 9 dp
+             CAST(CAST(embedding[CAST(p AS INT) + 1] AS DOUBLE)
+                  AS DECIMAL(20,9)) AS v
+      FROM embeddings, unnest(range(0, 64)) t(p)
+    ),
+    per_pos AS (
+      SELECT label, pos, COUNT(*) AS n, SUM(v) AS s
+      FROM px GROUP BY label, pos
+    ),
+    pooled AS (
+      SELECT label, pos // 4 AS block, SUM(s) AS bs, SUM(n) AS bn
+      FROM per_pos GROUP BY label, pos // 4
+    )
+    SELECT p.label, p.pos,
+           CAST(p.s AS DOUBLE) / p.n AS centroid,
+           CAST(b.bs AS DOUBLE) / b.bn AS resampled
+    FROM per_pos p JOIN pooled b
+      ON p.label = b.label AND p.pos // 4 = b.block
+    """,
+)
 def c8_applyinpandas_group_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandas group-map template the ephys chunker needs
     (`python/lib/physio/chunking.py:29-41` dispatches per-recording loads;
-    here: per-label signal aggregation + factor-4 mean resample with
-    numpy). This is the Arrow path for operators whose inner math is
-    genuinely vectorized-Python (MNE/scipy in the reference); the
-    deterministic numpy stand-in keeps it testable. Output: one row per
-    (label, resampled position)."""
-    import numpy as np
+    here: per-label signal centroid + factor-4 mean resample). The inner
+    math quantizes each sample to DECIMAL(20,9) and aggregates exact
+    integer sums — one correctly-rounded decimal->double conversion and
+    one IEEE division per output — so a SQL engine summing the same
+    decimals reproduces the result bit-identically (the float-accumulation
+    order a naive numpy mean would introduce is engine-divergent).
+    Output: one row per (label, position)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    scale = Decimal("1e-9")
 
     def resample(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype("float64")
-        centroid = mat.mean(axis=0)
-        pooled = centroid.reshape(-1, 4).mean(axis=1)
-        up = np.repeat(pooled, 4)  # nearest-neighbour back-projection
+        n = len(pdf)
+        sums = [0] * 64
+        for emb in pdf["embedding"]:
+            for i, v in enumerate(emb):
+                sums[i] += int(
+                    Decimal(float(v)).quantize(scale, ROUND_HALF_UP)
+                    .scaleb(9)
+                )
+        centroid = [
+            float(Decimal(s).scaleb(-9)) / n for s in sums
+        ]
+        pooled_sums = [sum(sums[b * 4 : b * 4 + 4]) for b in range(16)]
+        resampled = [
+            float(Decimal(pooled_sums[p // 4]).scaleb(-9)) / (4 * n)
+            for p in range(64)
+        ]
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[0],
-                "pos": np.arange(centroid.shape[0], dtype="int64"),
-                "centroid": np.round(centroid, 6),
-                "resampled": np.round(up, 6),
+                "pos": list(range(64)),
+                "centroid": centroid,
+                "resampled": resampled,
             }
         )
 

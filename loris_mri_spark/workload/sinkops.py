@@ -128,12 +128,25 @@ def s13_s3_url_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.select(to_s3_url(F.col("path"), "loris-bucket").alias("s3_url"))
 
 
-@query("s14_chunk_encode")  # rows-only: binary framing; round-trip in tests
+@query(
+    "s14_chunk_encode",
+    oracle="""
+    SELECT vec_id, CAST(c AS BIGINT) AS chunk_idx,
+           -- proto3 FloatChunk wire length: index (omitted when 0) +
+           -- downsampling=1 (2 B) + cutoff=16 (2 B) +
+           -- packed samples (tag + varint(64) + 16*4 B)
+           CAST(CASE WHEN c > 0 THEN 2 ELSE 0 END + 2 + 2 + 66 AS BIGINT)
+             AS payload_len
+    FROM embeddings, unnest(range(0, 4)) t(c)
+    """,
+)
 def s14_chunk_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S14: FloatChunk binary sink encoding (`chunking.py:134-157`):
-    chunk the embedding signals, frame each chunk as
-    [index][downsampling][n][f32*n] bytes. Payload integrity is checked by
-    round-trip decode in tests/test_sinkops.py."""
+    """S14: FloatChunk protobuf sink (`chunking.py:134-157`): chunk the
+    embedding signals, serialize each chunk with the wire-compatible
+    proto3 encoder (sinks.pb_encode_float_chunk). The oracle pins the
+    exact wire length (varints + proto3 zero-field omission); byte-level
+    fidelity is pinned by the golden serialization test in
+    tests/test_sinkops.py."""
     e = load_table(spark, sf_dir, "embeddings")
     chunks = e.select(
         "vec_id",
@@ -154,16 +167,31 @@ def s14_chunk_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "chunk_idx",
         F.length("payload").cast("long").alias("payload_len"),
-        F.md5("payload").alias("payload_md5"),
     )
 
 
-@query("s15_png_preview")  # rows-only: PNG structure asserted in tests
+@query(
+    "s15_png_preview",
+    oracle="""
+    SELECT doc_id,
+           -- 8x8 gray, stored-deflate IDAT: 8 sig + 25 IHDR + (12 + 2
+           -- zlib hdr + 5 stored hdr + 72 filtered raw + 4 adler) IDAT
+           -- + 12 IEND
+           CAST(140 AS BIGINT) AS png_len,
+           -- pixel (0,0) = first document byte, read back out of the PNG
+           -- at its spec-fixed offset (byte 50, 1-based)
+           ascii(substr(text, 1, 1)) AS px_00
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
 def s15_png_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S15: preview-pic sink (`imaging.py:1176-1219`): deterministic 8x8
     grayscale thumbnail of each document's bytes encoded as a REAL PNG
-    (stdlib zlib encoder). tests/test_sinkops.py validates magic + CRCs."""
-    d = load_table(spark, sf_dir, "documents").limit(50)
+    (stdlib encoder, stored-deflate IDAT). The oracle pins the exact
+    byte length AND pixel (0,0) re-read from inside the emitted PNG at
+    its spec-fixed offset; tests/test_sinkops.py walks chunk CRCs and
+    inflates the IDAT."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     png = d.select(
         "doc_id",
         png_preview_udf(F.encode("text", "utf-8")).alias("png"),
@@ -171,7 +199,9 @@ def s15_png_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png.select(
         "doc_id",
         F.length("png").cast("long").alias("png_len"),
-        (F.substring("png", 2, 3) == F.lit("PNG")).alias("has_magic"),
+        F.conv(F.hex(F.substring("png", 50, 1)), 16, 10)
+        .cast("int")
+        .alias("px_00"),
     )
 
 

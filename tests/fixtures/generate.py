@@ -22,6 +22,7 @@ from __future__ import annotations
 import gzip
 import io
 import json
+import math
 import os
 import struct
 import tarfile
@@ -144,6 +145,234 @@ def write_enhanced_dicom(path: str) -> None:
         f.write(b"\x00" * 128 + b"DICM" + body)
 
 
+# ---------------------------------------------------------------------------
+# MINC1 (S5): MINC volumes are NetCDF classic (CDF-1) files — a PUBLIC
+# binary format (magic 'CDF\x01', big-endian, dim/gatt/var lists). The
+# reference fetches header fields like acquisition:repetition_time via
+# `mincheader` (MincUtilities.pm:93-129); this writer lays down the same
+# group-variable/attribute structure with stdlib struct.
+# ---------------------------------------------------------------------------
+NC_BYTE, NC_CHAR, NC_SHORT, NC_INT, NC_FLOAT, NC_DOUBLE = 1, 2, 3, 4, 5, 6
+_NC_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
+
+
+def _nc_pad(b: bytes) -> bytes:
+    return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _nc_name(name: str) -> bytes:
+    raw = name.encode("ascii")
+    return struct.pack(">i", len(raw)) + _nc_pad(raw)
+
+
+def _nc_att(name: str, value) -> bytes:
+    if isinstance(value, str):
+        raw = value.encode("ascii")
+        return _nc_name(name) + struct.pack(">ii", NC_CHAR, len(raw)) + _nc_pad(raw)
+    if isinstance(value, float):
+        return _nc_name(name) + struct.pack(">iid", NC_DOUBLE, 1, value)
+    if isinstance(value, list):  # list of doubles
+        body = struct.pack(f">{len(value)}d", *value)
+        return _nc_name(name) + struct.pack(">ii", NC_DOUBLE, len(value)) + body
+    return _nc_name(name) + struct.pack(">iii", NC_INT, 1, int(value))
+
+
+def _nc_att_list(atts: dict) -> bytes:
+    if not atts:
+        return struct.pack(">ii", 0, 0)  # ABSENT
+    return struct.pack(">ii", 0x0C, len(atts)) + b"".join(
+        _nc_att(k, v) for k, v in atts.items()
+    )
+
+
+def write_minc1(path: str, dims: list[tuple[str, int]],
+                groups: dict[str, dict], image_type: int = NC_SHORT) -> None:
+    """Emit a CDF-1 file: spatial dims, group variables (acquisition/
+    patient/study) holding their attributes, dimension variables with
+    step/start, and an `image` variable with a deterministic payload."""
+    header = bytearray()
+    header += b"CDF\x01" + struct.pack(">i", 0)  # magic + numrecs
+    header += struct.pack(">ii", 0x0A, len(dims))  # NC_DIMENSION list
+    for name, length in dims:
+        header += _nc_name(name) + struct.pack(">i", length)
+    header += _nc_att_list({"history": "generated by tests/fixtures/generate.py"})
+
+    # Variables: scalar NC_INT group vars + dim vars + the image var.
+    nvox = 1
+    for _, length in dims:
+        nvox *= length
+    img_size = nvox * _NC_SIZES[image_type]
+    img_size += (4 - img_size % 4) % 4
+    var_defs: list[tuple[str, list[int], dict, int, int]] = []
+    for gname, atts in groups.items():
+        var_defs.append((gname, [], atts, NC_INT, 4))
+    for d, (name, _length) in enumerate(dims):
+        var_defs.append(
+            (name, [], {"step": 1.0 + d * 0.2, "start": -90.0 + d,
+                        "spacing": "regular__", "units": "mm"}, NC_INT, 4)
+        )
+    var_defs.append(
+        ("image", list(range(len(dims))),
+         {"valid_range": [0.0, 4095.0], "signtype": "signed__"},
+         image_type, img_size)
+    )
+
+    # Two passes: sizes of var entries depend only on their own content,
+    # so compute the header length first, then assign begin offsets.
+    def var_entry(name, dimids, atts, nc_type, vsize, begin):
+        e = _nc_name(name) + struct.pack(">i", len(dimids))
+        e += b"".join(struct.pack(">i", d) for d in dimids)
+        e += _nc_att_list(atts)
+        e += struct.pack(">iii", nc_type, vsize, begin)
+        return e
+
+    entries0 = [var_entry(*vd, 0) for vd in var_defs]
+    header_len = len(header) + 8 + sum(len(e) for e in entries0)
+    begins, off = [], header_len
+    for _, _, _, _, vsize in var_defs:
+        begins.append(off)
+        off += vsize
+    body = struct.pack(">ii", 0x0B, len(var_defs)) + b"".join(
+        var_entry(*vd, b) for vd, b in zip(var_defs, begins)
+    )
+    data = bytearray()
+    for i, (_, _, _, nc_type, vsize) in enumerate(var_defs):
+        if nc_type == NC_INT:
+            data += struct.pack(">i", i)
+        else:
+            vals = [(j * 13) % 2048 for j in range(nvox)]
+            data += _nc_pad(struct.pack(f">{nvox}h", *vals))
+    with open(path, "wb") as f:
+        f.write(bytes(header) + body + bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# ECAT7 (S6): PET `.v` container — PUBLIC layout (512-byte big-endian main
+# header, magic 'MATRIX72v', then 512-byte directory blocks of 4-int
+# entries). The reference reads the same surface out of `lmhdr` text
+# (HRRT.pm:125-343: scan_start_time, system_type, patient_name,
+# facility_name...).
+# ---------------------------------------------------------------------------
+def write_ecat7(path: str, patient_name: str, patient_id: str,
+                scan_start_time: int, system_type: int = 328,
+                facility_name: str = "BIC-MNI_MCGILL",
+                isotope_name: str = "C-11", isotope_halflife: float = 1223.0,
+                study_description: str = "FDG dynamic",
+                n_frames: int = 2, vol_dims: tuple = (8, 8, 4)) -> None:
+    mh = bytearray(512)
+    mh[0:14] = b"MATRIX72v\x00\x00\x00\x00\x00"
+    mh[14:46] = os.path.basename(path).encode("ascii")[:32].ljust(32, b"\x00")
+    struct.pack_into(">H", mh, 46, 72)                   # sw_version
+    struct.pack_into(">H", mh, 48, system_type)
+    struct.pack_into(">H", mh, 50, 7)                    # file_type: 16-bit volume
+    struct.pack_into(">I", mh, 62, scan_start_time)
+    mh[66:74] = isotope_name.encode()[:8].ljust(8, b"\x00")
+    struct.pack_into(">f", mh, 74, isotope_halflife)
+    struct.pack_into(">f", mh, 144, 1.0)                 # calibration factor
+    mh[166:182] = patient_id.encode()[:16].ljust(16, b"\x00")
+    mh[182:214] = patient_name.encode()[:32].ljust(32, b"\x00")
+    struct.pack_into(">f", mh, 216, 61.0)                # patient_age
+    struct.pack_into(">f", mh, 224, 72.5)                # patient_weight
+    mh[296:328] = study_description.encode()[:32].ljust(32, b"\x00")
+    mh[332:352] = facility_name.encode()[:20].ljust(20, b"\x00")
+    struct.pack_into(">H", mh, 352, vol_dims[2])         # num_planes
+    struct.pack_into(">H", mh, 354, n_frames)
+    struct.pack_into(">H", mh, 356, 1)                   # num_gates
+    struct.pack_into(">H", mh, 358, 1)                   # num_bed_pos
+    struct.pack_into(">f", mh, 424, 2.4375)              # plane_separation
+
+    nvox = vol_dims[0] * vol_dims[1] * vol_dims[2]
+    data_blocks = (nvox * 2 + 511) // 512
+    # Directory block: entry 0 = [nfree, next_dir_block, prev_dir_block,
+    # nused]; entries i = [matnum, start_block, end_block, status].
+    dir_block = bytearray(512)
+    struct.pack_into(">iiii", dir_block, 0, 31 - n_frames, 2, 2, n_frames)
+    blocks = []
+    nxt = 3  # block 1 = main header, block 2 = directory (1-based)
+    for f_i in range(1, n_frames + 1):
+        start, end = nxt, nxt + data_blocks  # subheader + data
+        struct.pack_into(">iiii", dir_block, 16 * f_i, f_i, start, end, 1)
+        sub = bytearray(512)
+        struct.pack_into(">H", sub, 0, 6)                # data_type SunShort
+        struct.pack_into(">H", sub, 2, 3)                # num_dimensions
+        struct.pack_into(">HHH", sub, 4, *vol_dims)      # x/y/z dims
+        struct.pack_into(">f", sub, 26, 0.5 * f_i)       # scale_factor
+        payload = struct.pack(
+            f">{nvox}h", *[((j * 7) + f_i) % 1024 for j in range(nvox)]
+        )
+        blocks.append(bytes(sub) + payload.ljust(data_blocks * 512, b"\x00"))
+        nxt = end + 1
+    with open(path, "wb") as f:
+        f.write(bytes(mh) + bytes(dir_block) + b"".join(blocks))
+
+
+# ---------------------------------------------------------------------------
+# EEGLAB .set (S7 second format): MATLAB Level-5 MAT-file — PUBLIC layout
+# (128-byte header, then data elements; miMATRIX holding the EEG struct).
+# The reference loads these via MNE's read_raw_eeglab
+# (python/lib/physio/chunking.py:29-41); the fields read are EEG.nbchan,
+# .srate, .pnts, .trials, .chanlocs(labels), .data.
+# ---------------------------------------------------------------------------
+miINT8, miINT32, miUINT32, miDOUBLE, miMATRIX = 1, 5, 6, 9, 14
+mxSTRUCT, mxCHAR, mxDOUBLE = 2, 4, 6
+
+
+def _mat_element(mtype: int, payload: bytes) -> bytes:
+    pad = (8 - len(payload) % 8) % 8
+    return struct.pack("<ii", mtype, len(payload)) + payload + b"\x00" * pad
+
+
+def _mat_matrix(name: str, cls: int, body: bytes, dims: tuple[int, int]) -> bytes:
+    flags = _mat_element(miUINT32, struct.pack("<II", cls, 0))
+    dim_el = _mat_element(miINT32, struct.pack("<ii", *dims))
+    name_el = _mat_element(miINT8, name.encode("ascii"))
+    payload = flags + dim_el + name_el + body
+    return _mat_element(miMATRIX, payload)
+
+
+def _mat_double_scalar(name: str, v: float) -> bytes:
+    return _mat_matrix(name, mxDOUBLE, _mat_element(miDOUBLE, struct.pack("<d", v)), (1, 1))
+
+
+def _mat_char_row(name: str, s: str) -> bytes:
+    # mxCHAR stored as uint16 code units (miUINT16 = 4)
+    payload = b"".join(struct.pack("<H", ord(c)) for c in s)
+    return _mat_matrix(name, mxCHAR, _mat_element(4, payload), (1, len(s)))
+
+
+def write_eeglab_set(path: str, channels: list[str], srate: float,
+                     pnts: int, trials: int = 1) -> None:
+    """Minimal MAT v5 file holding scalar EEG fields + a chanlocs-like
+    labels struct array + the data matrix (nbchan x pnts doubles)."""
+    nb = len(channels)
+    # chanlocs: 1 x nb struct array with single field 'labels'
+    fieldname_len = _mat_element(miINT32, struct.pack("<i", 32))
+    fieldnames = _mat_element(miINT8, b"labels".ljust(32, b"\x00"))
+    chan_bodies = b"".join(_mat_char_row("", ch) for ch in channels)
+    chanlocs = _mat_matrix("chanlocs", mxSTRUCT,
+                           fieldname_len + fieldnames + chan_bodies, (1, nb))
+    data_vals = [
+        math.sin(0.25 * t + c) * 50.0 for t in range(pnts) for c in range(nb)
+    ]  # column-major: nb x pnts
+    data = _mat_matrix(
+        "data", mxDOUBLE,
+        _mat_element(miDOUBLE, struct.pack(f"<{nb * pnts}d", *data_vals)),
+        (nb, pnts),
+    )
+    elements = (
+        _mat_double_scalar("nbchan", float(nb))
+        + _mat_double_scalar("srate", srate)
+        + _mat_double_scalar("pnts", float(pnts))
+        + _mat_double_scalar("trials", float(trials))
+        + chanlocs
+        + data
+    )
+    header = (b"MATLAB 5.0 MAT-file, generated by tests/fixtures/generate.py"
+              .ljust(116, b" ")) + b"\x00" * 8 + struct.pack("<H", 0x0100) + b"IM"
+    with open(path, "wb") as f:
+        f.write(header + elements)
+
+
 def main() -> None:
     # --- DICOM study: 2 series x 3 instances + 1 non-dicom stray file
     ddir = _mkdir(os.path.join(HERE, "dicom"))
@@ -228,6 +457,45 @@ def main() -> None:
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
               ["EEG Fp1", "EEG Fp2", "ECG"], n_records=4, spr=64)
+
+    # --- EEGLAB .set (S7, second EEG format: MAT v5)
+    write_eeglab_set(os.path.join(edir, "sub-02_task-rest_eeg.set"),
+                     ["Fp1", "Fp2", "Cz", "ECG"], srate=250.0, pnts=128)
+
+    # --- MINC1 volumes (S5, NetCDF classic)
+    mdir = _mkdir(os.path.join(HERE, "minc"))
+    write_minc1(
+        os.path.join(mdir, "sub-01_t1w.mnc"),
+        dims=[("zspace", 4), ("yspace", 8), ("xspace", 8)],
+        groups={
+            "acquisition": {"repetition_time": 2.3, "echo_time": 0.00298,
+                            "flip_angle": 9.0, "scanning_sequence": "MPRAGE"},
+            "patient": {"full_name": "SUB001", "sex": "female__",
+                        "age": 31.0},
+            "study": {"study_id": "LORIS01", "modality": "MRI__",
+                      "institution": "BIC-MNI_MCGILL"},
+        },
+    )
+    write_minc1(
+        os.path.join(mdir, "sub-02_bold.mnc"),
+        dims=[("time", 6), ("zspace", 2), ("yspace", 4), ("xspace", 4)],
+        groups={
+            "acquisition": {"repetition_time": 0.8, "echo_time": 0.03,
+                            "flip_angle": 52.0, "scanning_sequence": "EPI"},
+            "patient": {"full_name": "SUB002", "sex": "male____",
+                        "age": 27.0},
+            "study": {"study_id": "LORIS01", "modality": "MRI__",
+                      "institution": "BIC-MNI_MCGILL"},
+        },
+    )
+
+    # --- ECAT7 PET volumes (S6)
+    pdir = _mkdir(os.path.join(HERE, "ecat"))
+    write_ecat7(os.path.join(pdir, "sub-01_fdg.v"), patient_name="SUB001",
+                patient_id="PET001", scan_start_time=1325430000, n_frames=2)
+    write_ecat7(os.path.join(pdir, "sub-02_fdg.v"), patient_name="SUB002",
+                patient_id="PET002", scan_start_time=1325516400, n_frames=3,
+                vol_dims=(4, 4, 2))
 
     print("fixtures written under", HERE)
 

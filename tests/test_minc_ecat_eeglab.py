@@ -1,0 +1,73 @@
+"""Native MINC1 / ECAT7 / EEGLAB parser unit checks: field fidelity on the
+committed fixtures and classify-don't-fail on garbage/truncated bytes."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from loris_mri_spark.sources.eeg import parse_eeglab_set_bytes
+from loris_mri_spark.sources.minc_ecat import (
+    parse_ecat7_directory,
+    parse_ecat7_main_header,
+    parse_minc1_bytes,
+)
+
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
+
+
+def _minc_map(rows):
+    return {(r["variable"], r["attribute"]): r for r in rows}
+
+
+def test_minc1_header_fields():
+    rows = parse_minc1_bytes((FIXTURES / "minc" / "sub-01_t1w.mnc").read_bytes())
+    m = _minc_map(rows)
+    assert m[("acquisition", "repetition_time")]["value_num"] == 2.3
+    assert m[("acquisition", "scanning_sequence")]["value_str"] == "MPRAGE"
+    assert m[("patient", "full_name")]["value_str"] == "SUB001"
+    assert m[("<dims>", "zspace")]["value_num"] == 4.0
+    assert m[("zspace", "step")]["value_num"] == 1.0
+    # global attribute lands under variable ''
+    assert ("", "history") in m
+
+
+def test_minc1_rejects_non_minc():
+    assert parse_minc1_bytes(b"") == []
+    assert parse_minc1_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64) == []  # MINC2
+    good = (FIXTURES / "minc" / "sub-01_t1w.mnc").read_bytes()
+    assert parse_minc1_bytes(good[:37]) == []  # truncated mid-header
+
+
+def test_ecat7_main_and_directory():
+    b = (FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes()
+    hdr = parse_ecat7_main_header(b)
+    assert hdr["patient_name"] == "SUB001"
+    assert hdr["system_type"] == 328
+    assert hdr["scan_start_time"] == 1325430000
+    assert hdr["facility_name"] == "BIC-MNI_MCGILL"
+    mats = parse_ecat7_directory(b)
+    assert [m["matnum"] for m in mats] == [1, 2]
+    assert all(m["x_dim"] == 8 and m["z_dim"] == 4 for m in mats)
+    assert mats[0]["scale_factor"] == 0.5
+
+
+def test_ecat7_rejects_non_ecat():
+    assert parse_ecat7_main_header(b"not a pet file") is None
+    b = (FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes()
+    assert parse_ecat7_main_header(b[:100]) is None
+    # truncated after the main header: directory walk stops cleanly
+    assert parse_ecat7_directory(b[:512]) == []
+
+
+def test_eeglab_set_channels():
+    rows = parse_eeglab_set_bytes(
+        (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes()
+    )
+    assert [r["label"] for r in rows] == ["Fp1", "Fp2", "Cz", "ECG"]
+    assert all(r["srate"] == 250.0 and r["n_samples"] == 128 for r in rows)
+
+
+def test_eeglab_rejects_non_mat():
+    assert parse_eeglab_set_bytes(b"\x00" * 200) == []
+    good = (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes()
+    assert parse_eeglab_set_bytes(good[:130]) == []

@@ -14,6 +14,25 @@ from loris_mri_spark.sinks import decode_float_chunk, encode_float_chunk, png_pr
 workload.load_all()
 
 
+def test_float_chunk_golden_wire_bytes():
+    """Byte-identical to chunk_pb2.FloatChunk(...).SerializeToString():
+    golden vectors derived from the proto3 wire spec for the message
+    `int64 index=1; int64 downsampling=2; int64 cutoff=3;
+    repeated float samples=4` (packed)."""
+    from loris_mri_spark.sinks import pb_encode_float_chunk
+
+    got = pb_encode_float_chunk(3, 2, 4, [1.0, -2.5, 0.0, 3.14])
+    want = bytes.fromhex(
+        "0803" "1002" "1804" "2210"
+        "0000803f" "000020c0" "00000000" "c3f54840"
+    )
+    assert got == want
+    # proto3 zero-value omission: index=0 and empty samples drop out
+    assert pb_encode_float_chunk(0, 1, 2, []) == bytes.fromhex("1001" "1802")
+    # multi-byte varint: 300 = 0xAC 0x02
+    assert pb_encode_float_chunk(300, 0, 0, []) == bytes.fromhex("08ac02")
+
+
 def test_float_chunk_roundtrip(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").limit(5)
     enc = e.select(
@@ -22,9 +41,9 @@ def test_float_chunk_roundtrip(spark, sf_dir):
         encode_float_chunk(F.lit(7), F.lit(2), F.col("embedding")).alias("payload"),
     ).collect()
     for r in enc:
-        idx, ds, vals = decode_float_chunk(bytes(r["payload"]))
+        idx, ds, cutoff, vals = decode_float_chunk(bytes(r["payload"]))
         assert (idx, ds) == (7, 2)
-        assert len(vals) == 64
+        assert cutoff == 64 and len(vals) == 64
         for a, b in zip(vals, r["samples"]):
             assert abs(a - b) < 1e-6
 
