@@ -45,6 +45,9 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Benchmark context: contract-independent queries sharing an expensive
+    # intermediate (the j7 protocol match) may reuse one cached copy.
+    spark.conf.set("spark.loris.sharedCache", "true")
 
     from loris_mri_spark import workload
 

@@ -96,33 +96,25 @@ def cosine_topk(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    cell_col: str,
-    k: int,
-    nprobe: int = 2,
-) -> DataFrame:
-    """IVF-style ANN: search only the ``nprobe`` cells whose centroid is
-    most cosine-similar to the query. Deterministic given the cell
-    assignment. Returns (query_id, neighbor_id, rank, cos).
+def cell_centroids(cdouble: DataFrame) -> DataFrame:
+    """Per-cell centroid of double vectors: (``__cell``, ``__centroid``).
 
-    The centroid table is |cells| rows — computed with one partial-agg
-    shuffle (posexplode -> avg per (cell, dim) -> re-assemble), broadcast
-    thereafter. At 100 TB only the candidate cells' vectors are scored:
-    the cell filter prunes the corpus scan by cell partition at rest.
-    """
-    cdouble = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("__cell"),
-        as_double(vec_col).alias("__cv"),
-    )
-    centroids = (
+    Component means come from EXACT decimal sums (each element quantized
+    to DECIMAL(27,9), summed exactly, one double conversion + one IEEE
+    division) — partition-order independent, so a SQL oracle summing the
+    same decimals reproduces every component bit-identically (the same
+    numeric contract as the workload's other multi-row float sums). One
+    partial-agg shuffle of (cell, pos) pairs; output is |cells| rows,
+    broadcast thereafter."""
+    return (
         cdouble.select("__cell", F.posexplode("__cv").alias("__pos", "__v"))
         .groupBy("__cell", "__pos")
-        .agg(F.avg("__v").alias("__avg"))
+        .agg(
+            (
+                F.sum(F.col("__v").cast("decimal(27,9)")).cast("double")
+                / F.count("*")
+            ).alias("__avg")
+        )
         .groupBy("__cell")
         .agg(
             F.array_sort(
@@ -134,6 +126,93 @@ def ivf_topk(
             F.transform("__pairs", lambda p: p["__avg"]).alias("__centroid"),
         )
     )
+
+
+def kmeans_cells(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    n_iter: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Trained coarse quantizer for IVF: spherical k-means over the corpus,
+    DataFrame-only. Returns (assignment (id, cell), centroids
+    (__cell, __centroid)).
+
+    Deterministic end to end: seeds are the first ``n_cells`` vectors by
+    id (cell label = seed id), assignment is argmax cosine with ties to
+    the lowest cell, updates are the decimal-exact component means of
+    cell_centroids. Each round: one broadcast of the k-row centroid table,
+    one map-side argmax (max_by partial agg — no row-explosion shuffle),
+    one (cell, pos) partial-agg shuffle for the update; centroids are
+    localCheckpoint'ed per round so the plan stays flat (the
+    operators/traverse.py frontier-loop discipline). Rounds are O(n_iter)
+    full-data passes — the standard k-means cost profile, linear at 100 TB.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
+    )
+    centroids = (
+        v.orderBy("__id")
+        .limit(n_cells)
+        .select(F.col("__id").alias("__cell"), F.col("__cv").alias("__centroid"))
+        .localCheckpoint()
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .select(
+                "__id",
+                "__cv",
+                "__cell",
+                cosine(F.col("__cv"), F.col("__centroid")).alias("__cos"),
+            )
+            .groupBy("__id")
+            .agg(
+                F.max_by(
+                    "__cell", F.struct(F.col("__cos"), -F.col("__cell"))
+                ).alias("__cell"),
+                F.first("__cv").alias("__cv"),
+            )
+        )
+        centroids = cell_centroids(
+            assigned.select("__cell", "__cv")
+        ).localCheckpoint()
+    return (
+        assigned.select(F.col("__id").alias(id_col), F.col("__cell").alias("cell")),
+        centroids,
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    k: int,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN: search only the ``nprobe`` cells whose centroid is
+    most cosine-similar to the query. Deterministic given the cell
+    assignment. Returns (query_id, neighbor_id, rank, cos).
+
+    The centroid table is |cells| rows — computed with one partial-agg
+    shuffle (posexplode -> exact-decimal mean per (cell, dim) ->
+    re-assemble), broadcast thereafter; pass ``centroids`` to reuse a
+    trained codebook (kmeans_cells). At 100 TB only the candidate cells'
+    vectors are scored: the cell filter prunes the corpus scan by cell
+    partition at rest.
+    """
+    cdouble = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("__cell"),
+        as_double(vec_col).alias("__cv"),
+    )
+    if centroids is None:
+        centroids = cell_centroids(cdouble)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("__qv")
     )

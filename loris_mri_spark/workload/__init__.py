@@ -72,6 +72,7 @@ PRIORITY_ORDER: list[str] = [
     "text_bpe_token_count",
     "ann_cosine_topk_exact",
     "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
     "vec_centroid_per_label",
     "eav_pivot_user_event_matrix",
     "eav_melt_pivot_roundtrip",

@@ -66,17 +66,27 @@ def ann_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decimal-exact centroid of a (cell, emb) relation — mirrors
+# operators/vectors.cell_centroids: quantize each (double) component to
+# DECIMAL(27,9), sum exactly, one double conversion + one division.
+def _dec_centroid_sql(rel: str, cell_expr: str = "cell") -> str:
+    return f"""
+      SELECT {cell_expr} AS cell, list(comp ORDER BY pos) AS cv FROM (
+        SELECT {cell_expr}, pos,
+               CAST(SUM(dv) AS DOUBLE) / COUNT(*) AS comp
+        FROM (SELECT {cell_expr}, unnest(range(0, 64)) AS pos,
+                     CAST(unnest(emb) AS DECIMAL(27,9)) AS dv
+              FROM {rel})
+        GROUP BY {cell_expr}, pos)
+      GROUP BY {cell_expr}
+    """
+
+
 @query(
     "ann_ivf_topk",
     oracle=f"""
     WITH {_V_CTE},
-    centroids AS (
-      SELECT cell, list(avg_v ORDER BY pos) AS cv FROM (
-        SELECT label AS cell, pos, AVG(vv) AS avg_v
-        FROM (SELECT label, unnest(range(0, 64)) AS pos, unnest(emb) AS vv
-              FROM v)
-        GROUP BY label, pos)
-      GROUP BY cell),
+    centroids AS ({_dec_centroid_sql("v", "label")}),
     q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
     cell_ranked AS (
       SELECT q.query_id, q.qv, c.cell,
@@ -112,6 +122,85 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_col="label",
         k=5,
         nprobe=2,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
+    )
+
+
+def _kmeans_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
+    """Generate the DuckDB mirror of kmeans_cells + ivf_topk: seeds are
+    the first n_cells vectors (cell label = seed id), each iteration is
+    argmax-cosine assignment (ties to lowest cell) + decimal-exact
+    centroid update — the identical deterministic procedure, so the
+    trained cells, probes, and final top-k agree exactly."""
+    parts = [
+        _V_CTE,
+        f"c0 AS (SELECT vec_id AS cell, emb AS cv FROM v WHERE vec_id < {n_cells})",
+    ]
+    for i in range(1, n_iter + 1):
+        cos = _SQL_COS.format(a="v.emb", b="c.cv")
+        parts.append(f"""
+    a{i} AS (
+      SELECT vec_id, emb, cell FROM (
+        SELECT v.vec_id, v.emb, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cos} DESC, c.cell ASC) AS rn
+        FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
+        parts.append(f"c{i} AS ({_dec_centroid_sql(f'a{i}')})")
+    final_a, final_c = f"a{n_iter}", f"c{n_iter}"
+    probe_cos = _SQL_COS.format(a="q.qv", b="c.cv")
+    score_cos = _SQL_COS.format(a="p.qv", b="s.emb")
+    parts.append(f"""
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    cell_ranked AS (
+      SELECT q.query_id, q.qv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {probe_cos} DESC, c.cell ASC)
+               AS crank
+      FROM q CROSS JOIN {final_c} c),
+    probed AS (SELECT query_id, qv, cell FROM cell_ranked WHERE crank <= 2),
+    scored AS (
+      SELECT p.query_id, s.vec_id AS neighbor_id,
+             {score_cos} AS cos
+      FROM probed p JOIN {final_a} s
+        ON s.cell = p.cell AND s.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC)
+                  AS BIGINT) AS rank
+      FROM scored)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\n    SELECT query_id, neighbor_id, rank, ROUND(cos, 6) AS cos_r"
+        + "\n    FROM ranked WHERE rank <= 5"
+    )
+
+
+@query("ann_ivf_kmeans_topk", oracle=_kmeans_oracle())
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: spherical k-means (8 cells,
+    2 rounds, deterministic seeds/ties/decimal-exact updates) replaces
+    label-as-cell; probe the 2 best trained cells per query. The oracle
+    replays the full training loop in SQL; recall vs the exact answer is
+    measured in tests/test_vectors.py."""
+    from loris_mri_spark.operators.vectors import kmeans_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignment, centroids = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2
+    )
+    corpus = e.join(assignment, "vec_id")
+    out = ivf_topk(
+        e.filter(F.col("vec_id") < 10),
+        corpus,
+        id_col="vec_id",
+        vec_col="embedding",
+        cell_col="cell",
+        k=5,
+        nprobe=2,
+        centroids=centroids,
     )
     return out.select(
         "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos_r")
