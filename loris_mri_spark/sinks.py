@@ -70,6 +70,55 @@ def to_s3_url(path_col: Column | str, bucket: str) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# S13 transfer semantics — the upload/download/delete/exists surface of the
+# reference's boto3 layer (`aws_s3.py:93-257`: upload_file, download_file,
+# delete_file, check_if_file_key_exists), expressed on Hadoop's FileSystem
+# abstraction: the SAME calls run against file://, hdfs://, or s3a://
+# depending on the URL scheme, so the sandbox tests the copy/delete
+# semantics on file:// and a connector-equipped cluster gets real S3 with
+# zero code change. Driver-side control-plane ops (one file apiece), not
+# data-plane — bulk data still moves via DataFrame read/write.
+# --------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark, url: str):
+    jvm = spark._jvm
+    uri = jvm.java.net.URI(url)
+    conf = spark._jsc.hadoopConfiguration()
+    return jvm.org.apache.hadoop.fs.FileSystem.get(uri, conf), jvm
+
+
+def fs_exists(spark, url: str) -> bool:
+    """check_if_file_key_exists (aws_s3.py:120-143)."""
+    fs, jvm = _hadoop_fs(spark, url)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(url)))
+
+
+def fs_copy(spark, src_url: str, dst_url: str) -> None:
+    """upload_file/download_file (aws_s3.py:145-208): scheme-to-scheme
+    copy (file->s3a = upload, s3a->file = download)."""
+    fs_src, jvm = _hadoop_fs(spark, src_url)
+    fs_dst, _ = _hadoop_fs(spark, dst_url)
+    Path = jvm.org.apache.hadoop.fs.Path
+    FileUtil = jvm.org.apache.hadoop.fs.FileUtil
+    ok = FileUtil.copy(
+        fs_src, Path(src_url), fs_dst, Path(dst_url),
+        False,  # deleteSource
+        True,   # overwrite
+        spark._jsc.hadoopConfiguration(),
+    )
+    if not ok:
+        raise IOError(f"copy failed: {src_url} -> {dst_url}")
+
+
+def fs_delete(spark, url: str) -> bool:
+    """delete_file (aws_s3.py:210-236). Returns True if something was
+    deleted, False if the key did not exist (idempotent-delete contract)."""
+    fs, jvm = _hadoop_fs(spark, url)
+    return bool(fs.delete(jvm.org.apache.hadoop.fs.Path(url), False))
+
+
 def _pb_varint(n: int) -> bytes:
     """Protobuf base-128 varint (non-negative)."""
     out = bytearray()

@@ -72,3 +72,26 @@ def test_png_preview_is_valid_png(spark, sf_dir):
                 assert len(raw) == 8 * 9  # 8 rows x (1 filter byte + 8 px)
             pos += 12 + length
         assert seen[0] == b"IHDR" and seen[-1] == b"IEND" and b"IDAT" in seen
+
+
+def test_s13_fs_transfer_semantics(spark, tmp_path):
+    """The aws_s3.py upload/download/delete/exists surface on Hadoop
+    FileSystem with file:// scheme — identical calls hit s3a:// on a
+    connector-equipped cluster."""
+    from loris_mri_spark.sinks import fs_copy, fs_delete, fs_exists
+
+    src = tmp_path / "src.txt"
+    src.write_bytes(b"scan payload")
+    src_url = f"file://{src}"
+    dst_url = f"file://{tmp_path}/remote/uploaded.txt"
+
+    assert fs_exists(spark, src_url)
+    assert not fs_exists(spark, dst_url)
+    fs_copy(spark, src_url, dst_url)                # upload
+    assert fs_exists(spark, dst_url)
+    back_url = f"file://{tmp_path}/back.txt"
+    fs_copy(spark, dst_url, back_url)               # download
+    assert (tmp_path / "back.txt").read_bytes() == b"scan payload"
+    assert fs_delete(spark, dst_url) is True        # delete
+    assert not fs_exists(spark, dst_url)
+    assert fs_delete(spark, dst_url) is False       # idempotent delete
