@@ -209,6 +209,71 @@ def parse_eeglab_set_bytes(content: bytes) -> list[dict[str, Any]]:
     ]
 
 
+# --------------------------------------------------------------------------
+# CTF MEG .ds/.res4 (the third dispatch arm of physio/chunking.py:29-41,
+# routed to read_raw_ctf in the reference). The .res4 resource layout is
+# PUBLIC (CTF MEG File Format docs; independently implemented by MNE's
+# mne/io/ctf/res4.py): 8-byte magic 'MEG41RS\0', appName/dataOrigin/
+# dataDescription (256 B each), int16 no_trials_avgd, data_time/data_date
+# (255 B each), then gSetUp at offset 1288: >i4 no_samples, >i2
+# no_channels, 2 pad, >f8 sample_rate, >f8 duration, >i2 no_trials.
+# Channel names sit behind variable-length filter tables — full sensor
+# metadata stays on the injected-loader seam; this header surface is what
+# the ephys chunker sizes its chunk pyramid from.
+# --------------------------------------------------------------------------
+
+CTF_SCHEMA = (
+    "path string, is_readable boolean, app_name string, data_date string, "
+    "data_time string, n_samples int, n_channels int, sample_rate double, "
+    "duration double, n_trials int"
+)
+
+
+def parse_ctf_res4_bytes(content: bytes) -> dict[str, Any] | None:
+    if len(content) < 1314 or content[:8] != b"MEG41RS\x00":
+        return None
+
+    def cstr(off: int, n: int) -> str:
+        return content[off : off + n].split(b"\x00", 1)[0].decode(
+            "ascii", "replace"
+        ).strip()
+
+    return {
+        "app_name": cstr(8, 256),
+        "data_time": cstr(778, 255),
+        "data_date": cstr(1033, 255),
+        "n_samples": struct.unpack_from(">i", content, 1288)[0],
+        "n_channels": struct.unpack_from(">h", content, 1292)[0],
+        "sample_rate": struct.unpack_from(">d", content, 1296)[0],
+        "duration": struct.unpack_from(">d", content, 1304)[0],
+        "n_trials": struct.unpack_from(">h", content, 1312)[0],
+    }
+
+
+def read_ctf_headers(spark: SparkSession, path_glob: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.res4")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in CTF_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                hdr = parse_ctf_res4_bytes(bytes(content))
+                if hdr is None:
+                    rows.append({"path": path, "is_readable": False})
+                else:
+                    rows.append({"path": path, "is_readable": True, **hdr})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=CTF_SCHEMA)
+
+
 def read_eeglab_channels(spark: SparkSession, path_glob: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")

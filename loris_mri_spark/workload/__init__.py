@@ -46,6 +46,7 @@ PRIORITY_ORDER: list[str] = [
     "s5_minc_headers",
     "s6_ecat_headers",
     "s7_eeglab_channels",
+    "s7_ctf_headers",
     "t5b_sliding_window_agg",
     "t5c_session_window_agg",
     # -- red in r02 (no_oracle), now carrying a real oracle --

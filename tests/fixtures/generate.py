@@ -373,6 +373,35 @@ def write_eeglab_set(path: str, channels: list[str], srate: float,
         f.write(header + elements)
 
 
+# ---------------------------------------------------------------------------
+# CTF MEG .ds/.res4 (S7 third format): the CTF resource file layout is
+# PUBLIC (CTF MEG File Format docs; independently implemented by MNE's
+# mne/io/ctf/res4.py): 8-byte magic 'MEG41RS\0', three 256-byte strings
+# (appName, dataOrigin, dataDescription), int16 no_trials_avgd, two
+# 255-byte strings (data_time, data_date), then the gSetUp block at offset
+# 1288: int32 no_samples, int16 no_channels, 2 pad bytes, f64 sample_rate,
+# f64 epoch duration, int16 no_trials.
+# ---------------------------------------------------------------------------
+def write_ctf_res4(path: str, app_name: str, data_date: str, data_time: str,
+                   n_samples: int, n_channels: int, sample_rate: float,
+                   duration: float, n_trials: int) -> None:
+    buf = bytearray(1320)
+    buf[0:8] = b"MEG41RS\x00"
+    buf[8:264] = app_name.encode("ascii")[:256].ljust(256, b"\x00")
+    buf[264:520] = b"test-origin".ljust(256, b"\x00")
+    buf[520:776] = b"fixture dataset".ljust(256, b"\x00")
+    struct.pack_into(">h", buf, 776, 0)  # no_trials_avgd
+    buf[778:1033] = data_time.encode()[:255].ljust(255, b"\x00")
+    buf[1033:1288] = data_date.encode()[:255].ljust(255, b"\x00")
+    struct.pack_into(">i", buf, 1288, n_samples)
+    struct.pack_into(">h", buf, 1292, n_channels)
+    struct.pack_into(">d", buf, 1296, sample_rate)
+    struct.pack_into(">d", buf, 1304, duration)
+    struct.pack_into(">h", buf, 1312, n_trials)
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
 def main() -> None:
     # --- DICOM study: 2 series x 3 instances + 1 non-dicom stray file
     ddir = _mkdir(os.path.join(HERE, "dicom"))
@@ -461,6 +490,13 @@ def main() -> None:
     # --- EEGLAB .set (S7, second EEG format: MAT v5)
     write_eeglab_set(os.path.join(edir, "sub-02_task-rest_eeg.set"),
                      ["Fp1", "Fp2", "Cz", "ECG"], srate=250.0, pnts=128)
+
+    # --- CTF MEG .ds/.res4 (S7, third format)
+    ctf_ds = _mkdir(os.path.join(edir, "sub-03_task-rest_meg.ds"))
+    write_ctf_res4(os.path.join(ctf_ds, "sub-03_task-rest_meg.res4"),
+                   app_name="Acq v6.0", data_date="13/08/2012",
+                   data_time="10:30", n_samples=1200, n_channels=275,
+                   sample_rate=600.0, duration=2.0, n_trials=1)
 
     # --- MINC1 volumes (S5, NetCDF classic)
     mdir = _mkdir(os.path.join(HERE, "minc"))

@@ -71,3 +71,44 @@ def test_eeglab_rejects_non_mat():
     assert parse_eeglab_set_bytes(b"\x00" * 200) == []
     good = (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes()
     assert parse_eeglab_set_bytes(good[:130]) == []
+
+
+def test_dicom_decode_value_classify_dont_fail():
+    """Multi-valued DS/IS (VM>1, backslash-separated — legal DICOM) and
+    garbage numeric text must decode to first-component/None, never raise
+    (DCMSUM.pm skip semantics; a raise would kill the whole scan task)."""
+    from loris_mri_spark.sources.dicom import _decode_value
+
+    assert _decode_value(b"DS", b"1.5\\2.5") == 1.5
+    assert _decode_value(b"IS", b"3\\4\\5") == 3
+    assert _decode_value(b"DS", b"not-a-number") is None
+    assert _decode_value(b"IS", b"") is None
+    assert _decode_value(b"DS", b" 2.98 ") == 2.98
+
+
+def test_edf_truncated_final_record():
+    """A truncated final EDF record drops cleanly instead of raising
+    struct.error mid-scan."""
+    from pathlib import Path
+
+    from loris_mri_spark.sources.eeg import parse_edf_bytes
+
+    good = (Path(__file__).parent / "fixtures" / "eeg"
+            / "sub-01_task-rest_eeg.edf").read_bytes()
+    rows_full = parse_edf_bytes(good)
+    rows_trunc = parse_edf_bytes(good[:-10])  # cut into the last record
+    assert rows_full and rows_trunc
+    assert rows_trunc[0]["n_samples"] < rows_full[0]["n_samples"]
+
+
+def test_ctf_res4_header():
+    from loris_mri_spark.sources.eeg import parse_ctf_res4_bytes
+
+    b = (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
+         / "sub-03_task-rest_meg.res4").read_bytes()
+    hdr = parse_ctf_res4_bytes(b)
+    assert hdr["app_name"] == "Acq v6.0"
+    assert (hdr["n_samples"], hdr["n_channels"]) == (1200, 275)
+    assert hdr["sample_rate"] == 600.0 and hdr["n_trials"] == 1
+    assert parse_ctf_res4_bytes(b[:100]) is None
+    assert parse_ctf_res4_bytes(b"XXXXXXXX" + b[8:]) is None

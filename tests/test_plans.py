@@ -64,9 +64,19 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "vec_cosine_pairs_lsh",
         "ann_cosine_topk_exact",
         "ann_ivf_topk",
+        "ann_ivf_kmeans_topk",
     ):
         plan = _plan(workload.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_kmeans_broadcasts_model_side(spark, sf_dir):
+    """The k-means assignment and the IVF probe/candidate joins must
+    broadcast the small (centroid/probe) side — the corpus is never
+    shuffled by a join key it doesn't already have."""
+    plan = _plan(workload.QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_column_pruning_narrow_read_schema(spark, sf_dir):
