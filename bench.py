@@ -81,6 +81,8 @@ def main() -> None:
     # amortized to zero on a long-lived cluster); the second measures the
     # PLAN. Reported per-query time = steady state; cold totals are kept
     # alongside for transparency.
+    import gc
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in sorted(workload.QUERIES):
@@ -96,6 +98,11 @@ def main() -> None:
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
             cold.setdefault(name, -1.0)
+        # Release driver-side references to per-query localCheckpoint RDDs
+        # (iterative operators) so the ContextCleaner can drop their blocks;
+        # otherwise storage pressure accumulates across 100+ queries and
+        # inflates whatever runs late in the session.
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
