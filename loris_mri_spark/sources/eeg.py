@@ -167,10 +167,27 @@ def parse_eeglab_set_bytes(content: bytes) -> list[dict[str, Any]]:
     fields: dict[str, float] = {}
     labels: list[str] = []
     data_dims: tuple[int, ...] = ()
-    try:
+
+    def top_elements():
+        """Top-level elements, transparently inflating miCOMPRESSED (15)
+        wrappers — MATLAB >= v7 (scipy's default) zlib-compresses each
+        element; the decompressed payload is one complete element."""
+        import zlib
+
         for mtype, payload in _mat_elements(content, 128, len(content)):
+            if mtype == 15:
+                try:
+                    inner = zlib.decompress(payload)
+                except zlib.error:
+                    continue
+                yield from _mat_elements(inner, 0, len(inner))
+            else:
+                yield mtype, payload
+
+    try:
+        for mtype, payload in top_elements():
             if mtype != _miMATRIX:
-                continue  # compressed (miCOMPRESSED=15) or irrelevant
+                continue
             cls, dims, name, rest = _mat_matrix_parts(payload)
             if cls == _mxDOUBLE and name in ("nbchan", "srate", "pnts", "trials"):
                 _, raw = rest[0]

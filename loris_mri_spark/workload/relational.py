@@ -1273,6 +1273,51 @@ def profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_approx_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+           TRUE AS p50_sketch_ok,
+           TRUE AS p90_sketch_ok,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def profile_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (bounded-error rank sketch) — the percentile
+    that actually runs at 100 TB: constant memory per group vs the exact
+    buffer's O(group) memory. Sketch estimates are engine-specific, so
+    the oracle contract mirrors profile_approx_distinct: exact quantiles
+    + a within-tolerance bound on the sketch (accuracy 10000 -> assert
+    the estimate lands within 1% of the exact value's magnitude)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ex"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+        ).alias("ap"),
+        F.count("*").alias("n"),
+    )
+
+    def ok(i: int) -> F.Column:
+        return (
+            F.abs(F.element_at("ap", i) - F.element_at("ex", i))
+            / F.element_at("ex", i)
+            <= F.lit(0.01)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("ex", 1), 4).alias("p50_exact"),
+        F.round(F.element_at("ex", 2), 4).alias("p90_exact"),
+        ok(1).alias("p50_sketch_ok"),
+        ok(2).alias("p90_sketch_ok"),
+        "n",
+    )
+
+
+@query(
     "profile_approx_distinct",
     oracle="""
     SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from loris_mri_spark.catalog import load_table
 from loris_mri_spark.operators.vectors import (
+    as_double,
+    cosine,
     cosine_topk,
     hyperplane_lsh_pairs,
     ivf_topk,
@@ -235,6 +237,40 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg("v"), 6).alias("avg_val"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_V_CTE},
+    b AS (SELECT vec_id, emb FROM v WHERE vec_id < 200)
+    SELECT a.vec_id AS i, c.vec_id AS j,
+           ROUND({_SQL_COS.format(a='a.emb', b='c.emb')}, 6) AS cos_r
+    FROM b a JOIN v c ON a.vec_id < c.vec_id
+    WHERE {_SQL_COS.format(a='a.emb', b='c.emb')} >= 0.45
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact reference form: a BOUNDED probe
+    set (vec_id < 200, e.g. the new-arrivals batch) against the full
+    corpus — broadcast the bounded side, one corpus scan, JVM-side double
+    math, i < j dedup. The unbounded corpus-x-corpus form is the LSH path
+    (vec_cosine_pairs_lsh); this exact variant is the oracle-checkable
+    anchor the LSH recall is measured against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("i"), as_double("embedding").alias("__a")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("j"), as_double("embedding").alias("__b")
+    )
+    return (
+        F.broadcast(probe)
+        .join(corpus, F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("__a"), F.col("__b")).alias("cos"))
+        .filter(F.col("cos") >= 0.45)
+        .select("i", "j", F.round("cos", 6).alias("cos_r"))
     )
 
 

@@ -112,3 +112,25 @@ def test_ctf_res4_header():
     assert hdr["sample_rate"] == 600.0 and hdr["n_trials"] == 1
     assert parse_ctf_res4_bytes(b[:100]) is None
     assert parse_ctf_res4_bytes(b"XXXXXXXX" + b[8:]) is None
+
+
+def test_eeglab_compressed_elements():
+    """MATLAB >= v7 (scipy default) zlib-compresses each element
+    (miCOMPRESSED=15); the parser must inflate transparently."""
+    import struct
+    import zlib
+
+    from loris_mri_spark.sources.eeg import parse_eeglab_set_bytes
+
+    raw = (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes()
+    out = bytearray(raw[:128])
+    body, pos = raw[128:], 0
+    while pos + 8 <= len(body):
+        _mtype, size = struct.unpack_from("<ii", body, pos)
+        el = body[pos : pos + 8 + size + ((8 - size % 8) % 8)]
+        pos += len(el)
+        comp = zlib.compress(bytes(el))
+        out += struct.pack("<ii", 15, len(comp)) + comp
+        out += b"\x00" * ((8 - len(comp) % 8) % 8)
+    rows = parse_eeglab_set_bytes(bytes(out))
+    assert [r["label"] for r in rows] == ["Fp1", "Fp2", "Cz", "ECG"]
