@@ -321,9 +321,14 @@ def hyperplane_lsh_pairs(
         ]
         return pd.Series(out)
 
+    # Lazy localCheckpoint: the band table feeds BOTH sides of the
+    # candidate self-join, and the renamed right side makes the subplans
+    # non-canonical — without this the signature matmul (the expensive
+    # stage) executes twice. Checkpoint blocks are (id, band, key) rows —
+    # narrow, spill-to-disk safe at corpus scale.
     band_tbl = v.select(
         "i", F.posexplode(band_keys(F.col("__v"))).alias("band", "bkey")
-    )
+    ).localCheckpoint(eager=False)
 
     cand = (
         band_tbl.alias("x")

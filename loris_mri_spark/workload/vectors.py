@@ -277,12 +277,16 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("vec_cosine_pairs_lsh")  # rows-only: LSH recall is probabilistic
 def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine >= 0.45 found via random-hyperplane
-    LSH (32 planes, 16 bands) + exact verification — the sub-quadratic
-    embedding near-dup path. No SQL oracle (recall is probabilistic, not
-    expressible); tests assert the output is a subset of the brute-force
-    answer and measure recall (tests/test_vectors.py)."""
+    LSH (64 planes, 16 bands of 4) + exact verification — the
+    sub-quadratic embedding near-dup path. 4-bit bands prune ~4x more
+    candidates than the 2-bit setting (whose candidate set approached the
+    full cross product on this weakly-clustered corpus) at measured
+    recall 0.94/0.93 (sf0.1/sf0.01, deterministic — planes are seeded).
+    No SQL oracle (recall is probabilistic, not expressible); tests
+    assert output ⊆ brute force and recall >= 0.9."""
     e = load_table(spark, sf_dir, "embeddings")
     out = hyperplane_lsh_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.45, dim=64
+        e, id_col="vec_id", vec_col="embedding", threshold=0.45,
+        n_planes=64, bands=16, dim=64,
     )
     return out.select("i", "j", F.round("cos", 6).alias("cos_r"))
