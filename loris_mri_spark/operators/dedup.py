@@ -268,11 +268,17 @@ def simhash_pairs(
             ),
         ).alias("__s"),
     )
+    # Lazy localCheckpoint: both sides of the pigeonhole self-join consume
+    # this table, and the renamed right side defeats subplan reuse — the
+    # upstream simhash pipeline (tokenize + per-token md5 + 60 bit-folds)
+    # would otherwise run twice. Rows are (id, hash, band, bval) — narrow.
     band_tbl = packed.select(
         "i",
         F.col("__s.h").alias("__h"),
         F.explode("__s.bands").alias("bb"),
-    ).select("i", "__h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    ).select(
+        "i", "__h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
+    ).localCheckpoint(eager=False)
 
     pairs = (
         band_tbl.alias("x")
