@@ -102,6 +102,11 @@ def jaccard_pairs(
         )
         posts = posts.join(keep, "s")
 
+    # Lazy localCheckpoint: the posting list feeds BOTH self-join sides
+    # AND the per-doc size aggregate — without it the shingle pipeline
+    # (n-gram explode over the corpus) is evaluated three times.
+    posts = posts.localCheckpoint(eager=False)
+
     sizes = posts.groupBy("i").agg(F.count("*").alias("n"))
 
     a = posts.alias("a")
@@ -173,7 +178,12 @@ def minhash_lsh_pairs(
                 f"xxhash64(b, cast(slice(__sig, b * {r} + 1, {r}) as string)) AS bkey))"
             )
         ).alias("bb"),
-    ).select("i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select(
+        "i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint: both candidate-join sides read the materialized
+    #   band rows; the minhash signature (num_hashes xxhash64 folds over
+    #   every shingle) would otherwise compute twice.
 
     cand = (
         band_tbl.alias("x")
