@@ -52,19 +52,26 @@ def _checkpoint(tag: str) -> str:
     return scratch_dir(f"ckpt-{tag}")
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, tag: str = "incoming"
+) -> DataFrame:
     """The events table as a file-source STREAM with the same normalized
     schema as catalog.load_table (ts_ns exact long + µs ts timestamp).
 
     The file source requires a DIRECTORY (it watches for new files), so
-    the table file is staged into a fresh scratch `incoming/` dir — the
-    exact shape of the reference's watched upload dir; at production scale
-    the stream points at the real landing directory and new drops are
-    picked up incrementally by the checkpoint."""
+    the table file is staged into a fresh scratch dir — the exact shape of
+    the reference's watched upload dir; at production scale the stream
+    points at the real landing directory and new drops are picked up
+    incrementally by the checkpoint.
+
+    ``tag``: queries reading TWO streams (stream-stream joins) must give
+    each source a distinct tag — scratch_dir prunes earlier dirs with the
+    same prefix, so a shared tag would delete the first source's staging
+    out from under the running query."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
-    incoming = scratch_dir("incoming")
+    incoming = scratch_dir(tag)
     dst = os.path.join(incoming, "events-000.parquet")
     try:
         os.link(src, dst)

@@ -142,3 +142,58 @@ def t6_stateful_running_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     )
     return run_to_memory(out, "append", "t6")
+
+
+@query(
+    "t7_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 10 MINUTE
+    """,
+)
+def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: watermarked STREAM-STREAM interval join — each purchase joined
+    to the user's clicks in the preceding 10 minutes (the attribution
+    shape of j8's as-of join, as a live two-stream pipeline). Watermarks
+    bound the join state buffer (the 100 TB requirement: state is
+    O(watermark window), not O(stream)); the availableNow drain delivers
+    everything in-watermark, so the result equals the batch interval
+    join."""
+    purchases = (
+        stream_events(spark, sf_dir, tag="t7-purchases")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir, tag="t7-clicks")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        (
+            F.unix_micros("p_ts") - F.unix_micros("c_ts")
+        ).alias("gap_us"),
+    )
+    return run_to_memory(joined, "append", "t7")
