@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 from typing import Callable, Iterator
 
 import numpy as np
@@ -94,6 +95,66 @@ def extract_features(df: DataFrame, content_col: str, id_col: str,
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+WAV_SCHEMA = (
+    "path string, is_wav boolean, channels int, sample_rate int, "
+    "bits int, n_frames long, duration_ms long, rms double"
+)
+
+
+def parse_wav_bytes(content: bytes) -> dict | None:
+    """Audio-column decode: canonical RIFF/WAVE chunk walk (PUBLIC
+    layout), 16-bit PCM stats. RMS comes from the exact integer
+    sum-of-squares (one division + sqrt), so it is oracle-reproducible
+    bit-for-bit. Non-RIFF/compressed payloads return None (classify,
+    don't fail); non-PCM codecs are the injected-decoder boundary, same
+    as images (decode_media)."""
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        body = content[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
+        return None
+    _, channels, sample_rate, _, block_align, bits = fmt
+    n_frames = len(data) // block_align
+    n_samples = n_frames * channels
+    vals = struct.unpack_from(f"<{n_samples}h", data, 0)
+    sq = sum(v * v for v in vals)
+    return {
+        "channels": channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate,
+        "rms": math.sqrt(sq / n_samples) if n_samples else 0.0,
+    }
+
+
+def read_wav_meta(df: DataFrame) -> DataFrame:
+    """binaryFile rows (path, content) -> WAV metadata + PCM stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in WAV_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = parse_wav_bytes(bytes(content))
+                if meta is None:
+                    rows.append({"path": path, "is_wav": False})
+                else:
+                    rows.append({"path": path, "is_wav": True, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=WAV_SCHEMA)
 
 
 def sample_frames(df: DataFrame, content_col: str, id_col: str,

@@ -61,6 +61,47 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_audio_wav_meta",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('sub-01_audio.wav', 1, 16000, 16, CAST(1600 AS BIGINT),
+       CAST(100 AS BIGINT), 580.2663181677875),
+      ('sub-02_audio.wav', 2, 8000, 16, CAST(400 AS BIGINT),
+       CAST(50 AS BIGINT), 568.2618234581662))
+      AS t(file, channels, sample_rate, bits, n_frames, duration_ms, rms)
+    """,
+)
+def mm_audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality: PCM WAV decode (stdlib RIFF chunk walk) -> typed
+    metadata + exact-integer RMS over the int16 samples. Compressed
+    codecs are the injected-decoder boundary, same as images; the golden
+    oracle pins the committed fixtures' independently computed values."""
+    import os
+
+    from loris_mri_spark.operators.media import read_wav_meta
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "fixtures", "audio",
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(fixtures)
+        .select("path", "content")
+    )
+    return read_wav_meta(files).filter(F.col("is_wav")).select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "channels",
+        "sample_rate",
+        "bits",
+        "n_frames",
+        "duration_ms",
+        "rms",
+    )
+
+
+@query(
     "mm_decode_features",
     oracle="""
     WITH d AS (

@@ -374,6 +374,27 @@ def write_eeglab_set(path: str, channels: list[str], srate: float,
 
 
 # ---------------------------------------------------------------------------
+# PCM WAV (multimodal audio column): canonical RIFF/WAVE/fmt/data layout,
+# 16-bit mono/stereo PCM — stdlib struct only.
+# ---------------------------------------------------------------------------
+def write_wav(path: str, sample_rate: int, channels: int, n_frames: int,
+              freq_step: int) -> None:
+    samples = []
+    for t in range(n_frames):
+        for c in range(channels):
+            samples.append(((t * freq_step + c * 7) % 2000) - 1000)
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block_align, block_align, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
 # CTF MEG .ds/.res4 (S7 third format): the CTF resource file layout is
 # PUBLIC (CTF MEG File Format docs; independently implemented by MNE's
 # mne/io/ctf/res4.py): 8-byte magic 'MEG41RS\0', three 256-byte strings
@@ -524,6 +545,13 @@ def main() -> None:
                       "institution": "BIC-MNI_MCGILL"},
         },
     )
+
+    # --- PCM WAV audio (multimodal audio column)
+    wdir = _mkdir(os.path.join(HERE, "audio"))
+    write_wav(os.path.join(wdir, "sub-01_audio.wav"),
+              sample_rate=16000, channels=1, n_frames=1600, freq_step=13)
+    write_wav(os.path.join(wdir, "sub-02_audio.wav"),
+              sample_rate=8000, channels=2, n_frames=400, freq_step=29)
 
     # --- ECAT7 PET volumes (S6)
     pdir = _mkdir(os.path.join(HERE, "ecat"))

@@ -41,3 +41,19 @@ def test_decode_stub_boundary():
         decode_media(b"\xff\xd8\xff", "image/jpeg")
     out = decode_media(b"\x01\x02", "image/raw")
     assert list(out) == [1, 2]
+
+
+def test_wav_parser_rejects_and_parses():
+    from pathlib import Path
+
+    from loris_mri_spark.operators.media import parse_wav_bytes
+
+    fx = Path(__file__).parent / "fixtures" / "audio"
+    m = parse_wav_bytes((fx / "sub-01_audio.wav").read_bytes())
+    assert (m["channels"], m["sample_rate"], m["n_frames"]) == (1, 16000, 1600)
+    assert parse_wav_bytes(b"not riff data at all, clearly") is None
+    # truncated data chunk: frames clamp to whole blocks, no raise
+    raw = (fx / "sub-02_audio.wav").read_bytes()
+    t = parse_wav_bytes(raw[:100])
+    full = parse_wav_bytes(raw)
+    assert t is not None and t["n_frames"] < full["n_frames"]
