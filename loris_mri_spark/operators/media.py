@@ -125,6 +125,8 @@ def parse_wav_bytes(content: bytes) -> dict | None:
     if fmt is None or data is None or fmt[0] != 1 or fmt[5] != 16:
         return None
     _, channels, sample_rate, _, block_align, bits = fmt
+    if block_align <= 0 or sample_rate <= 0 or channels <= 0:
+        return None  # corrupt fmt chunk: classify, don't divide by zero
     n_frames = len(data) // block_align
     n_samples = n_frames * channels
     vals = struct.unpack_from(f"<{n_samples}h", data, 0)

@@ -39,17 +39,25 @@ def parse_edf_bytes(content: bytes) -> list[dict[str, Any]]:
     try:
         n_records = int(ascii_at(236, 8))
         ns = int(ascii_at(252, 4))
-    except ValueError:
+        if ns < 0 or n_records < 0:
+            return []
+        base = 256
+        labels = [ascii_at(base + 16 * c, 16) for c in range(ns)]
+        off = base + ns * (16 + 80)
+        phys_dims = [ascii_at(off + 8 * c, 8) for c in range(ns)]
+        off = base + ns * (16 + 80 + 8 + 8 + 8 + 8 + 8 + 80)
+        sprs = [int(ascii_at(off + 8 * c, 8)) for c in range(ns)]
+        header_bytes = int(ascii_at(184, 8))
+    except ValueError:  # truncated/corrupt fixed-width header fields
         return []
-    base = 256
-    labels = [ascii_at(base + 16 * c, 16) for c in range(ns)]
-    off = base + ns * (16 + 80)
-    phys_dims = [ascii_at(off + 8 * c, 8) for c in range(ns)]
-    off = base + ns * (16 + 80 + 8 + 8 + 8 + 8 + 8 + 80)
-    sprs = [int(ascii_at(off + 8 * c, 8)) for c in range(ns)]
-    header_bytes = int(ascii_at(184, 8))
+    if header_bytes < 0 or any(s < 0 for s in sprs):
+        return []
 
     record_len = sum(sprs)
+    if record_len <= 0:
+        # no sample payload (or corrupt sizes): emit channel rows with
+        # empty sample arrays rather than spinning n_records times.
+        n_records = 0
     rows: list[dict[str, Any]] = []
     per_channel: list[list[int]] = [[] for _ in range(ns)]
     pos = header_bytes

@@ -64,6 +64,8 @@ class _Cur:
         return raw.decode("ascii", "replace")
 
     def values(self, nc_type: int, nelems: int) -> tuple[str | None, float | None]:
+        if nc_type not in _NC_TYPE_SIZE or nelems < 0:
+            raise ValueError(f"corrupt attribute: type={nc_type}")
         size = _NC_TYPE_SIZE[nc_type]
         raw = self.b[self.p : self.p + size * nelems]
         self.p += size * nelems + ((4 - (size * nelems) % 4) % 4)
@@ -128,7 +130,7 @@ def parse_minc1_bytes(content: bytes) -> list[dict[str, Any]]:
             cur.i4()  # nc_type
             cur.i4()  # vsize
             cur.i4()  # begin (CDF-1: 4 bytes; header-only parse stops here)
-    except (struct.error, IndexError):
+    except (struct.error, ValueError, IndexError):
         return []
     return rows
 

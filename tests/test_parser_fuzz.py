@@ -1,0 +1,83 @@
+"""Property-based robustness: every binary header parser must CLASSIFY
+(return None/[]/partial rows), never raise, on arbitrary garbage and on
+arbitrary truncations/mutations of valid fixtures — a raise inside
+mapInPandas kills the whole scan task (the QC violation-row contract)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from loris_mri_spark.operators.media import parse_wav_bytes
+from loris_mri_spark.sources.dicom import parse_dicom_bytes
+from loris_mri_spark.sources.eeg import (
+    parse_ctf_res4_bytes,
+    parse_edf_bytes,
+    parse_eeglab_set_bytes,
+)
+from loris_mri_spark.sources.minc_ecat import (
+    parse_ecat7_directory,
+    parse_ecat7_main_header,
+    parse_minc1_bytes,
+)
+from loris_mri_spark.sources.nifti import parse_nifti_bytes
+
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
+
+PARSERS = [
+    parse_wav_bytes,
+    parse_dicom_bytes,
+    parse_ctf_res4_bytes,
+    parse_edf_bytes,
+    parse_eeglab_set_bytes,
+    parse_ecat7_main_header,
+    parse_ecat7_directory,
+    parse_minc1_bytes,
+    parse_nifti_bytes,
+]
+
+VALID = [
+    (FIXTURES / "audio" / "sub-01_audio.wav").read_bytes(),
+    (FIXTURES / "dicom" / "MR.1.1.dcm").read_bytes(),
+    (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
+     / "sub-03_task-rest_meg.res4").read_bytes(),
+    (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
+    (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes(),
+    (FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes(),
+    (FIXTURES / "minc" / "sub-01_t1w.mnc").read_bytes(),
+    (FIXTURES / "nifti" / "sub-01_T1w.nii").read_bytes(),
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2048))
+def test_parsers_never_raise_on_garbage(blob):
+    for parse in PARSERS:
+        parse(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=5000),
+)
+def test_parsers_never_raise_on_truncation(idx, cut):
+    blob = VALID[idx][:cut]
+    for parse in PARSERS:
+        parse(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=0, max_value=255),
+)
+def test_parsers_never_raise_on_byte_flip(idx, pos, val):
+    raw = bytearray(VALID[idx])
+    raw[pos % len(raw)] = val
+    blob = bytes(raw)
+    for parse in PARSERS:
+        parse(blob)
