@@ -258,17 +258,28 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     math, i < j dedup. The unbounded corpus-x-corpus form is the LSH path
     (vec_cosine_pairs_lsh); this exact variant is the oracle-checkable
     anchor the LSH recall is measured against."""
+    from loris_mri_spark.operators.vectors import dot, l2_norm
+
     e = load_table(spark, sf_dir, "embeddings")
+    # Norms are hoisted ABOVE the join (once per row, not once per pair —
+    # 3x fewer folds); cos keeps the identical dot/na/nb operation order,
+    # so the value is bit-for-bit the oracle's.
     probe = e.filter(F.col("vec_id") < 200).select(
-        F.col("vec_id").alias("i"), as_double("embedding").alias("__a")
-    )
+        F.col("vec_id").alias("i"),
+        as_double("embedding").alias("__a"),
+    ).withColumn("__na", l2_norm(F.col("__a")))
     corpus = e.select(
         F.col("vec_id").alias("j"), as_double("embedding").alias("__b")
-    )
+    ).withColumn("__nb", l2_norm(F.col("__b")))
     return (
         F.broadcast(probe)
         .join(corpus, F.col("i") < F.col("j"))
-        .select("i", "j", cosine(F.col("__a"), F.col("__b")).alias("cos"))
+        .select(
+            "i",
+            "j",
+            (dot(F.col("__a"), F.col("__b")) / F.col("__na") / F.col("__nb"))
+            .alias("cos"),
+        )
         .filter(F.col("cos") >= 0.45)
         .select("i", "j", F.round("cos", 6).alias("cos_r"))
     )
