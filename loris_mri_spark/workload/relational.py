@@ -1273,6 +1273,37 @@ def profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_percentiles_distributed",
+    oracle="""
+    SELECT l_returnflag, p,
+           ROUND(CASE p WHEN 0.5 THEN quantile_cont(l_extendedprice, 0.5)
+                        ELSE quantile_cont(l_extendedprice, 0.9) END, 4)
+             AS quantile_r
+    FROM lineitem, (VALUES (0.5), (0.9)) AS probes(p)
+    GROUP BY l_returnflag, p
+    """,
+)
+def profile_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT percentiles (operators/quantiles.py): range-sort
+    + offset arithmetic + targeted second pass — no per-group value
+    buffer, so group size never binds a single task's memory (the
+    builtin `percentile`'s failure mode at 100 TB group sizes). Same
+    linear-interpolation definition as quantile_cont, proven by the
+    oracle."""
+    from loris_mri_spark.operators.quantiles import exact_quantiles_distributed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = exact_quantiles_distributed(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+    )
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        "p",
+        F.round("quantile", 4).alias("quantile_r"),
+    )
+
+
+@query(
     "profile_approx_percentiles",
     oracle="""
     SELECT l_returnflag,

@@ -25,3 +25,29 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     )
     assert row["orders_sketch_ok"] and row["parts_sketch_ok"]
     assert row["supps_sketch_ok"]
+
+
+def test_distributed_quantiles_match_builtin(spark, sf_dir):
+    """The sort-based distributed exact quantile must equal the builtin
+    buffer-based percentile bit-for-bit (same interpolation definition,
+    same doubles)."""
+    from loris_mri_spark.operators.quantiles import exact_quantiles_distributed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in exact_quantiles_distributed(
+            li, "l_returnflag", "l_quantity", [0.0, 0.25, 0.5, 0.99, 1.0]
+        ).collect()
+    }
+    ref = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_quantity, array(0.0, 0.25, 0.5, 0.99, 1.0))"
+        ).alias("qs")
+    ).collect()
+    checked = 0
+    for r in ref:
+        for p, want in zip([0.0, 0.25, 0.5, 0.99, 1.0], r["qs"]):
+            assert abs(got[(r["l_returnflag"], p)] - want) < 1e-9
+            checked += 1
+    assert checked >= 15
