@@ -91,6 +91,34 @@ def stream_events(
     return sdf
 
 
+#: Stateful streaming operators (aggregation, dropDuplicates, joins,
+#: applyInPandasWithState) materialize one state store PER shuffle
+#: partition — snapshot + delta files per store per micro-batch. The
+#: partition count is frozen into the checkpoint at query start, so it
+#: must be sized to STATE VOLUME, not driver cores: a CPU-sized count
+#: (32-128) pays hundreds of store lifecycles to drain a small fixture.
+#: Production deployments size this per stream (state bytes / ~100 MB).
+STREAM_SHUFFLE_PARTITIONS = int(os.environ.get("LORIS_STREAM_PARTITIONS", "8"))
+
+
+class _scoped_stream_partitions:
+    """Scope spark.sql.shuffle.partitions down for a streaming drain and
+    restore it after — batch queries in the same session keep their own
+    (larger) setting."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        )
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def run_to_memory(
     sdf: DataFrame,
     output_mode: str,
@@ -99,16 +127,17 @@ def run_to_memory(
     """Drain a streaming DataFrame with availableNow into a memory sink
     and return the final result as a batch DataFrame."""
     name = f"mem_{tag}_{uuid.uuid4().hex[:8]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", _checkpoint(tag))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = sdf.sparkSession
+    with _scoped_stream_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", _checkpoint(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -128,13 +157,14 @@ def run_foreach_batch_append(
     def append_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{sink_path}/bid={batch_id}")
 
-    q = (
-        sdf.writeStream.foreachBatch(append_batch)
-        .option("checkpointLocation", _checkpoint(tag))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_stream_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", _checkpoint(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stateful_running_index(

@@ -162,23 +162,10 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound the join state buffer (the 100 TB requirement: state is
     O(watermark window), not O(stream)); the availableNow drain delivers
     everything in-watermark, so the result equals the batch interval
-    join.
-
-    The state-store cost of a stream-stream join is per shuffle
-    partition (two keyed stores, snapshot + delta files each micro-batch)
-    — with the session's CPU-sized partition count the fixture drain pays
-    ~128 store lifecycles for a few thousand rows. Scope the partition
-    count down for this query's run and restore it after; a production
-    deployment sizes it to state volume, not cores."""
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _t7_join(spark, sf_dir)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-
-
-def _t7_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    join. (State-store partition sizing: see
+    ``incremental.STREAM_SHUFFLE_PARTITIONS`` — a stream-stream join keeps
+    TWO keyed stores per shuffle partition, so it is the most sensitive
+    query to an oversized partition count.)"""
     purchases = (
         stream_events(spark, sf_dir, tag="t7-purchases")
         .filter(F.col("event_type") == "purchase")
