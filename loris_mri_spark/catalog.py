@@ -40,26 +40,72 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table as a DataFrame (lazy parquet scan).
+def set_events_read_confs(spark: SparkSession) -> None:
+    """Reader confs so ``events.ts`` arrives in a normalizable shape no
+    matter which parquet physical type the testdata era used. Both confs are
+    runtime-settable, so they are set at READ time, not session build time:
+    the engine must work on any caller-provided SparkSession (the driver
+    harness builds its own).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) — illegal for Spark's reader
-    unless ``spark.sql.legacy.parquet.nanosAsLong`` is on. That conf is
-    runtime-settable, so it is set HERE, at read time, not at session build
-    time: the engine must work on any caller-provided SparkSession (the
-    driver harness builds its own). The column then arrives as int64 nanos
-    and is exposed twice: ``ts_ns`` (exact long, use for ordering/output)
-    and ``ts`` (µs-truncated timestamp, use for window/date functions).
+    - legacy era: parquet TIMESTAMP(NANOS) is illegal for Spark's reader
+      unless ``nanosAsLong`` is on → ts reads as int64 nanos (bigint).
+    - current era: parquet ``timestamp[us]`` with isAdjustedToUTC=false
+      would infer as TIMESTAMP_NTZ; disabling NTZ inference makes the raw
+      stored micros land unshifted in a plain TIMESTAMP, independent of the
+      session timezone (verified: unix_micros(ts) == DuckDB epoch_us(ts)).
     """
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Schema-drift guard: expose events time as the invariant pair
+    ``ts_ns`` (exact long nanos — ordering/output/oracle arithmetic) and
+    ``ts`` (µs TIMESTAMP — window/date functions, stream watermarks),
+    whatever physical type ``ts`` arrived as.
+
+    The reference reads every format defensively and surfaces what's there
+    (`/root/reference/python/lib/imaging_lib/nifti.py:7-30`,
+    `dicom-archive/DICOM/DCMSUM.pm:722-736` classifies rather than fails);
+    this is the same contract applied to the catalog's own input: one
+    normalization point, so a physical-type change in the testdata never
+    propagates past this function. Round 3 learned this the hard way when
+    events.ts drifted from TIMESTAMP(NANOS) to timestamp[us] and broke
+    every ts_ns consumer.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # legacy TIMESTAMP(NANOS) read via nanosAsLong
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
+    elif dt == "timestamp_ntz":  # µs parquet under NTZ inference
+        df = df.withColumn(
+            "ts_ns",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * F.lit(1000).cast("long"),
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    elif dt == "timestamp":  # µs parquet with NTZ inference disabled
+        df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000).cast("long"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (lazy parquet scan).
+
+    ``events`` is normalized through :func:`normalize_events` so every
+    consumer sees ``ts_ns: long`` + ``ts: timestamp`` regardless of the
+    parquet physical type the testdata was written with.
+    """
+    if name == "events":
+        set_events_read_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_events(df)
     return df
 
 

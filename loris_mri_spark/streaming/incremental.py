@@ -68,7 +68,9 @@ def stream_events(
     each source a distinct tag — scratch_dir prunes earlier dirs with the
     same prefix, so a shared tag would delete the first source's staging
     out from under the running query."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from loris_mri_spark.catalog import normalize_events, set_events_read_confs
+
+    set_events_read_confs(spark)
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
     incoming = scratch_dir(tag)
@@ -84,11 +86,9 @@ def stream_events(
         .option("maxFilesPerTrigger", "1")
         .parquet(incoming)
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-        )
-    return sdf
+    # Same schema-drift guard as the batch path: ts_ns long + ts TIMESTAMP
+    # whatever the parquet physical type (bigint nanos / ntz µs / µs).
+    return normalize_events(sdf)
 
 
 #: Stateful streaming operators (aggregation, dropDuplicates, joins,
