@@ -11,14 +11,19 @@ linear-interpolated quantiles with NO per-group buffer:
    — a distributed sort, every partition bounded by
    ``spark.sql.files.maxPartitionBytes``-style sizing, never by group
    size;
-2. count rows per (partition, group) — a tiny aggregate (#partitions x
-   #groups rows) collected to the driver to build global offsets (this is
-   metadata, not data: for 10k partitions x 1k groups it is 10M small
-   rows at most, and typically far less);
-3. broadcast the target global ranks (floor/ceil of p*(n-1) per group and
-   probe) and make ONE more pass that emits only the ~2 x #groups x
-   #probes rows sitting at those ranks;
-4. interpolate: lo + frac * (hi - lo) — the quantile_cont definition.
+2. count rows per (partition, group) — a tiny aggregate that STAYS
+   distributed: block start offsets are a prefix sum over partition id
+   (``sum(c) over (partition by g order by pid)``), group totals a plain
+   rollup. Nothing of size O(#partitions x #groups) ever reaches the
+   driver;
+3. locate each target global rank's (partition, local index) by joining
+   the per-group target ranks (floor/ceil of p*(n-1) per probe) against
+   the offset blocks — the ONLY collected/broadcast artifact is this
+   needed-ranks table, O(#groups x #probes), independent of partition
+   count;
+4. one more scan emits only the rows sitting at those local indices;
+5. interpolate lo + frac * (hi - lo) — the quantile_cont definition —
+   as a DataFrame join, not driver-side arithmetic.
 
 Wall-clock cost: one shuffle (the range sort) + one tiny agg + one scan.
 The reference has no distributed-percentile analogue (its QA profiling
@@ -27,12 +32,11 @@ runs in SQL on MySQL); this is the engine-native replacement.
 
 from __future__ import annotations
 
-import bisect
 from typing import Iterator, Sequence
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,82 +67,119 @@ def exact_quantiles_distributed(
     )
     g_type = data.schema["g"].dataType.simpleString()
 
-    # Pass 1: per-(partition, group) counts -> global offsets. The count
-    # table is metadata-sized; collect is deliberate and bounded.
-    counts = (
-        data.groupBy(F.spark_partition_id().alias("pid"), "g")
-        .agg(F.count("*").alias("c"))
-        .collect()
+    # Pass 1 (distributed): per-(partition, group) counts -> block start
+    # offsets via prefix sum over pid, group totals via rollup. Partitions
+    # are range-ordered, so pid order == value order within a group.
+    counts = data.groupBy(F.spark_partition_id().alias("pid"), "g").agg(
+        F.count("*").alias("c")
     )
-    totals: dict = {}
-    per_pid: dict = {}
-    for r in counts:
-        totals[r["g"]] = totals.get(r["g"], 0) + r["c"]
-        per_pid.setdefault(r["g"], []).append((r["pid"], r["c"]))
-    # start offset of each (group, pid) block in the group's global order
-    # (partitions are range-ordered, so pid order == value order).
-    starts: dict = {}
-    for g, lst in per_pid.items():
-        off = 0
-        for pid, c in sorted(lst):
-            starts[(g, pid)] = off
-            off += c
+    w_prefix = (
+        Window.partitionBy("g")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # Renamed columns: offsets and the params/target_ranks branch share
+    # lineage through `counts`, and a same-name join between them trips
+    # Spark's ambiguous-self-join detection.
+    offsets = counts.withColumn(
+        "start", F.coalesce(F.sum("c").over(w_prefix), F.lit(0))
+    ).select(
+        F.col("pid").alias("o_pid"),
+        F.col("g").alias("o_g"),
+        F.col("c").alias("o_c"),
+        "start",
+    )
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
 
-    # Target global ranks per group: floor/ceil of p*(n-1), 0-based.
-    targets: dict = {}  # g -> sorted list of needed ranks
-    params: dict = {}  # g -> [(p, lo_rank, hi_rank, frac)]
-    for g, n in totals.items():
-        plist = []
-        need = set()
-        for p in probs:
-            pos = p * (n - 1)
-            lo = int(pos)
-            hi = min(lo + 1, n - 1)
-            plist.append((p, lo, hi, pos - lo))
-            need.add(lo)
-            need.add(hi)
-        targets[g] = sorted(need)
-        params[g] = plist
+    # Per-(group, probe) interpolation params; per-group target ranks are
+    # the distinct floor/ceil positions. Both are metadata-sized
+    # (#groups x #probes).
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    params = (
+        totals.join(F.broadcast(probs_df))
+        .withColumn("pos", F.col("p") * (F.col("n") - 1))
+        .withColumn("lo", F.floor("pos"))
+        .withColumn("hi", F.least(F.col("lo") + 1, F.col("n") - 1))
+        .withColumn("frac", F.col("pos") - F.col("lo"))
+        .select("g", "p", "lo", "hi", "frac")
+    )
+    target_ranks = params.select(
+        "g", F.explode(F.array("lo", "hi")).alias("rank")
+    ).distinct()
 
-    b_targets = spark.sparkContext.broadcast((targets, starts))
+    # Locate each target rank's block: rank in [start, start + c). A
+    # broadcast equi-join on g with the range condition as a residual
+    # filter — both sides metadata-sized.
+    needed = (
+        F.broadcast(target_ranks)
+        .join(
+            offsets,
+            on=[
+                F.col("g") == F.col("o_g"),
+                F.col("rank") >= F.col("start"),
+                F.col("rank") < F.col("start") + F.col("o_c"),
+            ],
+        )
+        .select(
+            F.col("o_pid").alias("pid"),
+            "g",
+            (F.col("rank") - F.col("start")).alias("local_idx"),
+            "rank",
+        )
+    )
+    # The ONLY driver materialization: O(#groups x #probes x 2) rows,
+    # independent of #partitions — safe to broadcast at any scale the
+    # probe list itself is sane at.
+    need_map: dict = {}
+    for r in needed.collect():
+        need_map.setdefault((r["pid"], r["g"]), {})[r["local_idx"]] = r["rank"]
+    b_need = spark.sparkContext.broadcast(need_map)
 
     def pick(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Emit only the rows whose global rank within their group is a
-        target rank. Runs on the range-sorted data, so local order ==
-        global order and a row's global rank = block start + local index."""
-        tmap, smap = b_targets.value
+        """Emit only the rows whose local index within (partition, group)
+        is wanted. Runs on the range-sorted data, so local order == global
+        order and the emitted global rank comes from the needed-ranks map."""
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
+        nmap = b_need.value
         local_idx: dict = {}
         for pdf in pdfs:
             out_g, out_r, out_v = [], [], []
             for g, v in zip(pdf["g"], pdf["v"]):
                 i = local_idx.get(g, 0)
                 local_idx[g] = i + 1
-                rank = smap.get((g, pid), 0) + i
-                want = tmap.get(g)
-                if want:
-                    j = bisect.bisect_left(want, rank)
-                    if j < len(want) and want[j] == rank:
-                        out_g.append(g)
-                        out_r.append(rank)
-                        out_v.append(v)
+                want = nmap.get((pid, g))
+                if want is not None and i in want:
+                    out_g.append(g)
+                    out_r.append(want[i])
+                    out_v.append(v)
             yield pd.DataFrame({"g": out_g, "rank": out_r, "v": out_v})
 
-    picked = {
-        (r["g"], r["rank"]): r["v"]
-        for r in data.mapInPandas(pick, schema=f"g {g_type}, rank long, v double")
-        .collect()
-    }
+    picked = data.mapInPandas(pick, schema=f"g {g_type}, rank long, v double")
 
-    rows = []
-    for g, plist in params.items():
-        for p, lo, hi, frac in plist:
-            vlo = picked[(g, lo)]
-            vhi = picked[(g, hi)]
-            # quantile_cont interpolation: lo + frac * (hi - lo)
-            rows.append((g, float(p), vlo + frac * (vhi - vlo)))
-    return spark.createDataFrame(
-        rows, schema=f"g {g_type}, p double, quantile double"
+    # Interpolate as a join: params x picked(lo) x picked(hi). picked is
+    # #groups x #probes rows — broadcast both probes.
+    v_lo = picked.select(
+        F.col("g").alias("g_lo"), F.col("rank").alias("r_lo"), F.col("v").alias("v_lo")
+    )
+    v_hi = picked.select(
+        F.col("g").alias("g_hi"), F.col("rank").alias("r_hi"), F.col("v").alias("v_hi")
+    )
+    return (
+        params.join(
+            F.broadcast(v_lo),
+            on=[params["g"] == v_lo["g_lo"], params["lo"] == v_lo["r_lo"]],
+        )
+        .join(
+            F.broadcast(v_hi),
+            on=[params["g"] == v_hi["g_hi"], params["hi"] == v_hi["r_hi"]],
+        )
+        .select(
+            "g",
+            "p",
+            (F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo"))).alias(
+                "quantile"
+            ),
+        )
     )
