@@ -299,6 +299,101 @@ def read_ctf_headers(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(run, schema=CTF_SCHEMA)
 
 
+# The companion .meg4 DATA file (same public CTF docs; MNE's
+# mne/io/ctf/read.py implements the identical layout): 8-byte magic
+# 'MEG41CP\0', then raw int32 BIG-endian samples ordered
+# (trial, channel, sample). The reference chunks exactly this stream
+# (`python/lib/physio/chunking.py:48-57` shells out to ctf-to-chunks);
+# here the decode is native and the chunk pyramid (workload/signals.py)
+# consumes the rows directly. Values are DIGITAL counts — physical-unit
+# conversion needs the per-channel gains in res4's variable-length
+# sensor table, which stays on the injected-loader seam.
+
+CTF_CHANNEL_SCHEMA = (
+    "path string, trial int, channel_idx int, n_samples int, "
+    "samples array<long>"
+)
+
+
+def parse_meg4_samples(
+    content: bytes, n_channels: int, n_samples: int
+) -> list[dict[str, Any]]:
+    """Decode a .meg4 byte stream into per-(trial, channel) rows. Dims come
+    from the sibling .res4 header. Trailing partial trials (interrupted
+    acquisition/transfer) are dropped, mirroring the EDF reader's truncated-
+    record handling; bad magic returns [] (classify, don't fail)."""
+    if len(content) < 8 or content[:8] != b"MEG41CP\x00":
+        return []
+    if n_channels <= 0 or n_samples <= 0:
+        return []
+    trial_bytes = 4 * n_channels * n_samples
+    n_trials_present = (len(content) - 8) // trial_bytes if trial_bytes else 0
+    rows: list[dict[str, Any]] = []
+    for t in range(n_trials_present):
+        base = 8 + t * trial_bytes
+        for c in range(n_channels):
+            off = base + 4 * c * n_samples
+            vals = struct.unpack_from(f">{n_samples}i", content, off)
+            rows.append(
+                {
+                    "trial": t,
+                    "channel_idx": c,
+                    "n_samples": n_samples,
+                    "samples": list(vals),
+                }
+            )
+    return rows
+
+
+def read_ctf_channels(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Per-(trial, channel) sample rows from CTF .ds datasets: the .meg4
+    data stream decoded with dims from the sibling .res4 header.
+
+    Spark-first shape: the header table (one tiny row per .ds) is
+    broadcast-joined onto the .meg4 binaries on the .ds directory — no
+    shuffle of sample payloads; the decode is an Arrow-batched mapInPandas
+    over the joined rows. At 100 TB the .meg4 scan partitions by file and
+    each task decodes only its own blobs."""
+    from pyspark.sql import functions as F
+
+    headers = (
+        read_ctf_headers(spark, path_glob)
+        .filter("is_readable")
+        .select(
+            F.regexp_replace("path", "/[^/]+$", "").alias("ds_dir"),
+            "n_channels",
+            F.col("n_samples").alias("hdr_n_samples"),
+        )
+    )
+    meg4 = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.meg4")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select(
+            "path",
+            F.regexp_replace("path", "/[^/]+$", "").alias("ds_dir"),
+            "content",
+        )
+    )
+    joined = meg4.join(F.broadcast(headers), "ds_dir").select(
+        "path", "content", "n_channels", "hdr_n_samples"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in CTF_CHANNEL_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content, nch, ns in zip(
+                pdf["path"], pdf["content"], pdf["n_channels"], pdf["hdr_n_samples"]
+            ):
+                for r in parse_meg4_samples(bytes(content), int(nch), int(ns)):
+                    rows.append({"path": path, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(run, schema=CTF_CHANNEL_SCHEMA)
+
+
 def read_eeglab_channels(spark: SparkSession, path_glob: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")

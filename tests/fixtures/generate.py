@@ -423,6 +423,22 @@ def write_ctf_res4(path: str, app_name: str, data_date: str, data_time: str,
         f.write(bytes(buf))
 
 
+# The companion .meg4 data file (same CTF docs; MNE's mne/io/ctf/read.py
+# reads the identical layout): 8-byte magic 'MEG41CP\x00', then raw int32
+# BIG-endian samples ordered (trial, channel, sample) — for each trial,
+# each channel's no_samples values are consecutive.
+def write_ctf_meg4(path: str, n_trials: int, n_channels: int,
+                   n_samples: int) -> None:
+    vals = [
+        t * 1000 + c * 100 + s - 50
+        for t in range(n_trials)
+        for c in range(n_channels)
+        for s in range(n_samples)
+    ]
+    with open(path, "wb") as f:
+        f.write(b"MEG41CP\x00" + struct.pack(f">{len(vals)}i", *vals))
+
+
 def main() -> None:
     # --- DICOM study: 2 series x 3 instances + 1 non-dicom stray file
     ddir = _mkdir(os.path.join(HERE, "dicom"))
@@ -518,6 +534,17 @@ def main() -> None:
                    app_name="Acq v6.0", data_date="13/08/2012",
                    data_time="10:30", n_samples=1200, n_channels=275,
                    sample_rate=600.0, duration=2.0, n_trials=1)
+
+    # --- CTF .ds with SAMPLE DATA (.res4 + .meg4 pair): small dims so the
+    # fixture stays tiny; sub-03 above deliberately has no .meg4 (header
+    # registered, data not yet transferred — a real acquisition state).
+    ctf_ds2 = _mkdir(os.path.join(edir, "sub-04_task-rest_meg.ds"))
+    write_ctf_res4(os.path.join(ctf_ds2, "sub-04_task-rest_meg.res4"),
+                   app_name="Acq v6.0", data_date="14/08/2012",
+                   data_time="09:15", n_samples=16, n_channels=4,
+                   sample_rate=150.0, duration=16 / 150.0, n_trials=2)
+    write_ctf_meg4(os.path.join(ctf_ds2, "sub-04_task-rest_meg.meg4"),
+                   n_trials=2, n_channels=4, n_samples=16)
 
     # --- MINC1 volumes (S5, NetCDF classic)
     mdir = _mkdir(os.path.join(HERE, "minc"))

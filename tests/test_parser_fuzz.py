@@ -16,6 +16,7 @@ from loris_mri_spark.sources.eeg import (
     parse_ctf_res4_bytes,
     parse_edf_bytes,
     parse_eeglab_set_bytes,
+    parse_meg4_samples,
 )
 from loris_mri_spark.sources.minc_ecat import (
     parse_ecat7_directory,
@@ -32,6 +33,7 @@ PARSERS = [
     parse_ctf_res4_bytes,
     parse_edf_bytes,
     parse_eeglab_set_bytes,
+    lambda b: parse_meg4_samples(b, 4, 16),
     parse_ecat7_main_header,
     parse_ecat7_directory,
     parse_minc1_bytes,
@@ -45,6 +47,8 @@ VALID = [
      / "sub-03_task-rest_meg.res4").read_bytes(),
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
     (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes(),
+    (FIXTURES / "eeg" / "sub-04_task-rest_meg.ds"
+     / "sub-04_task-rest_meg.meg4").read_bytes(),
     (FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes(),
     (FIXTURES / "minc" / "sub-01_t1w.mnc").read_bytes(),
     (FIXTURES / "nifti" / "sub-01_T1w.nii").read_bytes(),
@@ -81,3 +85,16 @@ def test_parsers_never_raise_on_byte_flip(idx, pos, val):
     blob = bytes(raw)
     for parse in PARSERS:
         parse(blob)
+
+
+def test_meg4_truncation_drops_partial_trial():
+    """A .meg4 cut mid-trial must yield only the complete leading trials
+    (the EDF truncated-record contract applied to CTF data blocks)."""
+    raw = (FIXTURES / "eeg" / "sub-04_task-rest_meg.ds"
+           / "sub-04_task-rest_meg.meg4").read_bytes()
+    full = parse_meg4_samples(raw, 4, 16)
+    assert len(full) == 8  # 2 trials x 4 channels
+    assert full[0]["samples"][0] == -50
+    assert full[-1]["samples"][-1] == 1 * 1000 + 3 * 100 + 15 - 50
+    cut = parse_meg4_samples(raw[: 8 + 4 * 4 * 16 + 12], 4, 16)
+    assert [r["trial"] for r in cut] == [0, 0, 0, 0]
