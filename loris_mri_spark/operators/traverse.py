@@ -68,3 +68,55 @@ def transitive_closure(
         )
 
     return visited.select(F.col("__id").alias(id_col))
+
+
+def ancestor_closure(
+    nodes: DataFrame,
+    id_col: str = "node_id",
+    parent_col: str = "parent_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, ancestor, dist) pairs for a self-referencing parent-pointer
+    table — the `hed_schema_node` shape
+    (`/root/reference/python/lib/db/models/hed_schema_node.py:7-16`): every
+    node paired with each of its strict ancestors and the hop count.
+
+    Unlike :func:`transitive_closure` this KEEPS the origin node, so the
+    result is a joinable closure table: parsed tags broadcast-join to it to
+    pull full ancestor paths without per-row recursion. Ontologies are
+    metadata-sized (HED ~1-2k nodes), so each iteration joins tiny frames;
+    the loop runs O(tree depth) rounds and raises on cap exhaustion like
+    transitive_closure (a truncated closure would silently drop ancestors).
+    """
+    edges = nodes.select(
+        F.col(id_col).alias("__n"), F.col(parent_col).alias("__a")
+    ).filter(F.col("__a").isNotNull())
+    out = edges.withColumn("dist", F.lit(1)).localCheckpoint()
+    frontier = out
+    for _ in range(max_iterations):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.__a") == F.col("e.__n"))
+            .select(
+                F.col("f.__n").alias("__n"),
+                F.col("e.__a").alias("__a"),
+                (F.col("f.dist") + 1).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        out = out.unionByName(nxt)
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"ancestor_closure did not drain in {max_iterations} "
+            "iterations (tree deeper than the cap, or a parent cycle); "
+            "raise max_iterations"
+        )
+
+    return out.select(
+        F.col("__n").alias(id_col),
+        F.col("__a").alias("ancestor_id"),
+        "dist",
+    )

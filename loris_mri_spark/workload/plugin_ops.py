@@ -116,3 +116,99 @@ def x4_hed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node.depth").alias("depth"),
         F.col("node.item").alias("item"),
     )
+
+
+# A hed_schema_node-shaped ontology slice (id, name, parent_id) — the
+# self-referencing tree the reference walks when assigning parsed HED tags
+# to schema nodes (`python/lib/db/models/hed_schema_node.py:7-16`,
+# `lib/physio/hed.py:63-120`). Metadata-sized in production (the full HED
+# schema is ~2k nodes), so it broadcasts.
+_HED_NODES = [
+    (1, "Event", None),
+    (2, "Sensory-event", 1),
+    (3, "Agent-action", 1),
+    (4, "Property", None),
+    (5, "Informational-property", 4),
+    (6, "Label", 5),
+    (7, "Parameter", 5),
+    (8, "Value", 7),
+]
+
+_HED_NODES_SQL = ", ".join(
+    f"({i}, '{n}', {p if p is not None else 'CAST(NULL AS INT)'})"
+    for i, n, p in _HED_NODES
+)
+
+
+@query(
+    "x4b_hed_ancestors",
+    oracle=f"""
+    WITH RECURSIVE
+    nodes(node_id, name, parent_id) AS (VALUES {_HED_NODES_SQL}),
+    tags AS (
+      SELECT event_id, 'Sensory-event' AS tag FROM events
+      UNION ALL
+      SELECT event_id, 'Label/' || event_type FROM events
+      UNION ALL
+      SELECT event_id, 'Value/' || json_extract_string(props, '$.k')
+      FROM events
+    ),
+    closure AS (
+      SELECT n.node_id, n.parent_id AS ancestor_id, 1 AS dist
+      FROM nodes n WHERE n.parent_id IS NOT NULL
+      UNION ALL
+      SELECT c.node_id, n.parent_id, c.dist + 1
+      FROM closure c JOIN nodes n ON n.node_id = c.ancestor_id
+      WHERE n.parent_id IS NOT NULL
+    )
+    SELECT t.event_id, t.tag, a.name AS ancestor, CAST(c.dist AS INT) AS dist
+    FROM tags t
+    JOIN nodes n ON n.name = split_part(t.tag, '/', 1)
+    JOIN closure c ON c.node_id = n.node_id
+    JOIN nodes a ON a.node_id = c.ancestor_id
+    """,
+)
+def x4b_hed_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 completion: parsed HED tags joined to the hed_schema_node
+    ontology with full ancestor paths. The closure of the (tiny) ontology
+    is computed once by iterative keep-origin joins
+    (operators/traverse.ancestor_closure — the DataFrame form of the
+    recursive CTE) and broadcast onto the exploded tag rows, so the big
+    side is touched exactly once and never recursed over."""
+    from loris_mri_spark.operators.traverse import ancestor_closure
+
+    nodes = spark.createDataFrame(
+        _HED_NODES, "node_id int, name string, parent_id int"
+    )
+    closure = ancestor_closure(nodes)
+
+    e = load_table(spark, sf_dir, "events")
+    hed = e.select(
+        "event_id",
+        F.concat(
+            F.lit("Sensory-event,(Label/"),
+            F.col("event_type"),
+            F.lit(",Value/"),
+            F.get_json_object("props", "$.k"),
+            F.lit(")"),
+        ).alias("hed"),
+    )
+    tags = hed.select(
+        "event_id",
+        F.explode(hed_parse_udf(F.col("hed"))).alias("node"),
+    ).select("event_id", F.col("node.tag").alias("tag"))
+
+    names = nodes.select("node_id", "name")
+    anc_names = nodes.select(
+        F.col("node_id").alias("ancestor_id"), F.col("name").alias("ancestor")
+    )
+    resolved = (
+        F.broadcast(closure)
+        .join(F.broadcast(names), "node_id")
+        .join(F.broadcast(anc_names), "ancestor_id")
+        .select("name", "ancestor", "dist")
+    )
+    return tags.join(
+        F.broadcast(resolved),
+        F.split(tags["tag"], "/").getItem(0) == resolved["name"],
+    ).select("event_id", "tag", "ancestor", "dist")
