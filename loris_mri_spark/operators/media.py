@@ -36,17 +36,120 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_bytes(content: bytes) -> "np.ndarray | None":
+    """REAL stdlib PNG decode (zlib inflate + scanline unfilter, all five
+    filter types per the public PNG spec): 8-bit grayscale (color type 0),
+    RGB (2) and RGBA (6), non-interlaced. Returns an (H, W) or (H, W, C)
+    uint8 array; anything else — bad signature, truncated chunks, palette
+    or 16-bit or interlaced images — returns None (classify, don't fail;
+    those remain on the injected-decoder seam with JPEG/video).
+
+    This closes the codec boundary for PNG: `sinks.png_preview` writes
+    PNGs, this reads any compliant encoder's output, and the pair
+    roundtrips bit-exactly (pinned by the mm_decode_png_roundtrip oracle).
+    """
+    import zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack_from(">I", content, pos)
+            tag = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None  # truncated chunk
+            if tag == b"IHDR":
+                if length < 13:
+                    return None
+                width, height, depth, color_type, comp, filt, interlace = (
+                    struct.unpack_from(">IIBBBBB", data, 0)
+                )
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                    return None
+                if color_type not in (0, 2, 6):
+                    return None
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length  # len + tag + data + crc
+        if width is None or not idat or width == 0 or height == 0:
+            return None
+        channels = {0: 1, 2: 3, 6: 4}[color_type]
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) < height * (1 + stride):
+            return None
+        out = bytearray(height * stride)
+        for y in range(height):
+            f = raw[y * (1 + stride)]
+            line = bytearray(
+                raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+            )
+            prev_off = (y - 1) * stride
+            if f == 1:  # Sub
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 0xFF
+            elif f == 2:  # Up
+                if y:
+                    for x in range(stride):
+                        line[x] = (line[x] + out[prev_off + x]) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = out[prev_off + x] if y else 0
+                    line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = out[prev_off + x] if y else 0
+                    c = out[prev_off + x - channels] if (y and x >= channels) else 0
+                    line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+            elif f != 0:
+                return None  # invalid filter byte
+            out[y * stride : (y + 1) * stride] = line
+        arr = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+            height, width, channels
+        )
+        return arr[:, :, 0] if channels == 1 else arr
+    except (struct.error, zlib.error, ValueError, IndexError):
+        return None
+
+
 def decode_media(content: bytes, media_type: str,
                  decoder: Callable[[bytes], "np.ndarray"] | None = None) -> "np.ndarray":
-    """STUB BOUNDARY: real codec decode requires an imaging library not
-    present in this runtime. Inject ``decoder`` (e.g. PIL/ffmpeg-backed)
-    to decode actual media; without one, raw bytes are interpreted as
-    8-bit grayscale — deterministic, so every downstream stage is
-    testable."""
+    """CODEC SEAM: inject ``decoder`` (e.g. PIL/ffmpeg-backed) to decode
+    formats the engine has no native reader for. Native paths: PNG decodes
+    with the stdlib reader above; ``image/raw`` interprets bytes as 8-bit
+    grayscale. Only JPEG/video remain injected-only — the runtime image
+    ships no imaging libraries."""
     if decoder is not None:
         return decoder(content)
     if media_type in ("image/raw", "application/octet-stream"):
         return np.frombuffer(content, dtype=np.uint8)
+    if media_type == "image/png":
+        arr = decode_png_bytes(content)
+        if arr is None:
+            raise ValueError("corrupt or unsupported PNG stream")
+        return arr.reshape(-1) if arr.ndim == 2 else arr
     raise NotImplementedError(
         f"no decoder for media_type={media_type!r}; inject decoder="
     )
@@ -95,6 +198,46 @@ def extract_features(df: DataFrame, content_col: str, id_col: str,
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, n_png_bytes long, width int, height int, mean_px double, "
+    "px_00 int, px_77 int"
+)
+
+
+def extract_png_features(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Decode a PNG binary column with the native stdlib reader and emit
+    dims + exact pixel stats (integer sum -> one IEEE division, the
+    oracle-reproducible contract shared with extract_features). Undecodable
+    blobs are dropped — the violation-row pattern, not a task failure."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in PNG_FEATURE_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(blob)
+                arr = decode_png_bytes(b)
+                if arr is None:
+                    continue
+                gray = arr if arr.ndim == 2 else arr[:, :, 0]
+                h, w = gray.shape
+                s = int(gray.astype("int64").sum())
+                rows.append(
+                    {
+                        "doc_id": int(i),
+                        "n_png_bytes": len(b),
+                        "width": w,
+                        "height": h,
+                        "mean_px": s / (h * w),
+                        "px_00": int(gray[0, 0]),
+                        "px_77": int(gray[-1, -1]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
 
 
 WAV_SCHEMA = (

@@ -151,3 +151,44 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("thumb", 1).alias("thumb_00"),
         F.element_at("thumb", 16).alias("thumb_33"),
     )
+
+
+@query(
+    "mm_decode_png_roundtrip",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents
+    ),
+    px AS (
+      SELECT doc_id, CAST(p AS INT) AS p,
+             CAST(ascii(substr(text, CAST(p % len AS INT) + 1, 1))
+                  AS BIGINT) AS v
+      FROM d, unnest(range(0, 64)) t(p)
+    )
+    SELECT doc_id,
+           CAST(140 AS BIGINT) AS n_png_bytes,
+           8 AS width, 8 AS height,
+           CAST(SUM(v) AS DOUBLE) / 64 AS mean_px,
+           CAST(MAX(CASE WHEN p = 0 THEN v END) AS INT) AS px_00,
+           CAST(MAX(CASE WHEN p = 63 THEN v END) AS INT) AS px_77
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG codec roundtrip, both directions NATIVE: each document's bytes
+    become an 8x8 grayscale thumbnail encoded as a real PNG
+    (sinks.png_preview_udf, stored-deflate zlib), then decoded back by the
+    stdlib PNG reader (operators/media.decode_png_bytes — chunk walk,
+    inflate, scanline unfilter) and reduced to exact pixel stats. The
+    oracle recomputes every pixel from the source text independently of
+    both codecs, so a bug in EITHER the encoder or the decoder breaks the
+    hash. n_png_bytes pins the stored-deflate framing (140 bytes for 8x8:
+    8 sig + 25 IHDR + 95 IDAT + 12 IEND)."""
+    from loris_mri_spark.operators.media import extract_png_features
+    from loris_mri_spark.sinks import png_preview_udf
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    pngs = d.select("doc_id", png_preview_udf(F.col("content"), 8).alias("png"))
+    return extract_png_features(pngs, "png", "doc_id")

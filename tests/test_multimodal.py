@@ -57,3 +57,96 @@ def test_wav_parser_rejects_and_parses():
     t = parse_wav_bytes(raw[:100])
     full = parse_wav_bytes(raw)
     assert t is not None and t["n_frames"] < full["n_frames"]
+
+
+def _png_with_filters(img: np.ndarray, filters: list[int],
+                      color_type: int = 0) -> bytes:
+    """Spec-correct FORWARD filtering encoder (independent of the engine's
+    stored-filter-0 sinks.png_preview): each scanline filtered per the
+    PNG spec with the requested filter type, zlib-compressed. Decoding
+    must recover the original image exactly for every filter type."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h, w * channels).astype(np.int64)
+    stride = w * channels
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for x in range(stride):
+            v = int(flat[y, x])
+            a = int(flat[y, x - channels]) if x >= channels else 0
+            b = int(flat[y - 1, x]) if y else 0
+            c = int(flat[y - 1, x - channels]) if (y and x >= channels) else 0
+            if f == 0:
+                out = v
+            elif f == 1:
+                out = v - a
+            elif f == 2:
+                out = v - b
+            elif f == 3:
+                out = v - (a + b) // 2
+            else:
+                out = v - paeth(a, b, c)
+            raw.append(out & 0xFF)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    from loris_mri_spark.operators.media import decode_png_bytes
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(16, 13), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png_bytes(_png_with_filters(gray, filters))
+        assert got is not None and np.array_equal(got, gray), filters
+    rgb = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    got = decode_png_bytes(_png_with_filters(rgb, [0, 1, 2, 3, 4], color_type=2))
+    assert got is not None and np.array_equal(got, rgb)
+    rgba = rng.integers(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    got = decode_png_bytes(_png_with_filters(rgba, [4, 3, 2, 1], color_type=6))
+    assert got is not None and np.array_equal(got, rgba)
+
+
+def test_png_encode_decode_roundtrip():
+    from loris_mri_spark.operators.media import decode_png_bytes
+    from loris_mri_spark.sinks import png_preview
+
+    rows = [[(r * 31 + c * 7) % 256 for c in range(8)] for r in range(8)]
+    arr = decode_png_bytes(png_preview(rows))
+    assert arr is not None
+    assert arr.tolist() == rows
+
+
+def test_png_decode_classifies_unsupported():
+    from loris_mri_spark.operators.media import decode_png_bytes
+    from loris_mri_spark.sinks import png_preview
+
+    good = png_preview([[1, 2], [3, 4]])
+    assert decode_png_bytes(b"notapng") is None
+    assert decode_png_bytes(good[:20]) is None
+    # 16-bit depth: flip the IHDR depth byte -> classify, not raise
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    assert decode_png_bytes(bytes(bad_depth)) is None

@@ -10,7 +10,7 @@ from pathlib import Path
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from loris_mri_spark.operators.media import parse_wav_bytes
+from loris_mri_spark.operators.media import decode_png_bytes, parse_wav_bytes
 from loris_mri_spark.sources.dicom import parse_dicom_bytes
 from loris_mri_spark.sources.eeg import (
     parse_ctf_res4_bytes,
@@ -28,6 +28,7 @@ from loris_mri_spark.sources.nifti import parse_nifti_bytes
 FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
 PARSERS = [
+    decode_png_bytes,
     parse_wav_bytes,
     parse_dicom_bytes,
     parse_ctf_res4_bytes,
