@@ -204,3 +204,43 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(pairs, "i", "j")
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def _winnow_pairs_oracle() -> str:
+    from loris_mri_spark.workload.text import WINNOW_FP_CTE
+
+    return f"""
+    WITH {WINNOW_FP_CTE},
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             len(list_intersect(a.fp, b.fp)) AS c,
+             len(a.fp) AS na, len(b.fp) AS nb
+      FROM final a JOIN final b ON a.doc_id < b.doc_id)
+    SELECT i, j, ROUND(c * 1.0 / (na + nb - c), 4) AS jaccard_r
+    FROM pairs
+    WHERE c * 1.0 / (na + nb - c) >= 0.5
+    """
+
+
+@query("dedup_winnow_pairs", oracle=_winnow_pairs_oracle())
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs over WINNOWED fingerprints (the MOSS detector shape):
+    the inverted index is built from each document's winnow mins — a
+    guaranteed-coverage SUBSAMPLE of its 5-gram hashes (one min per
+    sliding window) — so posting lists are ~1/window_size the size of the
+    raw shingle index while any shared run of >= window+gram chars still
+    collides. Candidates then verify with exact fingerprint Jaccard >= 0.5.
+    Distinct modality from dedup_ngram_jaccard_pairs (full shingle index,
+    word 3-grams): this is the cheap pass a 100 TB pipeline runs first.
+    Oracle = brute-force cross join over the same fingerprints."""
+    from loris_mri_spark.workload.text import winnow_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", norm_text("text").alias("nrm")
+    ).select("doc_id", winnow_fingerprint(F.col("nrm")).alias("fp")).filter(
+        F.size("fp") > 0
+    )
+    return jaccard_pairs(fps, "doc_id", "fp", threshold=0.5).select(
+        "i", "j", F.round("jaccard", 4).alias("jaccard_r")
+    )

@@ -237,10 +237,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_fingerprint_winnow",
-    oracle=f"""
-    WITH grams AS (
+def winnow_fingerprint(nrm: Column) -> Column:
+    """Winnowing fingerprint of a normalized-text column: char 5-gram
+    md5_60 hashes, min per sliding window of 4, distinct-sorted — the
+    rolling-hash document fingerprint (pure Column expression, single
+    codegen'd pass). Shared by the per-doc fingerprint query and the
+    winnow-based near-dup pair finder (workload/dedup.py).
+
+    Every intermediate array is `let`-bound (functions/texthash.let):
+    aliased arrays referenced inside higher-order lambdas are re-evaluated
+    per element after projection collapse — the naive aliased version of
+    this expression was quadratic per row (minutes, not seconds, at
+    sf0.01)."""
+    from loris_mri_spark.functions.texthash import let, md5_60
+
+    empty = F.array().cast("array<bigint>")
+    grams = F.when(
+        F.length(nrm) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.length(nrm) - 4),
+            lambda i: md5_60(F.substr(nrm, i, F.lit(5))),
+        ),
+    ).otherwise(empty)
+
+    def windows(h: Column) -> Column:
+        # Guard: Spark's sequence(1, 0) counts DOWN, so short docs need
+        # an explicit empty branch (DuckDB's range(1, 0) is empty).
+        return F.when(
+            F.size(h) >= 4,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - 3),
+                        lambda i: F.array_min(F.slice(h, i, 4)),
+                    )
+                )
+            ),
+        ).otherwise(empty)
+
+    return let(grams, windows)
+
+
+# DuckDB form of winnow_fingerprint, shared by this module's oracle and
+# the dedup pair-finder's (CTE yielding final(doc_id, fp)).
+WINNOW_FP_CTE = f"""
+    grams AS (
       SELECT doc_id,
              list_transform(range(1, length({_NORM}) - 3),
                i -> CAST(('0x' || substr(md5(substr({_NORM}, i, 5)), 1, 15))
@@ -254,6 +295,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams),
     final AS (
       SELECT doc_id, fp FROM wins WHERE len(fp) > 0)
+"""
+
+
+@query(
+    "text_fingerprint_winnow",
+    oracle=f"""
+    WITH {WINNOW_FP_CTE}
     SELECT doc_id,
            CAST(len(fp) AS BIGINT) AS n_fp,
            md5(array_to_string(list_transform(fp, x -> CAST(x AS VARCHAR)), ','))
@@ -264,46 +312,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprint (rolling-hash): char 5-gram md5_60
     hashes, min per sliding window of 4, distinct-sorted mins hashed to a
-    single fingerprint id. Single codegen'd pass, no shuffle.
-
-    Every intermediate array is `let`-bound (functions/texthash.let):
-    aliased arrays referenced inside higher-order lambdas are re-evaluated
-    per element after projection collapse — the naive aliased version of
-    this query was quadratic per row (minutes, not seconds, at sf0.01).
-    """
-    from loris_mri_spark.functions.texthash import let, md5_60
-
-    empty = F.array().cast("array<bigint>")
-
-    def fingerprint(nrm: Column) -> Column:
-        grams = F.when(
-            F.length(nrm) >= 5,
-            F.transform(
-                F.sequence(F.lit(1), F.length(nrm) - 4),
-                lambda i: md5_60(F.substr(nrm, i, F.lit(5))),
-            ),
-        ).otherwise(empty)
-
-        def windows(h: Column) -> Column:
-            # Guard: Spark's sequence(1, 0) counts DOWN, so short docs need
-            # an explicit empty branch (DuckDB's range(1, 0) is empty).
-            return F.when(
-                F.size(h) >= 4,
-                F.array_sort(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(h) - 3),
-                            lambda i: F.array_min(F.slice(h, i, 4)),
-                        )
-                    )
-                ),
-            ).otherwise(empty)
-
-        return let(grams, windows)
+    single fingerprint id. Single codegen'd pass, no shuffle
+    (winnow_fingerprint above)."""
+    from loris_mri_spark.functions.texthash import let
 
     def summary(nrm: Column) -> Column:
         return let(
-            fingerprint(nrm),
+            winnow_fingerprint(nrm),
             lambda fp: F.struct(
                 F.size(fp).cast("long").alias("n_fp"),
                 F.md5(

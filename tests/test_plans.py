@@ -61,6 +61,7 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         "dedup_ngram_jaccard_pairs",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash_pairs",
+        "dedup_winnow_pairs",
         "vec_cosine_pairs_lsh",
         "ann_cosine_topk_exact",
         "ann_ivf_topk",
