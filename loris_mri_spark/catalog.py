@@ -41,21 +41,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def set_events_read_confs(spark: SparkSession) -> None:
-    """Reader confs so ``events.ts`` arrives in a normalizable shape no
-    matter which parquet physical type the testdata era used. Both confs are
-    runtime-settable, so they are set at READ time, not session build time:
-    the engine must work on any caller-provided SparkSession (the driver
-    harness builds its own).
+    """Reader conf so a legacy-era events table is readable: parquet
+    TIMESTAMP(NANOS) is illegal for Spark's reader unless ``nanosAsLong``
+    is on → ts reads as int64 nanos (bigint), which normalize_events turns
+    back into the ts_ns/ts pair. The conf is runtime-settable, so it is
+    set at READ time, not session build time: the engine must work on any
+    caller-provided SparkSession (the driver harness builds its own). It
+    has no effect on µs-era files.
 
-    - legacy era: parquet TIMESTAMP(NANOS) is illegal for Spark's reader
-      unless ``nanosAsLong`` is on → ts reads as int64 nanos (bigint).
-    - current era: parquet ``timestamp[us]`` with isAdjustedToUTC=false
-      would infer as TIMESTAMP_NTZ; disabling NTZ inference makes the raw
-      stored micros land unshifted in a plain TIMESTAMP, independent of the
-      session timezone (verified: unix_micros(ts) == DuckDB epoch_us(ts)).
-    """
+    Deliberately NOT set here: ``spark.sql.parquet.inferTimestampNTZ``.
+    Disabling it would make µs events arrive as plain TIMESTAMP — but the
+    conf leaks to every later read in the session, so orders/lineitem date
+    columns would flip NTZ→TIMESTAMP depending on read ORDER, and under a
+    non-UTC session timezone their date semantics would drift from the
+    (naive-timestamp) oracle. Instead events.ts is allowed to arrive as
+    TIMESTAMP_NTZ and normalize_events converts it with timezone-free
+    datetime arithmetic."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
@@ -80,7 +82,12 @@ def normalize_events(df: DataFrame) -> DataFrame:
         df = df.withColumnRenamed("ts", "ts_ns").withColumn(
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
-    elif dt == "timestamp_ntz":  # µs parquet under NTZ inference
+    elif dt == "timestamp_ntz":
+        # µs parquet, isAdjustedToUTC=false (the current testdata era).
+        # timestampdiff on NTZ is pure datetime arithmetic — no session-
+        # timezone dependence (verified equal to DuckDB epoch_us(ts) under
+        # an adversarial session tz); the synthesized ts is the TIMESTAMP
+        # carrying the same raw micros, as in the legacy era.
         df = df.withColumn(
             "ts_ns",
             F.expr(
@@ -89,7 +96,7 @@ def normalize_events(df: DataFrame) -> DataFrame:
             )
             * F.lit(1000).cast("long"),
         ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
-    elif dt == "timestamp":  # µs parquet with NTZ inference disabled
+    elif dt == "timestamp":  # µs parquet already adjusted to UTC
         df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000).cast("long"))
     return df
 

@@ -87,3 +87,17 @@ def test_stream_events_contract(spark, era_dir):
     )
     got = {r["event_id"]: r["ts_ns"] for r in out.collect()}
     assert got == {i + 1: u * 1000 for i, u in enumerate(_US)}
+
+
+def test_ts_ns_is_timezone_independent(spark, era_dir):
+    """ts_ns must equal the raw stored micros x 1000 under ANY session
+    timezone (the NTZ branch uses pure datetime arithmetic; the driver's
+    DuckDB oracle compares against naive epoch_us)."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, era_dir, "events")
+        got = {r["event_id"]: r["ts_ns"] for r in df.select("event_id", "ts_ns").collect()}
+        assert got == {i + 1: u * 1000 for i, u in enumerate(_US)}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
