@@ -129,6 +129,62 @@ def jaccard_pairs(
     )
 
 
+def capped_jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float,
+    max_df: int,
+) -> DataFrame:
+    """Candidate-then-verify Jaccard join for corpora whose features are
+    NOT discriminative (templated text where most shingles/fingerprints
+    are shared corpus-wide — exactly where `jaccard_pairs`' inverted index
+    goes quadratic on hot posting lists).
+
+    Candidates: pairs sharing at least one feature with document
+    frequency <= ``max_df`` (the capped index bounds the self-join volume
+    by sum(df^2) over RARE features only). Verify: EXACT Jaccard computed
+    from the full feature arrays of candidate pairs via array_intersect —
+    the cap never distorts a reported similarity, it only defines the
+    candidate rule. Pairs whose entire overlap is hot features are
+    deliberately out of contract (they are template-only matches); callers
+    wanting them use minhash_lsh_pairs, whose banding is df-insensitive.
+
+    Returns (i, j, jaccard) for i < j with jaccard >= threshold.
+    """
+    docs = shingled.select(
+        F.col(id_col).alias("__id"), F.col(shingle_col).alias("__fp")
+    ).localCheckpoint(eager=False)
+    posts = docs.select(F.col("__id").alias("i"), F.explode("__fp").alias("s"))
+    keep = (
+        posts.groupBy("s")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("s")
+    )
+    capped = posts.join(keep, "s").localCheckpoint(eager=False)
+    a = capped.alias("a")
+    b = capped.select(F.col("i").alias("j"), F.col("s")).alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.i") < F.col("b.j")))
+        .select(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+        .distinct()
+    )
+    fa = docs.select(F.col("__id").alias("i"), F.col("__fp").alias("fp_a"))
+    fb = docs.select(F.col("__id").alias("j"), F.col("__fp").alias("fp_b"))
+    return (
+        cand.join(fa, "i")
+        .join(fb, "j")
+        .withColumn("c", F.size(F.array_intersect("fp_a", "fp_b")))
+        .withColumn(
+            "jaccard",
+            F.col("c") / (F.size("fp_a") + F.size("fp_b") - F.col("c")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str,

