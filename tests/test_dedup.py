@@ -45,3 +45,35 @@ def test_connected_components_hand_graph(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20}
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_winnow_capped_candidates_equal_brute_force(spark, sf_dir):
+    """The capped candidate rule (share >= 1 fingerprint with df <= 50)
+    must find every pair an UNCAPPED brute-force fingerprint-Jaccard join
+    finds on the testdata — the semantic claim behind the oracle's
+    candidate rule (pairs whose entire overlap is hot template
+    fingerprints are out of contract; none exist here)."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.functions.texthash import let, norm_text
+    from loris_mri_spark.operators.dedup import jaccard_pairs
+    from loris_mri_spark.workload.text import winnow_fingerprint
+
+    capped = {
+        (r["i"], r["j"], r["jaccard_r"]) for r in
+        workload.QUERIES["dedup_winnow_pairs"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        F.explode(
+            F.array(let(norm_text("text"), winnow_fingerprint))
+        ).alias("fp"),
+    ).filter(F.size("fp") > 0)
+    brute = {
+        (r["i"], r["j"], round(r["jaccard"], 4)) for r in
+        jaccard_pairs(fps, "doc_id", "fp", threshold=0.5).collect()
+    }
+    assert capped == brute
