@@ -1400,3 +1400,62 @@ def profile_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("a_parts", "exact_parts").alias("parts_sketch_ok"),
         ok("a_supps", "exact_supps").alias("supps_sketch_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Profiling extension: ROLLUP over the order-revenue hierarchy. The
+# reference has no grouping-sets analogue (SURVEY §2.4: MySQL-era SQL with
+# plain GROUP BY); at scale the rollup is one pass — Spark expands the
+# grouping sets map-side and partial-aggregates before the single shuffle,
+# vs. the naive UNION ALL of three separate scans.
+# --------------------------------------------------------------------------
+@query(
+    "profile_rollup_revenue",
+    oracle="""
+    SELECT coalesce(n.n_name, '<all>') AS nation,
+           CASE WHEN GROUPING(year(o.o_orderdate)) = 1 THEN -1
+                ELSE year(o.o_orderdate) END AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ROLLUP (n.n_name, year(o.o_orderdate))
+    """,
+)
+def profile_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue profile at three granularities in ONE aggregation pass:
+    (nation, year), (nation), and grand total via ROLLUP. Exact decimal
+    sums cast to double only at the edge (the A8 decimal contract);
+    NULL grouping slots are canonicalized ('<all>' / -1) so the rollup
+    NULL is distinguishable from a genuinely NULL key on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    rolled = (
+        joined.select(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .rollup("n_name", "yr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+            F.grouping("yr").alias("g_yr"),
+        )
+    )
+    # Drop the cube's (yr-only) sets? rollup emits exactly the hierarchy:
+    # (n_name, yr), (n_name), (); canonicalize the rollup NULLs.
+    return rolled.select(
+        F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+        F.when(F.col("g_yr") == 1, F.lit(-1)).otherwise(F.col("yr")).alias(
+            "order_year"
+        ),
+        "n_orders",
+        "revenue",
+    )
