@@ -59,6 +59,7 @@ PRIORITY_ORDER: list[str] = [
     "mm_decode_png_roundtrip",
     "dedup_winnow_pairs",
     "profile_rollup_revenue",
+    "pipeline_corpus_select",
     # -- re-fixed after the events.ts schema drift (red/-1.0 in r03) --
     "w2_lead_next_event",
     "o3_sort_by_acq_time",
@@ -100,7 +101,6 @@ PRIORITY_ORDER: list[str] = [
     "x2_legacy_profile_hook",
     "x4_hed_parse",
     "flagship_pricing_summary",
-    "j1_customer_order_revenue",
     # -- declared rows-only (no DuckDB-computable oracle exists): past the
     #    50-window so they don't consume green slots; both are pinned by
     #    local tests (hashlib golden / recall-subset).

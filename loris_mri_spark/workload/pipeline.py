@@ -146,3 +146,56 @@ def pipeline_nifti_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qc_flag"
         ),
     )
+
+
+def _corpus_select_oracle() -> str:
+    # Imported for their registration side effects AND their oracle SQL:
+    # the selection oracle is composed verbatim from the constituent
+    # queries' oracles, so the two stay in lockstep by construction.
+    from loris_mri_spark.workload import ORACLES
+    from loris_mri_spark.workload import dedup as _dedup  # noqa: F401
+    from loris_mri_spark.workload import text as _text  # noqa: F401
+
+    return f"""
+    WITH sel_lang AS ({ORACLES["text_language_id"]}),
+    sel_q AS ({ORACLES["text_quality_score"]}),
+    sel_cl AS ({ORACLES["dedup_minhash_clusters"]})
+    SELECT l.doc_id, q.n_tokens, q.stop_ratio
+    FROM sel_lang l
+    JOIN sel_q q ON q.doc_id = l.doc_id
+    WHERE l.pred_lang = 'en'
+      AND q.stop_ratio >= 0.06
+      AND l.doc_id NOT IN
+          (SELECT doc_id FROM sel_cl WHERE doc_id != component)
+    """
+
+
+@query("pipeline_corpus_select", oracle=_corpus_select_oracle())
+def pipeline_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data capstone: corpus selection as ONE composed
+    DataFrame DAG — language gate (n-gram language id) ∘ quality gate
+    (stopword-ratio threshold) ∘ near-dup removal (MinHash-LSH connected
+    components, keeping each cluster's representative). This is the query
+    shape a 100 TB pipeline actually ships: every stage is the already-
+    verified component, composed by joins, so Catalyst sees one plan and
+    the dedup anti-join runs against the (tiny) non-representative set.
+    Oracle is composed from the same components' oracles verbatim."""
+    from loris_mri_spark.workload import QUERIES
+
+    lang = QUERIES["text_language_id"](spark, sf_dir).select(
+        "doc_id", "pred_lang"
+    )
+    quality = QUERIES["text_quality_score"](spark, sf_dir).select(
+        "doc_id", "n_tokens", "stop_ratio"
+    )
+    clusters = QUERIES["dedup_minhash_clusters"](spark, sf_dir)
+    remove = clusters.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return (
+        lang.filter(F.col("pred_lang") == "en")
+        .join(quality, "doc_id")
+        .filter(F.col("stop_ratio") >= 0.06)
+        .join(remove, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "stop_ratio")
+    )
