@@ -94,9 +94,14 @@ def decode_png_bytes(content: bytes) -> "np.ndarray | None":
         if width is None or not idat or width == 0 or height == 0:
             return None
         channels = {0: 1, 2: 3, 6: 4}[color_type]
-        raw = zlib.decompress(bytes(idat))
         stride = width * channels
-        if len(raw) < height * (1 + stride):
+        expected = height * (1 + stride)
+        # Bound the inflate to the size IHDR promises: a crafted
+        # decompression bomb in a binary column must not allocate beyond
+        # the declared raster (classify, don't fail).
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(bytes(idat), expected)
+        if len(raw) < expected:
             return None
         out = bytearray(height * stride)
         for y in range(height):
@@ -270,10 +275,18 @@ def parse_wav_bytes(content: bytes) -> dict | None:
     _, channels, sample_rate, _, block_align, bits = fmt
     if block_align <= 0 or sample_rate <= 0 or channels <= 0:
         return None  # corrupt fmt chunk: classify, don't divide by zero
+    if block_align != channels * (bits // 8):
+        # Inconsistent fmt chunk (e.g. a bit flip bumped channels while
+        # block_align stayed put) would make n_frames*channels overrun the
+        # data chunk: classify, don't fail (DCMSUM.pm skip semantics).
+        return None
     n_frames = len(data) // block_align
     n_samples = n_frames * channels
-    vals = struct.unpack_from(f"<{n_samples}h", data, 0)
-    sq = sum(v * v for v in vals)
+    # Exact integer sum-of-squares via int64 vector math (no float
+    # accumulation): bit-identical to the Python loop it replaces and
+    # ~100x faster on real audio.
+    vals = np.frombuffer(data, dtype="<i2", count=n_samples).astype(np.int64)
+    sq = int(np.dot(vals, vals))
     return {
         "channels": channels,
         "sample_rate": sample_rate,

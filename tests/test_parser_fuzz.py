@@ -88,6 +88,16 @@ def test_parsers_never_raise_on_byte_flip(idx, pos, val):
         parse(blob)
 
 
+def test_wav_inconsistent_channels_classifies_none():
+    """Hypothesis counterexample from round 4 (idx=0, pos=22, val=2): a
+    byte flip at offset 22 bumps channels 1->2 while block_align stays 2,
+    so n_frames*channels would overrun the data chunk. Must classify as
+    not-WAV, not raise struct.error."""
+    raw = bytearray(VALID[0])
+    raw[22] = 2
+    assert parse_wav_bytes(bytes(raw)) is None
+
+
 def test_meg4_truncation_drops_partial_trial():
     """A .meg4 cut mid-trial must yield only the complete leading trials
     (the EDF truncated-record contract applied to CTF data blocks)."""
