@@ -4,37 +4,56 @@ profiling (SURVEY §2.4 profiling extension).
 Spark's builtin ``percentile`` (and any SQL engine's exact quantile)
 buffers every value of a group inside ONE aggregation buffer — O(|group|)
 memory on a single task, which is the binding constraint when a group has
-billions of rows at 100 TB. This operator computes the same exact
-linear-interpolated quantiles with NO per-group buffer:
+billions of rows at 100 TB. This operator is COST-BASED: a metadata-sized
+per-group count decides whether the builtin is safe (every group under
+the buffer threshold — one scan, one shuffle) or the distributed path
+must run. The distributed path computes the same exact
+linear-interpolated quantiles with NO per-group buffer and NO
+materialization of the data:
 
-1. range-repartition the (group, value) pairs and sort within partitions
-   — a distributed sort, every partition bounded by
-   ``spark.sql.files.maxPartitionBytes``-style sizing, never by group
-   size;
-2. count rows per (partition, group) — a tiny aggregate that STAYS
-   distributed: block start offsets are a prefix sum over partition id
-   (``sum(c) over (partition by g order by pid)``), group totals a plain
-   rollup. Nothing of size O(#partitions x #groups) ever reaches the
-   driver;
-3. locate each target global rank's (partition, local index) by joining
-   the per-group target ranks (floor/ceil of p*(n-1) per probe) against
-   the offset blocks — the ONLY collected/broadcast artifact is this
-   needed-ranks table, O(#groups x #probes), independent of partition
-   count;
-4. one more scan emits only the rows sitting at those local indices;
-5. interpolate lo + frac * (hi - lo) — the quantile_cont definition —
+1. per-group bucket bounds from one ``percentile_approx`` pass, collected
+   ONCE. Bucketing each row is then a PURE DETERMINISTIC function of
+   (group, value) — an unrolled sum of ``v >= bound_i`` comparisons over
+   the broadcast bounds, whole-stage-codegen friendly — so every pass
+   over the data buckets rows identically and no checkpoint / cache is
+   needed to pin a sampled partitioning. (The round-4 design eagerly
+   localCheckpoint-ed a range-sorted copy to freeze
+   ``repartitionByRange``'s per-execution sampling: a full extra copy on
+   non-reliable executor-local storage at 100 TB, and measurable block
+   churn at sf0.1.)
+2. count rows per (group, bucket) — a tiny distributed aggregate whose
+   result is O(#groups x #buckets). It is collected, and bucket start
+   offsets / group totals / per-probe target ranks are computed
+   driver-side over that metadata-sized table (the same driver-size
+   class as the probe list itself);
+3. one more scan ranks rows within each (group, bucket) cell
+   (``row_number`` — WindowExec's per-cell buffer is disk-backed and
+   bounded by the bucket size, which this operator controls) and a
+   broadcast join keeps only the wanted local indices. Entirely
+   JVM-side: no Python workers, no Arrow transfer, whole-stage codegen
+   end to end;
+4. interpolate lo + frac * (hi - lo) — the quantile_cont definition —
    as a DataFrame join, not driver-side arithmetic.
 
-Wall-clock cost: one shuffle (the range sort) + one tiny agg + one scan.
-The reference has no distributed-percentile analogue (its QA profiling
-runs in SQL on MySQL); this is the engine-native replacement.
+Bucket-approximation quality affects only LOAD BALANCE, never
+correctness: ranks are exact counts within exact bucket boundaries.
+Rows with equal (group, value) are indistinguishable here (the operator
+projects exactly those two columns), so any tie order across
+recomputations yields identical picked values.
+
+Wall-clock cost: three scans of a two-column projection (bounds, counts,
+pick) + one hash shuffle for the pick sort. Driver traffic is
+O(#groups x (#buckets + #probes)) — independent of data size. The
+reference has no distributed-percentile analogue (its QA profiling runs
+in SQL on MySQL); this is the engine-native replacement.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
-
-import pandas as pd
+import math
+from collections import defaultdict
+from functools import reduce
+from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -45,11 +64,22 @@ def exact_quantiles_distributed(
     group_col: str,
     value_col: str,
     probs: Sequence[float],
-    num_partitions: int = 64,
+    n_buckets: int = 32,
+    group_buffer_threshold: int = 8_000_000,
+    force_distributed: bool = False,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``value_col`` per
     ``group_col``: returns (group, p, quantile). Null values are excluded
-    (the builtin ``percentile`` contract)."""
+    (the builtin ``percentile`` contract).
+
+    Cost-based operator selection: the ONLY reason to avoid the builtin
+    ``percentile`` is its O(|group|) single-task aggregation buffer, so
+    the operator first runs a per-group count (metadata-sized result). If
+    every group fits ``group_buffer_threshold`` values (default 8M ~
+    64 MB of doubles per buffer), the builtin runs — one shuffle, one
+    scan, identical interpolation. Groups above the threshold take the
+    bucketed distributed path. ``force_distributed`` pins the scale path
+    (tests pin its bit-equality against the builtin)."""
     spark = df.sparkSession
     data = (
         df.select(
@@ -57,106 +87,119 @@ def exact_quantiles_distributed(
             F.col(value_col).cast("double").alias("v"),
         )
         .filter(F.col("v").isNotNull())
-        .repartitionByRange(num_partitions, "g", "v")
-        .sortWithinPartitions("g", "v")
-        # Materialize ONE execution: the offsets pass and the pick pass
-        # must see the SAME partitioning, and range partitioning samples
-        # its bounds per execution — two recomputations can split rows
-        # differently and silently shift every rank.
-        .localCheckpoint(eager=True)
     )
     g_type = data.schema["g"].dataType.simpleString()
+    plist = [float(p) for p in probs]
 
-    # Pass 1 (distributed): per-(partition, group) counts -> block start
-    # offsets via prefix sum over pid, group totals via rollup. Partitions
-    # are range-ordered, so pid order == value order within a group.
-    counts = data.groupBy(F.spark_partition_id().alias("pid"), "g").agg(
-        F.count("*").alias("c")
-    )
-    w_prefix = (
-        Window.partitionBy("g")
-        .orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # Renamed columns: offsets and the params/target_ranks branch share
-    # lineage through `counts`, and a same-name join between them trips
-    # Spark's ambiguous-self-join detection.
-    offsets = counts.withColumn(
-        "start", F.coalesce(F.sum("c").over(w_prefix), F.lit(0))
-    ).select(
-        F.col("pid").alias("o_pid"),
-        F.col("g").alias("o_g"),
-        F.col("c").alias("o_c"),
-        "start",
-    )
-    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    if not force_distributed:
+        totals_rows = data.groupBy("g").agg(F.count("*").alias("n")).collect()
+        if totals_rows and all(
+            r["n"] <= group_buffer_threshold for r in totals_rows
+        ):
+            arr = ", ".join(repr(p) for p in plist)
+            probs_arr = F.array(*[F.lit(p) for p in plist])
+            return (
+                data.groupBy("g")
+                .agg(F.expr(f"percentile(v, array({arr}))").alias("qs"))
+                .select(
+                    "g",
+                    F.posexplode("qs").alias("i", "quantile"),
+                )
+                .select(
+                    "g",
+                    F.element_at(probs_arr, F.col("i") + 1).alias("p"),
+                    "quantile",
+                )
+            )
 
-    # Per-(group, probe) interpolation params; per-group target ranks are
-    # the distinct floor/ceil positions. Both are metadata-sized
-    # (#groups x #probes).
-    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
-    params = (
-        totals.join(F.broadcast(probs_df))
-        .withColumn("pos", F.col("p") * (F.col("n") - 1))
-        .withColumn("lo", F.floor("pos"))
-        .withColumn("hi", F.least(F.col("lo") + 1, F.col("n") - 1))
-        .withColumn("frac", F.col("pos") - F.col("lo"))
-        .select("g", "p", "lo", "hi", "frac")
+    # Stage 0: per-group bucket bounds. Collected ONCE and re-broadcast so
+    # the bucket function is frozen: percentile_approx's sketch-merge
+    # order is not guaranteed deterministic across executions, and the
+    # counts pass and the pick pass MUST bucket rows identically.
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds_rows = data.groupBy("g").agg(
+        F.percentile_approx("v", qs, 1000).alias("bounds")
+    ).collect()
+    bounds_df = spark.createDataFrame(
+        [(r["g"], [float(x) for x in r["bounds"]]) for r in bounds_rows],
+        f"b_g {g_type}, bounds array<double>",
     )
-    target_ranks = params.select(
-        "g", F.explode(F.array("lo", "hi")).alias("rank")
-    ).distinct()
+    # bkt = number of bounds <= v: monotone in v, an unrolled sum of
+    # comparisons (stays inside whole-stage codegen; the equivalent
+    # `aggregate()` fold runs an interpreted lambda per element and
+    # measured ~3x slower).
+    bkt_expr = reduce(
+        lambda a, b: a + b,
+        [
+            (F.col("v") >= F.col("bounds")[i]).cast("int")
+            for i in range(n_buckets - 1)
+        ],
+    )
+    bucketed = (
+        data.join(F.broadcast(bounds_df), data["g"] == bounds_df["b_g"])
+        .select("g", "v", bkt_expr.alias("bkt"))
+    )
 
-    # Locate each target rank's block: rank in [start, start + c). A
-    # broadcast equi-join on g with the range condition as a residual
-    # filter — both sides metadata-sized.
-    needed = (
-        F.broadcast(target_ranks)
+    # Pass 1 (distributed): per-(group, bucket) counts. The aggregate
+    # result is metadata-sized — collect it and derive bucket start
+    # offsets, group totals, per-probe interpolation params and the
+    # needed (bucket, local index) -> global rank table driver-side.
+    cells = bucketed.groupBy("g", "bkt").agg(F.count("*").alias("c")).collect()
+    per_g: dict = defaultdict(list)
+    for r in cells:
+        per_g[r["g"]].append((r["bkt"], r["c"]))
+
+    params_recs = []  # (g, p, lo, hi, frac)
+    need_recs = []  # (g, bkt, local_idx, rank)
+    for g, lst in per_g.items():
+        lst.sort()
+        n = sum(c for _, c in lst)
+        ranks = set()
+        for p in probs:
+            # Same IEEE ops Catalyst would emit: double*long, floor, sub.
+            pos = float(p) * (n - 1)
+            lo = math.floor(pos)
+            hi = min(lo + 1, n - 1)
+            params_recs.append((g, float(p), lo, hi, pos - lo))
+            ranks.add(lo)
+            ranks.add(hi)
+        start = 0
+        for bkt, c in lst:
+            for rk in ranks:
+                if start <= rk < start + c:
+                    need_recs.append((g, bkt, rk - start, rk))
+            start += c
+
+    params = spark.createDataFrame(
+        params_recs, f"g {g_type}, p double, lo long, hi long, frac double"
+    )
+    needed_df = spark.createDataFrame(
+        need_recs, f"n_g {g_type}, n_bkt int, n_idx long, n_rank long"
+    )
+
+    # Pick pass, entirely JVM-side: rank within each (group, bucket) cell
+    # (WindowExec's per-cell buffer is disk-backed and bounded by the
+    # bucket size n_g/#buckets, which this operator controls — never by
+    # group size), then a broadcast join keeps only the wanted local
+    # indices. local index + bucket start == global rank.
+    w_cell = Window.partitionBy("g", "bkt").orderBy("v")
+    picked_schema = f"g {g_type}, rank long, v double"
+    picked_scan = (
+        bucketed.withColumn("rn", F.row_number().over(w_cell))
         .join(
-            offsets,
+            F.broadcast(needed_df),
             on=[
-                F.col("g") == F.col("o_g"),
-                F.col("rank") >= F.col("start"),
-                F.col("rank") < F.col("start") + F.col("o_c"),
+                F.col("g") == F.col("n_g"),
+                F.col("bkt") == F.col("n_bkt"),
+                F.col("rn") == F.col("n_idx") + 1,
             ],
         )
-        .select(
-            F.col("o_pid").alias("pid"),
-            "g",
-            (F.col("rank") - F.col("start")).alias("local_idx"),
-            "rank",
-        )
+        .select("g", F.col("n_rank").alias("rank"), "v")
     )
-    # The ONLY driver materialization: O(#groups x #probes x 2) rows,
-    # independent of #partitions — safe to broadcast at any scale the
-    # probe list itself is sane at.
-    need_map: dict = {}
-    for r in needed.collect():
-        need_map.setdefault((r["pid"], r["g"]), {})[r["local_idx"]] = r["rank"]
-    b_need = spark.sparkContext.broadcast(need_map)
-
-    def pick(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        """Emit only the rows whose local index within (partition, group)
-        is wanted. Runs on the range-sorted data, so local order == global
-        order and the emitted global rank comes from the needed-ranks map."""
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        nmap = b_need.value
-        local_idx: dict = {}
-        for pdf in pdfs:
-            out_g, out_r, out_v = [], [], []
-            for g, v in zip(pdf["g"], pdf["v"]):
-                i = local_idx.get(g, 0)
-                local_idx[g] = i + 1
-                want = nmap.get((pid, g))
-                if want is not None and i in want:
-                    out_g.append(g)
-                    out_r.append(want[i])
-                    out_v.append(v)
-            yield pd.DataFrame({"g": out_g, "rank": out_r, "v": out_v})
-
-    picked = data.mapInPandas(pick, schema=f"g {g_type}, rank long, v double")
+    # picked is O(#groups x #probes x 2) rows. Pin it as a literal so the
+    # lo- and hi-side joins below don't each re-run the pick scan (the
+    # data itself is deliberately never cached/checkpointed).
+    picked = spark.createDataFrame(picked_scan.collect(), picked_schema)
 
     # Interpolate as a join: params x picked(lo) x picked(hi). picked is
     # #groups x #probes rows — broadcast both probes.

@@ -1284,12 +1284,15 @@ def profile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def profile_percentiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed EXACT percentiles (operators/quantiles.py): range-sort
-    + offset arithmetic + targeted second pass — no per-group value
-    buffer, so group size never binds a single task's memory (the
-    builtin `percentile`'s failure mode at 100 TB group sizes). Same
-    linear-interpolation definition as quantile_cont, proven by the
-    oracle."""
+    """Cost-based EXACT percentiles (operators/quantiles.py): a
+    metadata-sized per-group count picks the plan — builtin `percentile`
+    when every group fits one aggregation buffer (this scale), else the
+    bucketed distributed path (deterministic percentile_approx bucket
+    bounds + per-bucket row_number pick) whose memory is bounded by
+    bucket size, never group size — the builtin's failure mode at 100 TB
+    group sizes. Both paths share one linear-interpolation definition
+    (bit-equality pinned in tests/test_profiles.py), proven here by the
+    quantile_cont oracle."""
     from loris_mri_spark.operators.quantiles import exact_quantiles_distributed
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -37,9 +37,19 @@ def test_distributed_quantiles_match_builtin(spark, sf_dir):
     got = {
         (r["g"], r["p"]): r["quantile"]
         for r in exact_quantiles_distributed(
+            li, "l_returnflag", "l_quantity", [0.0, 0.25, 0.5, 0.99, 1.0],
+            force_distributed=True,
+        ).collect()
+    }
+    # The cost-based auto path (small groups -> builtin percentile) must
+    # agree with the forced distributed path bit-for-bit.
+    auto = {
+        (r["g"], r["p"]): r["quantile"]
+        for r in exact_quantiles_distributed(
             li, "l_returnflag", "l_quantity", [0.0, 0.25, 0.5, 0.99, 1.0]
         ).collect()
     }
+    assert auto == got
     ref = li.groupBy("l_returnflag").agg(
         F.expr(
             "percentile(l_quantity, array(0.0, 0.25, 0.5, 0.99, 1.0))"
