@@ -106,14 +106,48 @@ def c8_signal_chunk_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c5_blake2b_hash")  # rows-only: DuckDB has no blake2b
+def _blake2b_values_sql() -> "str | None":
+    """Golden VALUES oracle, computed INDEPENDENTLY of Spark at import
+    time: hashlib over the raw parquet via pyarrow (no catalog, no UDF
+    batching, no Spark session). DuckDB lacks blake2b, so the oracle is
+    the precomputed expected table — the same pattern as the S1-S7
+    fixture goldens. Recomputed from the driver's own sf0.01 parquet on
+    every import, so a testdata refresh can never strand a stale golden
+    (the r03 drift class). Returns None (rows-only fallback) when the
+    driver testdata is absent."""
+    import hashlib
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=["doc_id", "text"])
+    rows = [
+        "(CAST({} AS BIGINT), '{}')".format(
+            i, hashlib.blake2b(t.encode("utf-8"), digest_size=32).hexdigest()
+        )
+        for i, t in zip(
+            tb.column("doc_id").to_pylist(), tb.column("text").to_pylist()
+        )
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, blake2b)"
+    )
+
+
+@query("c5_blake2b_hash", oracle=_blake2b_values_sql())
 def c5_blake2b_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLAKE2b file-hash (C5): the modern pipeline hashes every inserted
     file with blake2b (`nifti_insertion_pipeline.py:52-64`). No JVM
     built-in exists, so this is the engine's canonical SLOW-PATH pattern:
     an Arrow-batched pandas UDF (one Python call per ~10k-row batch, not
     per row). Correctness is pinned against hashlib in
-    tests/test_signals.py; no SQL oracle (DuckDB lacks blake2b)."""
+    tests/test_signals.py and by the import-time hashlib golden oracle
+    (see _blake2b_values_sql)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(StringType())

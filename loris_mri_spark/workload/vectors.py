@@ -285,7 +285,92 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("vec_cosine_pairs_lsh")  # rows-only: LSH recall is probabilistic
+def _lsh_values_sql() -> "str | None":
+    """Golden VALUES oracle for the hyperplane-LSH pairs, computed
+    INDEPENDENTLY of Spark at import time: the LSH is fully
+    deterministic (md5-seeded planes), so its exact output is
+    recomputable with numpy + pure-Python folds from the raw parquet —
+    no Spark session, no JVM. Signature bits use the same numpy matmul
+    as the engine's pandas UDF; the verification cosine replays the
+    JVM's sequential left-fold operation order exactly, with numpy only
+    pre-filtering candidates (anything within 1e-6 of the threshold is
+    re-decided by the faithful fold). Recomputed from the driver's own
+    sf0.01 parquet on every import, so a testdata refresh can never
+    strand a stale golden. Returns None (rows-only fallback) when the
+    driver testdata is absent."""
+    import math
+    import os
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    from loris_mri_spark.operators.vectors import _hyperplanes
+
+    tb = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tb.column("vec_id").to_pylist()
+    mat = np.asarray(
+        [[float(x) for x in e] for e in tb.column("embedding").to_pylist()],
+        dtype="float64",
+    )
+    planes = np.asarray(_hyperplanes(64, 64), dtype="float64")
+    bits = (mat @ planes.T >= 0).astype("uint8")
+    r, bands = 4, 16
+    buckets: dict = defaultdict(list)
+    for row_i, row in enumerate(bits):
+        for b in range(bands):
+            buckets[(b, bytes(row[b * r : (b + 1) * r]))].append(row_i)
+    cand = set()
+    for members in buckets.values():
+        for a in range(len(members)):
+            for c in range(a + 1, len(members)):
+                x, y = members[a], members[c]
+                cand.add((x, y) if ids[x] < ids[y] else (y, x))
+    if not cand:
+        return None
+    ci = np.asarray([p[0] for p in cand])
+    cj = np.asarray([p[1] for p in cand])
+    a_m, b_m = mat[ci], mat[cj]
+    approx = (a_m * b_m).sum(axis=1) / (
+        np.sqrt((a_m * a_m).sum(axis=1)) * np.sqrt((b_m * b_m).sum(axis=1))
+    )
+
+    def fold(vals) -> float:
+        acc = 0.0
+        for v in vals:
+            acc += v
+        return acc
+
+    rows = []
+    for k in np.nonzero(approx >= 0.45 - 1e-6)[0]:
+        x, y = int(ci[k]), int(cj[k])
+        va, vb = mat[x], mat[y]
+        cos = (
+            fold(va * vb)
+            / math.sqrt(fold(va * va))
+            / math.sqrt(fold(vb * vb))
+        )
+        if cos >= 0.45:
+            cos_r = float(
+                Decimal(repr(cos)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            rows.append(
+                f"(CAST({ids[x]} AS BIGINT), CAST({ids[y]} AS BIGINT), "
+                f"CAST({cos_r!r} AS DOUBLE))"
+            )
+    if not rows:
+        return None
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(i, j, cos_r)"
+
+
+@query("vec_cosine_pairs_lsh", oracle=_lsh_values_sql())
 def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine >= 0.45 found via random-hyperplane
     LSH (64 planes, 16 bands of 4) + exact verification — the
@@ -293,8 +378,10 @@ def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates than the 2-bit setting (whose candidate set approached the
     full cross product on this weakly-clustered corpus) at measured
     recall 0.94/0.93 (sf0.1/sf0.01, deterministic — planes are seeded).
-    No SQL oracle (recall is probabilistic, not expressible); tests
-    assert output ⊆ brute force and recall >= 0.9."""
+    DuckDB cannot express the LSH, but the output is deterministic, so
+    the oracle is an import-time golden recomputed independently in
+    numpy/pure Python (_lsh_values_sql); tests additionally assert
+    output ⊆ brute force and recall >= 0.9."""
     e = load_table(spark, sf_dir, "embeddings")
     out = hyperplane_lsh_pairs(
         e, id_col="vec_id", vec_col="embedding", threshold=0.45,
