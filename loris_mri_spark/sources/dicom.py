@@ -13,10 +13,15 @@ is per-file and the output is a narrow header table; the pixel payload
 never leaves the scan (we slice headers only).
 
 The parser reads explicit-VR little-endian DICOM (preamble + 'DICM' +
-(group,element,VR,len,value) stream) with pure stdlib `struct`. When the
-optional `pydicom` package is importable it is used instead (full
-transfer-syntax coverage); the stdlib path keeps the engine dependency-free
-for the header fields the reference extracts.
+(group,element,VR,len,value) stream) AND implicit-VR little-endian
+(transfer syntax 1.2.840.10008.1.2, the DICOM default: VR-less
+(group,element,len32,value) elements resolved through a tag->VR table for
+the extracted tags) with pure stdlib `struct`. The file-meta group (0002,
+always explicit VR per PS3.10) is walked first for the TransferSyntaxUID
+that picks the dataset walker. When the optional `pydicom` package is
+importable it is used instead (full transfer-syntax coverage); the stdlib
+path keeps the engine dependency-free for the header fields the reference
+extracts.
 """
 
 from __future__ import annotations
@@ -40,6 +45,22 @@ _TAGS = {
     (0x0020, 0x0011): "series_number",
     (0x0020, 0x0013): "instance_number",
 }
+
+# Default VRs for the extracted tags (PS3.6 data dictionary) — implicit-VR
+# streams carry no VR bytes, so the walker resolves them here.
+_IMPLICIT_VRS = {
+    (0x0008, 0x0060): b"CS",
+    (0x0008, 0x103E): b"LO",
+    (0x0010, 0x0010): b"PN",
+    (0x0018, 0x0080): b"DS",
+    (0x0018, 0x0081): b"DS",
+    (0x0020, 0x000D): b"UI",
+    (0x0020, 0x000E): b"UI",
+    (0x0020, 0x0011): b"IS",
+    (0x0020, 0x0013): b"IS",
+}
+
+_IMPLICIT_TS = "1.2.840.10008.1.2"
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UN", b"UT"}
 _STR_VRS = {b"AE", b"AS", b"CS", b"DA", b"DS", b"DT", b"IS", b"LO", b"LT",
@@ -115,12 +136,83 @@ def _walk_dataset(
     return pos
 
 
+def _walk_implicit(
+    content: bytes, pos: int, end: int, depth: int, found: dict[str, tuple[int, Any]]
+) -> int:
+    """Walk one implicit-VR little-endian dataset: (group, element, len32)
+    elements, VRs resolved from the tag table. Sequences are detected by
+    undefined length (0xFFFFFFFF) or — for defined-length SQ, which
+    carries no marker in implicit VR — by the value starting with an item
+    tag (FFFE,E000), the standard sniffing heuristic. Same shallowest-
+    occurrence recording and classify-don't-fail bounds as the explicit
+    walker."""
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from("<HH", content, pos)
+        if (group, elem) in ((0xFFFE, 0xE00D), (0xFFFE, 0xE0DD)):
+            return pos + 8  # item/sequence delimiter
+        if (group, elem) == (0xFFFE, 0xE000):  # item header inside SQ
+            (ilen,) = struct.unpack_from("<I", content, pos + 4)
+            ipos = pos + 8
+            iend = end if ilen == 0xFFFFFFFF else min(ipos + ilen, end)
+            pos = _walk_implicit(content, ipos, iend, depth, found)
+            continue
+        (length,) = struct.unpack_from("<I", content, pos + 4)
+        vpos = pos + 8
+        if length == 0xFFFFFFFF:  # undefined length => SQ (or encapsulated)
+            pos = _walk_implicit(content, vpos, end, depth + 1, found)
+            continue
+        if vpos + length > end:
+            break
+        if length >= 8 and content[vpos : vpos + 4] == b"\xfe\xff\x00\xe0":
+            _walk_implicit(content, vpos, vpos + length, depth + 1, found)
+            pos = vpos + length
+            continue
+        key = _TAGS.get((group, elem))
+        if key is not None:
+            vr = _IMPLICIT_VRS[(group, elem)]
+            prev = found.get(key)
+            if prev is None or depth < prev[0]:
+                found[key] = (depth, _decode_value(vr, content[vpos : vpos + length]))
+        pos = vpos + length
+    return pos
+
+
+def _walk_file_meta(content: bytes, pos: int) -> tuple[int, "str | None"]:
+    """Walk the file-meta group (0002) — always explicit VR per PS3.10 —
+    and return (dataset start offset, TransferSyntaxUID or None)."""
+    ts = None
+    end = len(content)
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from("<HH", content, pos)
+        if group != 0x0002:
+            break
+        vr = content[pos + 4 : pos + 6]
+        if vr in _LONG_VRS:
+            if pos + 12 > end:
+                return end, ts
+            (length,) = struct.unpack_from("<I", content, pos + 8)
+            vpos = pos + 12
+        else:
+            (length,) = struct.unpack_from("<H", content, pos + 6)
+            vpos = pos + 8
+        if length == 0xFFFFFFFF or vpos + length > end:
+            return end, ts
+        if (group, elem) == (0x0002, 0x0010):
+            ts = content[vpos : vpos + length].decode("ascii", "replace").strip(
+                "\x00 "
+            )
+        pos = vpos + length
+    return pos, ts
+
+
 def parse_dicom_bytes(content: bytes) -> dict[str, Any]:
-    """Parse one explicit-VR little-endian DICOM byte stream into the
+    """Parse one DICOM byte stream (explicit- or implicit-VR little
+    endian, dispatched on the file-meta TransferSyntaxUID) into the
     header dict the reference's summary uses, including the S2
     enhanced-DICOM fallback: tags absent at top level are taken from the
     shallowest nested sequence item that carries them
-    (`summary_get.py:160-173`). Non-DICOM content returns
+    (`summary_get.py:160-173`; the reference parses every syntax via
+    pydicom, `summary_get.py:21-63`). Non-DICOM content returns
     ``{"is_dicom": False}`` (DICOM-vs-other classification,
     DCMSUM.pm:722-736)."""
     out: dict[str, Any] = {"is_dicom": False}
@@ -128,7 +220,14 @@ def parse_dicom_bytes(content: bytes) -> dict[str, Any]:
         return out
     out["is_dicom"] = True
     found: dict[str, tuple[int, Any]] = {}
-    _walk_dataset(content, 132, len(content), 0, found)
+    pos, ts = _walk_file_meta(content, 132)
+    try:
+        if ts == _IMPLICIT_TS:
+            _walk_implicit(content, pos, len(content), 0, found)
+        else:
+            _walk_dataset(content, pos, len(content), 0, found)
+    except RecursionError:
+        pass  # crafted unbounded nesting: keep what was found, don't fail
     for key, (_depth, val) in found.items():
         out[key] = val
     return out

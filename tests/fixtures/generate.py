@@ -121,6 +121,47 @@ def write_edf(path: str, channels: list[str], n_records: int, spr: int) -> None:
         f.write(hdr + data)
 
 
+def _itag(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+    """Implicit-VR little-endian element: (group, elem, len32, value) —
+    no VR bytes on the wire; `vr` only picks the pad byte."""
+    if len(value) % 2:
+        value += b" " if vr in (b"LO", b"SH", b"PN", b"DA", b"TM", b"UI", b"CS", b"DS", b"IS") else b"\x00"
+    return struct.pack("<HHI", group, elem, len(value)) + value
+
+
+def write_implicit_dicom(path: str, patient: str, study_uid: str,
+                         series_uid: str, series_num: int, series_desc: str,
+                         instance: int, echo_ms: float, tr_ms: float) -> None:
+    """Implicit-VR little-endian DICOM (transfer syntax 1.2.840.10008.1.2,
+    the DICOM default): proper PS3.10 file-meta group (explicit VR)
+    declaring the syntax, then a VR-less dataset — including a
+    defined-length nested sequence so the reader's SQ-sniffing heuristic
+    (value starts with an item tag) is exercised."""
+    ts = b"1.2.840.10008.1.2\x00"  # UI pads with NUL to even length
+    meta = b"".join([
+        _tag(0x0002, 0x0010, b"UI", ts),
+    ])
+    meta = _tag(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+    inner = _itag(0x0008, 0x1090, b"LO", b"SCANNER3000")  # ManufacturerModelName
+    item = struct.pack("<HHI", 0xFFFE, 0xE000, len(inner)) + inner
+    sq = struct.pack("<HHI", 0x0008, 0x1111, len(item)) + item  # defined-len SQ
+    body = b"".join([
+        _itag(0x0008, 0x0060, b"CS", b"MR"),
+        _itag(0x0008, 0x103E, b"LO", series_desc.encode()),
+        _itag(0x0010, 0x0010, b"PN", patient.encode()),
+        sq,
+        _itag(0x0018, 0x0080, b"DS", f"{tr_ms:.2f}".encode()),
+        _itag(0x0018, 0x0081, b"DS", f"{echo_ms:.2f}".encode()),
+        _itag(0x0020, 0x000D, b"UI", study_uid.encode()),
+        _itag(0x0020, 0x000E, b"UI", series_uid.encode()),
+        _itag(0x0020, 0x0011, b"IS", str(series_num).encode()),
+        _itag(0x0020, 0x0013, b"IS", str(instance).encode()),
+        _itag(0x7FE0, 0x0010, b"OW", bytes((i * 7 + instance) % 251 for i in range(64))),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+
+
 def write_enhanced_dicom(path: str) -> None:
     """Enhanced-DICOM-style file: timing tags live ONLY inside a nested
     functional-groups sequence (S2 fallback target)."""
@@ -518,6 +559,17 @@ def main() -> None:
     # --- enhanced DICOM (S2 nested-tag fallback)
     edicom = _mkdir(os.path.join(HERE, "dicom_enhanced"))
     write_enhanced_dicom(os.path.join(edicom, "MR.enh.1.dcm"))
+
+    # --- implicit-VR DICOM (the 1.2.840.10008.1.2 default syntax)
+    idicom = _mkdir(os.path.join(HERE, "dicom_implicit"))
+    for inst in range(1, 3):
+        write_implicit_dicom(
+            os.path.join(idicom, f"MR.imp.{inst}.dcm"),
+            patient="SUB003", study_uid="1.2.840.99999.3",
+            series_uid="1.2.840.99999.3.1", series_num=1,
+            series_desc="t2w_flair_implicit", instance=inst,
+            echo_ms=90.0, tr_ms=9000.0,
+        )
 
     # --- EDF (EEG raw, S7)
     edir = _mkdir(os.path.join(HERE, "eeg"))
