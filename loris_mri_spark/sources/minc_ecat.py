@@ -135,11 +135,204 @@ def parse_minc1_bytes(content: bytes) -> list[dict[str, Any]]:
     return rows
 
 
+# --------------------------------------------------------------------------
+# MINC2 / HDF5 header parser (PUBLIC format: HDF5 File Format Spec).
+# Reads the subset HDF5 1.8-era `mincreate` writes: version-0 superblock,
+# old-style groups (local heap + v1 B-tree + SNOD symbol tables), v1
+# object headers, inline attribute messages (+ continuation blocks).
+# The reference handles MINC2 through `mincheader`
+# (uploadNeuroDB/NeuroDB/MincUtilities.pm:54-129); this surfaces the same
+# (variable, attribute, value) rows as the MINC1 parser above.
+# --------------------------------------------------------------------------
+
+_H5_SIG = b"\x89HDF\r\n\x1a\n"
+_H5_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _h5_messages(content: bytes, addr: int) -> list[tuple[int, bytes]]:
+    """Parse a v1 object header into (type, body) messages, following
+    continuation (0x0010) blocks."""
+    version, nmsgs = struct.unpack_from("<BxH", content, addr)
+    if version != 1:
+        raise ValueError("unsupported object header version")
+    msgs: list[tuple[int, bytes]] = []
+    # (pos, end) blocks; v1 prefix is 12 bytes + 4 pad.
+    (hdr_size,) = struct.unpack_from("<I", content, addr + 8)
+    blocks = [(addr + 16, min(addr + 16 + hdr_size, len(content)))]
+    while blocks and len(msgs) < nmsgs:
+        pos, end = blocks.pop(0)
+        while pos + 8 <= end and len(msgs) < nmsgs:
+            mtype, msize = struct.unpack_from("<HH", content, pos)
+            body = content[pos + 8 : pos + 8 + msize]
+            if len(body) < msize:
+                break
+            if mtype == 0x0010 and msize >= 16:  # continuation
+                off, length = struct.unpack_from("<QQ", body, 0)
+                if off != _H5_UNDEF and off + length <= len(content):
+                    blocks.append((off, off + length))
+            else:
+                msgs.append((mtype, body))
+            pos += 8 + msize
+    return msgs
+
+
+def _h5_attr(body: bytes) -> tuple[str, Any] | None:
+    """Decode a v1 attribute message into (name, value) for scalar
+    fixed-point / float / string datatypes; None for anything else."""
+    if len(body) < 8:
+        return None
+    version, _, name_size, dt_size, ds_size = struct.unpack_from(
+        "<BBHHH", body, 0
+    )
+    if version != 1:
+        return None
+
+    def pad8(n: int) -> int:
+        return n + ((8 - n % 8) % 8)
+
+    p = 8
+    name = body[p : p + name_size].split(b"\x00", 1)[0].decode("ascii", "replace")
+    p += pad8(name_size)
+    dt = body[p : p + dt_size]
+    p += pad8(dt_size)
+    ds = body[p : p + ds_size]
+    p += pad8(ds_size)
+    if len(dt) < 8 or len(ds) < 2:
+        return None
+    cls = dt[0] & 0x0F
+    (size,) = struct.unpack_from("<I", dt, 4)
+    rank = ds[1]
+    if rank != 0:  # only scalar attributes surfaced (the mincheader set)
+        return None
+    data = body[p : p + size]
+    if len(data) < size:
+        return None
+    if cls == 0 and size in (1, 2, 4, 8):  # fixed-point
+        signed = bool(dt[1] & 0x08)
+        return name, float(
+            int.from_bytes(data, "little" if not dt[1] & 0x01 else "big",
+                           signed=signed)
+        )
+    if cls == 1 and size == 8:
+        return name, struct.unpack("<d", data)[0]
+    if cls == 1 and size == 4:
+        return name, float(struct.unpack("<f", data)[0])
+    if cls == 3:
+        return name, data.split(b"\x00", 1)[0].decode("ascii", "replace")
+    return None
+
+
+def _h5_group_children(
+    content: bytes, msgs: list[tuple[int, bytes]]
+) -> list[tuple[str, int]]:
+    """Resolve an old-style group's (name, object header address) children
+    via its symbol-table message -> B-tree -> SNOD nodes -> local heap."""
+    st = next((b for t, b in msgs if t == 0x0011), None)
+    if st is None or len(st) < 16:
+        return []
+    btree_addr, heap_addr = struct.unpack_from("<QQ", st, 0)
+    if heap_addr + 32 > len(content) or content[heap_addr : heap_addr + 4] != b"HEAP":
+        return []
+    (heap_data_addr,) = struct.unpack_from("<Q", content, heap_addr + 24)
+    out: list[tuple[str, int]] = []
+
+    def walk_btree(addr: int, depth: int) -> None:
+        if depth > 32 or addr + 24 > len(content):
+            return
+        if content[addr : addr + 4] != b"TREE":
+            return
+        node_type, level, n_used = struct.unpack_from("<BBH", content, addr + 4)
+        if node_type != 0:
+            return
+        p = addr + 24  # past sig + type/level/used + siblings
+        for k in range(n_used):
+            child_off = p + 8 + k * 16
+            if child_off + 8 > len(content):
+                return
+            (child,) = struct.unpack_from("<Q", content, child_off)
+            if level > 0:
+                walk_btree(child, depth + 1)
+            else:
+                if child + 8 > len(content) or content[child : child + 4] != b"SNOD":
+                    continue
+                (nsyms,) = struct.unpack_from("<H", content, child + 6)
+                for s in range(nsyms):
+                    ste = child + 8 + s * 40
+                    if ste + 40 > len(content):
+                        break
+                    name_off, hdr_addr = struct.unpack_from("<QQ", content, ste)
+                    npos = heap_data_addr + name_off
+                    nend = content.find(b"\x00", npos)
+                    if npos >= len(content) or nend < 0:
+                        continue
+                    name = content[npos:nend].decode("ascii", "replace")
+                    out.append((name, hdr_addr))
+
+    walk_btree(btree_addr, 0)
+    return out
+
+
+def parse_minc2_bytes(content: bytes) -> list[dict[str, Any]]:
+    """Flatten a MINC2/HDF5 header into the same (variable, attribute,
+    value) rows as the MINC1 parser: dimension datasets under
+    /minc-2.0/dimensions also emit a '<dims>' length row; info datasets
+    (acquisition/patient/study) emit one row per attribute. Returns []
+    when the content is not parseable HDF5 with a 'minc-2.0' root child
+    (classify, don't fail)."""
+    if len(content) < 96 or content[: len(_H5_SIG)] != _H5_SIG:
+        return []
+    rows: list[dict[str, Any]] = []
+    try:
+        if content[8] != 0:  # superblock version 0 only (the mincreate set)
+            return []
+        (root_hdr,) = struct.unpack_from("<Q", content, 64)
+        root_children = dict(
+            _h5_group_children(content, _h5_messages(content, root_hdr))
+        )
+        minc_addr = root_children.get("minc-2.0")
+        if minc_addr is None:
+            return []
+        minc_children = dict(
+            _h5_group_children(content, _h5_messages(content, minc_addr))
+        )
+        for group_name in ("dimensions", "info"):
+            gaddr = minc_children.get(group_name)
+            if gaddr is None:
+                continue
+            for var, vaddr in _h5_group_children(
+                content, _h5_messages(content, gaddr)
+            ):
+                vmsgs = _h5_messages(content, vaddr)
+                for t, b in vmsgs:
+                    if t != 0x000C:
+                        continue
+                    att = _h5_attr(b)
+                    if att is None:
+                        continue
+                    aname, val = att
+                    if isinstance(val, str):
+                        row = {"variable": var, "attribute": aname,
+                               "value_str": val.rstrip("\x00 _"),
+                               "value_num": None}
+                    else:
+                        row = {"variable": var, "attribute": aname,
+                               "value_str": None, "value_num": float(val)}
+                    rows.append(row)
+                    if group_name == "dimensions" and aname == "length":
+                        rows.append(
+                            {"variable": "<dims>", "attribute": var,
+                             "value_str": None, "value_num": float(val)}
+                        )
+    except (struct.error, ValueError, IndexError, RecursionError):
+        return []
+    return rows
+
+
 def read_minc_headers(spark: SparkSession, path_glob: str) -> DataFrame:
-    """S5: per-file MINC1 header explosion -> one row per
-    (variable, attribute). ``is_readable=false`` rows classify non-MINC1
-    files (e.g. MINC2/HDF5, which needs an injected reader) instead of
-    failing the scan."""
+    """S5: per-file MINC header explosion -> one row per
+    (variable, attribute). MINC1 (NetCDF classic) and MINC2 (HDF5) both
+    parse natively; anything else classifies as ``is_readable=false``
+    instead of failing the scan."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.mnc")
@@ -153,7 +346,8 @@ def read_minc_headers(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                parsed = parse_minc1_bytes(bytes(content))
+                raw = bytes(content)
+                parsed = parse_minc1_bytes(raw) or parse_minc2_bytes(raw)
                 if not parsed:
                     rows.append(
                         {"path": path, "is_readable": False, "variable": None,

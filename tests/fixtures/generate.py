@@ -129,6 +129,170 @@ def _itag(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
     return struct.pack("<HHI", group, elem, len(value)) + value
 
 
+# ---------------------------------------------------------------------------
+# MINC2 (S5): MINC volumes since 2.0 are HDF5 files — a PUBLIC binary
+# format (HDF5 File Format Specification). This writer emits the same
+# subset HDF5 1.8-era `mincreate` produces: version-0 superblock,
+# old-style groups (local heap + v1 B-tree + SNOD symbol tables), v1
+# object headers, inline attribute messages. Structure mirrors MINC2:
+# /minc-2.0/{dimensions,info} groups whose children are datasets carrying
+# the header attributes the reference extracts via mincheader
+# (MincUtilities.pm:54-129).
+# ---------------------------------------------------------------------------
+_H5_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _h5_pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+def _h5_dt_float64() -> bytes:
+    # class 1 (float) v1: IEEE LE double (order LE, implied mantissa norm,
+    # sign bit 63), props: offset 0, precision 64, exp 52/11, man 0/52,
+    # bias 1023.
+    return struct.pack("<B3BI", 0x11, 0x20, 0x3F, 0x00, 8) + struct.pack(
+        "<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023
+    )
+
+
+def _h5_dt_int32() -> bytes:
+    # class 0 (fixed-point) v1: LE, signed; props: offset 0, precision 32.
+    return struct.pack("<B3BI", 0x10, 0x08, 0x00, 0x00, 4) + struct.pack(
+        "<HH", 0, 32
+    )
+
+
+def _h5_dt_string(n: int) -> bytes:
+    # class 3 (string) v1: null-terminated, ASCII.
+    return struct.pack("<B3BI", 0x13, 0x00, 0x00, 0x00, n)
+
+
+def _h5_ds_scalar() -> bytes:
+    return struct.pack("<BBB5x", 1, 0, 0)  # v1, rank 0, no maxdims
+
+
+def _h5_msg(mtype: int, body: bytes) -> bytes:
+    body = _h5_pad8(body)
+    return struct.pack("<HHB3x", mtype, len(body), 0) + body
+
+
+def _h5_attr_msg(name: str, value) -> bytes:
+    nm = name.encode("ascii") + b"\x00"
+    if isinstance(value, float):
+        dt, data = _h5_dt_float64(), struct.pack("<d", value)
+    elif isinstance(value, int):
+        dt, data = _h5_dt_int32(), struct.pack("<i", value)
+    else:
+        raw = str(value).encode("ascii")
+        dt, data = _h5_dt_string(len(raw)), raw
+    ds = _h5_ds_scalar()
+    body = (
+        struct.pack("<BBHHH", 1, 0, len(nm), len(dt), len(ds))
+        + _h5_pad8(nm)
+        + _h5_pad8(dt)
+        + _h5_pad8(ds)
+        + data
+    )
+    return _h5_msg(0x000C, body)
+
+
+def _h5_object_header(messages: list[bytes]) -> bytes:
+    block = b"".join(messages)
+    # v1 prefix: version, reserved, nmsgs, refcount, header size, then a
+    # 4-byte pad so messages start 8-aligned.
+    return struct.pack("<BxHII4x", 1, len(messages), 1, len(block)) + block
+
+
+class _H5File:
+    """Sequential allocator over a bytearray; superblock written last."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray(b"\x00" * 96)  # reserve v0 superblock space
+
+    def alloc(self, data: bytes) -> int:
+        addr = len(self.buf)
+        self.buf += data
+        return addr
+
+    def dataset(self, attrs: dict) -> int:
+        msgs = [
+            _h5_msg(0x0001, _h5_ds_scalar()),  # dataspace
+            _h5_msg(0x0003, _h5_dt_int32()),  # datatype
+            # layout v3 contiguous, no data allocated
+            _h5_msg(0x0008, struct.pack("<BBQQ", 3, 1, _H5_UNDEF, 0)),
+        ] + [_h5_attr_msg(k, v) for k, v in attrs.items()]
+        return self.alloc(_h5_object_header(msgs))
+
+    def group(self, children: dict) -> int:
+        """children: name -> object header address (pre-built)."""
+        names = sorted(children)
+        heap_data = bytearray(b"\x00" * 8)  # offset 0: empty string
+        offs = {}
+        for n in names:
+            offs[n] = len(heap_data)
+            heap_data += n.encode("ascii") + b"\x00"
+        heap_data = bytearray(_h5_pad8(bytes(heap_data)))
+        heap_data_addr = len(self.buf) + 32  # heap header is 32 bytes
+        heap_addr = self.alloc(
+            b"HEAP"
+            + struct.pack("<B3x", 0)
+            + struct.pack("<QQQ", len(heap_data), len(heap_data), heap_data_addr)
+            + heap_data
+        )
+        stes = b"".join(
+            struct.pack("<QQII16x", offs[n], children[n], 0, 0) for n in names
+        )
+        snod_addr = self.alloc(
+            b"SNOD" + struct.pack("<BBH", 1, 0, len(names)) + stes
+        )
+        btree_addr = self.alloc(
+            b"TREE"
+            + struct.pack("<BBH", 0, 0, 1)
+            + struct.pack("<QQ", _H5_UNDEF, _H5_UNDEF)
+            + struct.pack("<QQQ", 0, snod_addr, 0)
+        )
+        return self.alloc(
+            _h5_object_header(
+                [_h5_msg(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+            )
+        )
+
+    def finish(self, root_addr: int) -> bytes:
+        sb = (
+            b"\x89HDF\r\n\x1a\n"
+            + struct.pack("<BBBBBBBxHHI", 0, 0, 0, 0, 0, 8, 8, 4, 16, 0)
+            + struct.pack("<QQQQ", 0, _H5_UNDEF, len(self.buf), _H5_UNDEF)
+            + struct.pack("<QQII16x", 0, root_addr, 0, 0)
+        )
+        assert len(sb) <= 96
+        self.buf[: len(sb)] = sb
+        return bytes(self.buf)
+
+
+def write_minc2(path: str, dims: list[tuple[str, int]],
+                groups: dict[str, dict]) -> None:
+    """Emit a MINC2-shaped HDF5 file: /minc-2.0/dimensions/<dim> datasets
+    (length/step/start/spacing/units attrs), /minc-2.0/info/<var>
+    datasets (acquisition/patient/study attrs)."""
+    f = _H5File()
+    dim_children = {}
+    for d, (name, length) in enumerate(dims):
+        dim_children[name] = f.dataset(
+            {"length": int(length), "step": 1.0 + d * 0.2,
+             "start": -90.0 + d, "spacing": "regular__", "units": "mm"}
+        )
+    info_children = {g: f.dataset(atts) for g, atts in groups.items()}
+    minc_grp = f.group(
+        {
+            "dimensions": f.group(dim_children),
+            "info": f.group(info_children),
+        }
+    )
+    root = f.group({"minc-2.0": minc_grp})
+    with open(path, "wb") as out:
+        out.write(f.finish(root))
+
+
 def write_implicit_dicom(path: str, patient: str, study_uid: str,
                          series_uid: str, series_num: int, series_desc: str,
                          instance: int, echo_ms: float, tr_ms: float) -> None:
@@ -620,6 +784,22 @@ def main() -> None:
                             "flip_angle": 52.0, "scanning_sequence": "EPI"},
             "patient": {"full_name": "SUB002", "sex": "male____",
                         "age": 27.0},
+            "study": {"study_id": "LORIS01", "modality": "MRI__",
+                      "institution": "BIC-MNI_MCGILL"},
+        },
+    )
+
+    # --- MINC2 volume (S5b, HDF5) — own dir so the MINC1 goldens stay put
+    m2dir = _mkdir(os.path.join(HERE, "minc2"))
+    write_minc2(
+        os.path.join(m2dir, "sub-03_t2w.mnc"),
+        dims=[("zspace", 4), ("yspace", 8), ("xspace", 8)],
+        groups={
+            "acquisition": {"repetition_time": 9.0, "echo_time": 0.09,
+                            "flip_angle": 120.0,
+                            "scanning_sequence": "TSE"},
+            "patient": {"full_name": "SUB003", "sex": "female__",
+                        "age": 45.0},
             "study": {"study_id": "LORIS01", "modality": "MRI__",
                       "institution": "BIC-MNI_MCGILL"},
         },

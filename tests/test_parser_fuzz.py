@@ -22,6 +22,7 @@ from loris_mri_spark.sources.minc_ecat import (
     parse_ecat7_directory,
     parse_ecat7_main_header,
     parse_minc1_bytes,
+    parse_minc2_bytes,
 )
 from loris_mri_spark.sources.nifti import parse_nifti_bytes
 
@@ -38,6 +39,7 @@ PARSERS = [
     parse_ecat7_main_header,
     parse_ecat7_directory,
     parse_minc1_bytes,
+    parse_minc2_bytes,
     parse_nifti_bytes,
 ]
 
@@ -53,6 +55,7 @@ VALID = [
      / "sub-04_task-rest_meg.meg4").read_bytes(),
     (FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes(),
     (FIXTURES / "minc" / "sub-01_t1w.mnc").read_bytes(),
+    (FIXTURES / "minc2" / "sub-03_t2w.mnc").read_bytes(),
     (FIXTURES / "nifti" / "sub-01_T1w.nii").read_bytes(),
 ]
 
