@@ -11,7 +11,7 @@ the driver testdata (SURVEY §2.3 J7/J8/J10, §2.2 F4/F5/F6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -351,6 +351,106 @@ def j8_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J10 — get-or-create over the observed event types against a fixed lookup
 # (parameter_type auto-create, imaging.py:344-380).
 # ---------------------------------------------------------------------------
+# Visit_Windows-shaped rule table (db/models/visit_window.py: Visit_label
+# + WindowMin/MaxDays + OptimumMin/MaxDays; NULL = open end per F5).
+_VISIT_WINDOWS = [
+    (1, "V1", 0, 0, 0, 0),
+    (2, "V2", 20, 200, 60, 120),
+    (3, "V3", 150, 500, 200, 400),
+    (4, "V4", 400, None, 500, 700),
+]
+_VISIT_WINDOWS_SCHEMA = (
+    "window_id int, w_visit_label string, window_min_days int, "
+    "window_max_days int, optimum_min_days int, optimum_max_days int"
+)
+
+_VISIT_WINDOW_SQL = f"""
+    WITH windows(window_id, w_visit_label, window_min_days, window_max_days,
+                 optimum_min_days, optimum_max_days) AS (VALUES
+      (1, 'V1', 0, 0, 0, 0),
+      (2, 'V2', 20, 200, 60, 120),
+      (3, 'V3', 150, 500, 200, 400),
+      (4, 'V4', 400, NULL, 500, 700)),
+    sess AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS visit_no,
+             MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_dt
+      FROM orders),
+    s2 AS (
+      SELECT o_orderkey, 'V' || visit_no AS visit_label,
+             CAST(datediff('day', first_dt, o_orderdate) AS INT)
+               AS days_since_first
+      FROM sess)
+    SELECT s2.o_orderkey, s2.visit_label, s2.days_since_first,
+           CASE
+             WHEN w.window_id IS NULL THEN 'no_visit_window'
+             WHEN NOT {_sql_in_range('s2.days_since_first',
+                                     'w.window_min_days',
+                                     'w.window_max_days')}
+               THEN 'out_of_window'
+             WHEN {_sql_in_range('s2.days_since_first',
+                                 'w.optimum_min_days',
+                                 'w.optimum_max_days')}
+               THEN 'optimal'
+             ELSE 'acceptable'
+           END AS window_status
+    FROM s2 LEFT JOIN windows w ON s2.visit_label = w.w_visit_label
+"""
+
+
+@query("f5_visit_window_validation", oracle=_VISIT_WINDOW_SQL)
+def f5_visit_window_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit-window range validation (F5/F8): session creation consults
+    `Visit_Windows` (database_lib/visit_windows.py:45 — BINARY label
+    lookup, i.e. Spark's default binary string equality — and
+    MRI.pm:140-283 getSessionInformation). Each candidate's sessions get
+    a visit number by date, days-since-first-visit is checked against the
+    broadcast window rule table with the shared `in_range` expression
+    (both window and optimum bounds; NULL = open end), and sessions whose
+    label has no window row classify as violations rather than failing —
+    the trashbin/violation discipline. One scan, one window pass, one
+    broadcast join; no shuffle beyond the per-candidate window."""
+    from loris_mri_spark.functions.predicates import in_range
+
+    o = load_table(spark, sf_dir, "orders")
+    wspec = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    sess = o.select("o_orderkey", "o_custkey", "o_orderdate").select(
+        "o_orderkey",
+        F.concat(
+            F.lit("V"), F.row_number().over(wspec).cast("string")
+        ).alias("visit_label"),
+        F.datediff(
+            "o_orderdate",
+            F.min("o_orderdate").over(Window.partitionBy("o_custkey")),
+        ).alias("days_since_first"),
+    )
+    windows = spark.createDataFrame(_VISIT_WINDOWS, _VISIT_WINDOWS_SCHEMA)
+    joined = sess.join(
+        F.broadcast(windows),
+        sess["visit_label"] == windows["w_visit_label"],
+        "left",
+    )
+    in_win = in_range(
+        "days_since_first", "window_min_days", "window_max_days"
+    )
+    in_opt = in_range(
+        "days_since_first", "optimum_min_days", "optimum_max_days"
+    )
+    return joined.select(
+        "o_orderkey",
+        "visit_label",
+        "days_since_first",
+        F.when(F.col("window_id").isNull(), "no_visit_window")
+        .when(~in_win, "out_of_window")
+        .when(in_opt, "optimal")
+        .otherwise("acceptable")
+        .alias("window_status"),
+    )
+
+
 @query(
     "j10_get_or_create",
     oracle="""
