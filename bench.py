@@ -111,6 +111,16 @@ def main() -> None:
         "cold": cold,
         "sf": sf,
         "n_queries": len(timings),
+        # Bench hygiene (r5 investigation of r4's small-query cold-time
+        # jumps, e.g. o2_sort_by_series 1.2->4.0s): per-query COLD times
+        # in this shared session are order-dependent — the first query to
+        # touch a codepath pays Python-worker spawn, binaryFile listing
+        # and whole-stage-codegen compile, and adding queries shifts every
+        # neighbor (queries run alphabetically). o2's plan is unchanged
+        # and measures ~0.8s warm in isolation; treat `queries` (steady
+        # state) as the plan-cost signal and `cold` as transparency only.
+        "notes": "cold times are order/GC-dependent session effects; "
+        "warm `queries` timings are the plan-cost signal",
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     # Per-query map on an EARLIER line; the parseable summary must be LAST.

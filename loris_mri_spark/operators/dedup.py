@@ -185,6 +185,58 @@ def capped_jaccard_pairs(
     )
 
 
+def capped_index_coverage(
+    shingled: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    max_df: int,
+) -> DataFrame:
+    """Guard metric for ``capped_jaccard_pairs``' contract: that operator
+    deliberately excludes pairs whose ENTIRE overlap is hot (df >
+    ``max_df``) features, an assumption pinned empirically at small
+    scales. This one-row summary makes a corpus shift that voids the
+    assumption observable rather than silent: ``n_docs_uncovered`` counts
+    documents with NO rare feature at all — documents that cannot appear
+    in any candidate pair. A drift of that number toward n_docs means the
+    cap is swallowing real recall and max_df needs retuning (or the
+    df-insensitive minhash path should take over).
+
+    Returns one row: (n_docs, n_docs_covered, n_docs_uncovered,
+    n_rare_features, n_hot_features). Cost: one explode + one tiny agg —
+    run it alongside the pairs job at any scale."""
+    posts = shingled.select(
+        F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
+    )
+    dfs = posts.groupBy("s").agg(F.count("*").alias("__df"))
+    covered = (
+        posts.join(dfs.filter(F.col("__df") <= max_df).select("s"), "s")
+        .select("i")
+        .distinct()
+        .agg(F.count("*").alias("n_docs_covered"))
+    )
+    total = (
+        shingled.select(F.col(id_col).alias("i"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    feats = dfs.agg(
+        F.sum((F.col("__df") <= max_df).cast("long")).alias("n_rare_features"),
+        F.sum((F.col("__df") > max_df).cast("long")).alias("n_hot_features"),
+    )
+    return (
+        total.crossJoin(covered)
+        .crossJoin(feats)
+        .select(
+            "n_docs",
+            "n_docs_covered",
+            (F.col("n_docs") - F.col("n_docs_covered")).alias(
+                "n_docs_uncovered"
+            ),
+            "n_rare_features",
+            "n_hot_features",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str,

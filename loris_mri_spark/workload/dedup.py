@@ -240,6 +240,48 @@ def _winnow_pairs_oracle() -> str:
     """
 
 
+def _winnow_coverage_oracle() -> str:
+    from loris_mri_spark.workload.text import WINNOW_FP_CTE
+
+    return f"""
+    WITH {WINNOW_FP_CTE},
+    fps AS (SELECT doc_id, fp FROM final WHERE len(fp) > 0),
+    posts AS (SELECT doc_id, unnest(fp) AS s FROM fps),
+    dfs AS (SELECT s, count(*) AS df FROM posts GROUP BY s),
+    cov AS (
+      SELECT DISTINCT p.doc_id FROM posts p
+      JOIN dfs ON p.s = dfs.s WHERE dfs.df <= {_WINNOW_MAX_DF})
+    SELECT (SELECT count(*) FROM fps) AS n_docs,
+           (SELECT count(*) FROM cov) AS n_docs_covered,
+           (SELECT count(*) FROM fps) - (SELECT count(*) FROM cov)
+             AS n_docs_uncovered,
+           (SELECT count(*) FROM dfs WHERE df <= {_WINNOW_MAX_DF})
+             AS n_rare_features,
+           (SELECT count(*) FROM dfs WHERE df > {_WINNOW_MAX_DF})
+             AS n_hot_features
+    """
+
+
+@query("dedup_winnow_coverage", oracle=_winnow_coverage_oracle())
+def dedup_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability guard for dedup_winnow_pairs' capped-candidate
+    contract (operators/dedup.capped_index_coverage): counts documents
+    with no rare (df <= max_df) fingerprint — documents the cap excludes
+    from candidacy entirely. On this corpus the number is pinned by the
+    oracle; a testdata/corpus shift that inflates it is the signal to
+    retune max_df or fall back to the df-insensitive minhash path."""
+    from loris_mri_spark.functions.texthash import let
+    from loris_mri_spark.operators.dedup import capped_index_coverage
+    from loris_mri_spark.workload.text import winnow_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        F.explode(F.array(let(norm_text("text"), winnow_fingerprint))).alias("fp"),
+    ).filter(F.size("fp") > 0)
+    return capped_index_coverage(fps, "doc_id", "fp", max_df=_WINNOW_MAX_DF)
+
+
 @query("dedup_winnow_pairs", oracle=_winnow_pairs_oracle())
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs over WINNOWED fingerprints (the MOSS detector shape):

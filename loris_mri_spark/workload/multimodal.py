@@ -156,8 +156,14 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_decode_png_roundtrip",
     oracle="""
+    -- ASCII-corpus assumption (shared with mm_decode_features): ascii()/
+    -- substr() index CHARACTERS while the engine samples BYTES, so this
+    -- oracle is only valid while the documents text is 7-bit ASCII (true
+    -- of the generator corpus); empty docs are filtered on both sides
+    -- (the engine emits no pixels, and p % 0 has no meaning).
     WITH d AS (
       SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents
+      WHERE octet_length(encode(text)) > 0
     ),
     px AS (
       SELECT doc_id, CAST(p AS INT) AS p,
@@ -166,7 +172,11 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, unnest(range(0, 64)) t(p)
     )
     SELECT doc_id,
-           CAST(140 AS BIGINT) AS n_png_bytes,
+           -- stored-deflate framing: sig(8) + IHDR(12+13) + IEND(12) +
+           -- IDAT(12 + zlib hdr 2 + one stored block hdr 5 + raster + adler 4)
+           -- with raster = height * (1 + width) filter bytes
+           CAST(8 + 25 + 12 + 12 + 2 + 5 + 8 * (1 + 8) + 4 AS BIGINT)
+             AS n_png_bytes,
            8 AS width, 8 AS height,
            CAST(SUM(v) AS DOUBLE) / 64 AS mean_px,
            CAST(MAX(CASE WHEN p = 0 THEN v END) AS INT) AS px_00,
@@ -187,8 +197,10 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loris_mri_spark.operators.media import extract_png_features
     from loris_mri_spark.sinks import png_preview_udf
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("content")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+        .filter(F.length("content") > 0)  # zero pixels, nothing to encode
     )
     pngs = d.select("doc_id", png_preview_udf(F.col("content"), 8).alias("png"))
     return extract_png_features(pngs, "png", "doc_id")

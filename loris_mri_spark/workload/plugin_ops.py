@@ -85,10 +85,12 @@ def x2_legacy_profile_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     UNION ALL
     SELECT event_id, 'Label/' || event_type, 1, 1 FROM events
+    WHERE event_type IS NOT NULL
     UNION ALL
     SELECT event_id,
            'Value/' || json_extract_string(props, '$.k'), 1, 1
     FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
     """,
 )
 def x4_hed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,13 +99,25 @@ def x4_hed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flattened (tag, depth, item) node rows. Deeper nesting is
     covered by tests/test_plugins.py."""
     e = load_table(spark, sf_dir, "events")
+    # Component-wise construction mirroring the oracle's per-branch null
+    # semantics: a NULL event_type or missing $.k drops ONLY its own tag
+    # (concat_ws skips nulls) instead of nulling the whole string and
+    # silently losing the event's other rows — the r03 drift class,
+    # guarded against a future testdata refresh. On the current corpus
+    # (both fields always present) the string is byte-identical.
+    _k = F.get_json_object("props", "$.k")
     hed = e.select(
         "event_id",
         F.concat(
-            F.lit("Sensory-event,(Label/"),
-            F.col("event_type"),
-            F.lit(",Value/"),
-            F.get_json_object("props", "$.k"),
+            F.lit("Sensory-event,("),
+            F.concat_ws(
+                ",",
+                F.when(
+                    F.col("event_type").isNotNull(),
+                    F.concat(F.lit("Label/"), F.col("event_type")),
+                ),
+                F.when(_k.isNotNull(), F.concat(F.lit("Value/"), _k)),
+            ),
             F.lit(")"),
         ).alias("hed"),
     )
@@ -183,13 +197,25 @@ def x4b_hed_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure = ancestor_closure(nodes)
 
     e = load_table(spark, sf_dir, "events")
+    # Component-wise construction mirroring the oracle's per-branch null
+    # semantics: a NULL event_type or missing $.k drops ONLY its own tag
+    # (concat_ws skips nulls) instead of nulling the whole string and
+    # silently losing the event's other rows — the r03 drift class,
+    # guarded against a future testdata refresh. On the current corpus
+    # (both fields always present) the string is byte-identical.
+    _k = F.get_json_object("props", "$.k")
     hed = e.select(
         "event_id",
         F.concat(
-            F.lit("Sensory-event,(Label/"),
-            F.col("event_type"),
-            F.lit(",Value/"),
-            F.get_json_object("props", "$.k"),
+            F.lit("Sensory-event,("),
+            F.concat_ws(
+                ",",
+                F.when(
+                    F.col("event_type").isNotNull(),
+                    F.concat(F.lit("Label/"), F.col("event_type")),
+                ),
+                F.when(_k.isNotNull(), F.concat(F.lit("Value/"), _k)),
+            ),
             F.lit(")"),
         ).alias("hed"),
     )
