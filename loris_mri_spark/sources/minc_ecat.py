@@ -517,3 +517,64 @@ def read_ecat_matrices(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=ECAT_MATRIX_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Matlab sidecar parser (S6 completion)
+# --------------------------------------------------------------------------
+
+MATLAB_SIDECAR_SCHEMA = (
+    "path string, key string, value_str string, value_num double"
+)
+
+
+def parse_matlab_sidecar(content: bytes) -> list[dict[str, Any]]:
+    """Parse the Matlab ``.m`` study-parameter sidecar shipped with BIC
+    HRRT datasets (`uploadNeuroDB/NeuroDB/HRRT.pm:read_matlab_file`,
+    HRRT.pm:125-343): ``key = value;`` lines split on the first ' = ',
+    trailing ';' and carriage return stripped, everything else ignored.
+    value_num carries the float interpretation when the value parses as
+    one (classify, don't fail — garbage lines are simply skipped, the
+    Perl loop's `next unless / = /` semantics)."""
+    rows: list[dict[str, Any]] = []
+    try:
+        text = content.decode("utf-8", "replace")
+    except Exception:
+        return rows
+    for line in text.splitlines():
+        if " = " not in line:
+            continue
+        key, val = line.split(" = ", 1)
+        val = val.rstrip("\r").rstrip(";").rstrip("\r")
+        key = key.strip()
+        if not key:
+            continue
+        try:
+            num: "float | None" = float(val)
+        except ValueError:
+            num = None
+        rows.append({"key": key, "value_str": val, "value_num": num})
+    return rows
+
+
+def read_ecat_sidecars(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S6: Matlab sidecar scan alongside the .v files — one row per
+    (file, key) study parameter."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.m")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in MATLAB_SIDECAR_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_matlab_sidecar(bytes(content)):
+                    rows.append({"path": path, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=MATLAB_SIDECAR_SCHEMA)

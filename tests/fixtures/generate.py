@@ -820,6 +820,19 @@ def main() -> None:
                 patient_id="PET002", scan_start_time=1325516400, n_frames=3,
                 vol_dims=(4, 4, 2))
 
+    # --- Matlab sidecar shipped with BIC HRRT datasets (HRRT.pm:read_
+    # matlab_file: `key = value;` lines, everything else ignored)
+    with open(os.path.join(pdir, "sub-01_params.m"), "w", newline="") as f:
+        f.write(
+            "% HRRT reconstruction parameters\n"
+            "nb_frames = 4;\r\n"
+            "frame_duration = [300 300 300 300];\n"
+            "isotope_halflife = 1221.84;\n"
+            "recon_version = 'OSEM3D v1.2';\n"
+            "scatter_correction = 1;\n"
+            "this line has no assignment\n"
+        )
+
     print("fixtures written under", HERE)
 
 

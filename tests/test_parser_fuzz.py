@@ -21,6 +21,7 @@ from loris_mri_spark.sources.eeg import (
 from loris_mri_spark.sources.minc_ecat import (
     parse_ecat7_directory,
     parse_ecat7_main_header,
+    parse_matlab_sidecar,
     parse_minc1_bytes,
     parse_minc2_bytes,
 )
@@ -38,6 +39,7 @@ PARSERS = [
     lambda b: parse_meg4_samples(b, 4, 16),
     parse_ecat7_main_header,
     parse_ecat7_directory,
+    parse_matlab_sidecar,
     parse_minc1_bytes,
     parse_minc2_bytes,
     parse_nifti_bytes,
