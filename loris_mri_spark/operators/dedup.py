@@ -202,11 +202,14 @@ def capped_index_coverage(
     df-insensitive minhash path should take over).
 
     Returns one row: (n_docs, n_docs_covered, n_docs_uncovered,
-    n_rare_features, n_hot_features). Cost: one explode + one tiny agg —
-    run it alongside the pairs job at any scale."""
+    n_rare_features, n_hot_features); n_docs counts documents with >= 1
+    feature. Cost: one feature-extraction pass (the posting table is
+    lazily checkpointed — it feeds three aggregates, and without the pin
+    the caller's shingle expression would re-evaluate per branch) + tiny
+    aggs."""
     posts = shingled.select(
         F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
-    )
+    ).localCheckpoint(eager=False)
     dfs = posts.groupBy("s").agg(F.count("*").alias("__df"))
     covered = (
         posts.join(dfs.filter(F.col("__df") <= max_df).select("s"), "s")
@@ -214,10 +217,7 @@ def capped_index_coverage(
         .distinct()
         .agg(F.count("*").alias("n_docs_covered"))
     )
-    total = (
-        shingled.select(F.col(id_col).alias("i"))
-        .agg(F.count("*").alias("n_docs"))
-    )
+    total = posts.select("i").distinct().agg(F.count("*").alias("n_docs"))
     feats = dfs.agg(
         F.sum((F.col("__df") <= max_df).cast("long")).alias("n_rare_features"),
         F.sum((F.col("__df") > max_df).cast("long")).alias("n_hot_features"),

@@ -45,67 +45,63 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the priority block — nothing is ever dropped.  (r04 rotation; r03 greened
 # 47 of its 50-window, see CORRECTNESS_r03.json.)
 PRIORITY_ORDER: list[str] = [
-    # -- never driver-checked, full oracles (added after r03's freeze) --
-    "dedup_embedding_cosine_pairs",
-    "mm_audio_wav_meta",
-    "profile_approx_distinct",
-    "profile_approx_percentiles",
-    "profile_percentiles_distributed",
-    "t7_stream_stream_join",
-    # -- new this round --
-    "s7_ctf_channels",
-    "s7_ctf_headers",  # oracle extended to the new .ds fixture
-    "x4b_hed_ancestors",
-    "mm_decode_png_roundtrip",
-    "dedup_winnow_pairs",
-    "profile_rollup_revenue",
-    "pipeline_corpus_select",
-    # -- re-fixed after the events.ts schema drift (red/-1.0 in r03) --
-    "w2_lead_next_event",
-    "o3_sort_by_acq_time",
-    "j8_asof_purchase_last_click",
-    "t2_upload_state_machine",
-    "t3_stream_dedup_watermark",
-    "t6_stateful_running_index",
-    # -- previously-green sentinel (r01+r02; landed 51st in r03) --
-    "j7_scan_type_rollup",
-    # -- stalest signal first: green only in r01 --
-    "dedup_exact",
-    "dedup_exact_bow",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_minhash_clusters",
-    "j7_protocol_identification",
-    "j7_violation_rows",
-    "qc_checks_violations",
-    # -- green in r02, not re-checked since --
-    "s8_bids_events",
-    "s8_bids_participants",
-    "s8_sidecar_json",
-    "s1_dicom_series_summary",
-    "s1_dicom_classification",
-    "s4_nifti_headers",
-    "s3_tar_members",
-    "s3_s1_composed_archive_scan",
-    "s7_edf_channels",
-    "o2_sort_by_series",
-    "s2_enhanced_tag_lookup",
-    "mm_binary_metadata",
-    "mm_frame_sample",
-    "j10_get_or_create",
-    "j9_transitive_closure",
-    "pipeline_nifti_insertion",
-    "x1_session_config_hook",
-    "x2_legacy_profile_hook",
-    "x4_hed_parse",
-    "flagship_pricing_summary",
-    # -- declared rows-only (no DuckDB-computable oracle exists): past the
-    #    50-window so they don't consume green slots; both are pinned by
-    #    local tests (hashlib golden / recall-subset).
+    # -- never driver-checked (r5 additions + the two formerly rows-only
+    #    queries that now carry import-time golden oracles) --
+    "s1_dicom_implicit_vr",
+    "s5b_minc2_headers",
+    "s6b_ecat_matlab_sidecar",
+    "s15b_ortho_preview",
+    "f5_visit_window_validation",
+    "dedup_winnow_coverage",
     "c5_blake2b_hash",
     "vec_cosine_pairs_lsh",
+    # -- code or oracle changed in r5: need a fresh green row --
+    "profile_percentiles_distributed",  # rewritten (cost-based buckets)
+    "mm_audio_wav_meta",  # WAV fmt-consistency check + numpy RMS
+    "x4_hed_parse",  # branch-wise string + oracle null guards
+    "x4b_hed_ancestors",
+    "mm_decode_png_roundtrip",  # framing-formula oracle + empty-doc guard
+    # -- previously-green sentinel (r04) --
+    "flagship_pricing_summary",
+    # -- stalest signal: last green r02 --
+    "j1_customer_order_revenue",
+    "j3_left_join_order_counts",
+    "j5_anti_customers_without_orders",
+    "j6_semi_customers_with_orders",
+    "j4_selfjoin_mismatch",
+    "j9_self_join_first_order",
+    "w1_row_number_order_seq",
+    "w3_top1_latest_order",
+    "a2_next_sequence_number",
+    "a3_global_minmax",
+    "a4_distinct_projection",
+    "a5_series_collapse",
+    "a6_conditional_counts",
+    "o1_topk_lineitems",
+    "u1_union_branches",
+    # -- last green r03; touched modules first (minc_ecat.py, sinks.py,
+    #    multimodal.py changed this round) --
+    "s5_minc_headers",
+    "s6_ecat_headers",
+    "s15_png_preview",
+    "mm_decode_features",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_fingerprint_winnow",
+    "text_bpe_token_count",
+    "s7_eeglab_channels",
+    "f_predicate_gauntlet",
+    "c_scalar_functions",
+    "c3_date_functions",
+    "c7_json_extract",
+    "eav_pivot_user_event_matrix",
+    "eav_melt_pivot_roundtrip",
+    "a7_range_merge",
+    "c10_lcp_per_group",
+    "u2_ordered_dedup_first",
+    "profile_percentiles",
 ]
 
 
