@@ -47,6 +47,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY_ORDER: list[str] = [
     # -- never driver-checked (r5 additions + the two formerly rows-only
     #    queries that now carry import-time golden oracles) --
+    "sample_stratified_deterministic",
+    "pack_token_budget_shards",
+    "contamination_eval_overlap",
     "s1_dicom_implicit_vr",
     "s5b_minc2_headers",
     "s6b_ecat_matlab_sidecar",
@@ -99,9 +102,6 @@ PRIORITY_ORDER: list[str] = [
     "eav_pivot_user_event_matrix",
     "eav_melt_pivot_roundtrip",
     "a7_range_merge",
-    "c10_lcp_per_group",
-    "u2_ordered_dedup_first",
-    "profile_percentiles",
 ]
 
 
@@ -110,6 +110,7 @@ def load_all() -> None:
     reorder ``QUERIES`` so the driver's 50-entry correctness window covers
     the queries that most need an external green row (see PRIORITY_ORDER)."""
     from loris_mri_spark.workload import (  # noqa: F401
+        corpusops,
         dedup,
         ingest,
         multimodal,

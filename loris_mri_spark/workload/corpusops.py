@@ -1,0 +1,160 @@
+"""Corpus-preparation workload — deterministic sampling, token-budget
+sharding and eval-set decontamination (operators/corpus.py) declared as
+oracle-checked queries. These are the stages between ingestion and the
+dedup/quality gates in a training-data pipeline; the reference has no
+analogue (its unit of work is one imaging file), so the queries run on
+the driver testdata star schema + documents corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.functions.texthash import (
+    SQL_NORM,
+    sql_shingles,
+    tokens,
+    word_shingles,
+)
+from loris_mri_spark.operators.corpus import (
+    budget_shards,
+    contamination_screen,
+    stratified_sample,
+)
+from loris_mri_spark.workload import query
+
+_NORM = SQL_NORM.format(col="text")
+
+# ppm rates: integers end-to-end so the keep predicate is exact integer
+# comparison in both engines (no float-rounding drift).
+_SEG_PPM = {"BUILDING": 500_000, "MACHINERY": 200_000}
+_DEFAULT_PPM = 50_000
+_SALT = "corpus-v1"
+
+_SAMPLE_SQL = f"""
+    WITH gated AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(('0x' || substr(md5('{_SALT}:' || CAST(c_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 1000000 AS g
+      FROM customer),
+    fr(seg, ppm) AS (VALUES ('BUILDING', 500000), ('MACHINERY', 200000)),
+    kept AS (
+      SELECT c_custkey, c_mktsegment
+      FROM gated LEFT JOIN fr ON c_mktsegment = fr.seg
+      WHERE g < COALESCE(ppm, {_DEFAULT_PPM}))
+    SELECT c_mktsegment, COUNT(*) AS n_kept,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+           SUM(c_custkey) AS key_sum
+    FROM kept GROUP BY c_mktsegment
+"""
+
+
+@query("sample_stratified_deterministic", oracle=_SAMPLE_SQL)
+def sample_stratified_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stratified DETERMINISTIC sampling (operators/corpus.py): keep 50%
+    of BUILDING, 20% of MACHINERY, 5% of everything else, gated by a
+    salted md5 of the row key — the same row survives on any cluster,
+    any partitioning, any retry (df.sample cannot promise that: its RNG
+    seeds per partition). Pure filter + broadcast rate table; the
+    rollup here pins every kept key via count/min/max/sum."""
+    c = load_table(spark, sf_dir, "customer")
+    kept = stratified_sample(
+        c, "c_custkey", "c_mktsegment", _SEG_PPM, _DEFAULT_PPM, _SALT
+    )
+    return kept.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_kept"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+        F.sum("c_custkey").alias("key_sum"),
+    )
+
+
+_TOKEN_BUDGET = 20_000
+_BUCKET_WIDTH = 100
+
+_SHARDS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS w
+      FROM documents),
+    packed AS (
+      SELECT doc_id, w,
+             COALESCE(SUM(w) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) // {_TOKEN_BUDGET}
+               AS shard_id
+      FROM toks)
+    SELECT shard_id, COUNT(*) AS n_docs, SUM(w) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY shard_id
+"""
+
+
+@query("pack_token_budget_shards", oracle=_SHARDS_SQL)
+def pack_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (operators/corpus.py budget_shards):
+    documents in id order are cut into contiguous ~20k-token shards by
+    the exclusive running token sum — the packing step that writes
+    fixed-budget training files while preserving corpus order. The
+    oracle states the semantics as one global-order window; the engine
+    computes the SAME sums scale-safely (id-bucket partial sums +
+    driver-side exclusive offsets + bounded per-bucket windows — no
+    single-partition global sort). Per-shard rollup pins every
+    assignment."""
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    shards = budget_shards(
+        weighted, "doc_id", "n_tokens", _TOKEN_BUDGET, _BUCKET_WIDTH
+    )
+    return shards.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# Eval docs chosen to have real near-duplicates in the corpus (98~290,
+# 45~267~413 share 70+ 8-grams at sf0.01), so the screen demonstrably
+# flags non-eval training docs, not just the eval rows themselves.
+_EVAL_DOC_IDS = (45, 98, 154)
+_EVAL_NGRAM = 8
+_MIN_HITS = 2
+
+_CONTAM_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                  FROM documents),
+    sh AS (SELECT doc_id, {sql_shingles(_EVAL_NGRAM)} AS s FROM toks
+           WHERE len({sql_shingles(_EVAL_NGRAM)}) > 0),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh
+           WHERE doc_id IN {_EVAL_DOC_IDS}),
+    posts AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    hits AS (SELECT doc_id, COUNT(*) AS n_matched
+             FROM posts JOIN ev USING (g) GROUP BY doc_id)
+    SELECT doc_id, n_matched, n_matched >= {_MIN_HITS} AS contaminated
+    FROM hits
+"""
+
+
+@query("contamination_eval_overlap", oracle=_CONTAM_SQL)
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination screen (operators/corpus.py
+    contamination_screen): the 8-gram inventory of a small eval set
+    (here: three documents standing in for a benchmark) broadcasts, the
+    corpus explodes its 8-grams once, and any training doc sharing >= 2
+    distinct 8-grams is flagged — the overlap pass run before a corpus
+    freeze. Near-dup leakage below exact-8-gram overlap is the LSH
+    family's job (dedup_*); this is the exact-match contract."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_shingles(tokens("text"), _EVAL_NGRAM).alias("s")
+    ).filter(F.size("s") > 0)
+    ev = sh.filter(F.col("doc_id").isin(*_EVAL_DOC_IDS)).select(
+        F.explode("s").alias("s")
+    )
+    return contamination_screen(sh, "doc_id", "s", ev, _MIN_HITS)

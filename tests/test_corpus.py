@@ -1,0 +1,91 @@
+"""Corpus-preparation operators (operators/corpus.py): determinism of the
+hash sampling, scale-path vs global-window equivalence for budget
+sharding, and brute-force parity for the contamination screen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.operators.corpus import (
+    budget_shards,
+    contamination_screen,
+    deterministic_sample,
+    stratified_sample,
+)
+
+
+def test_deterministic_sample_is_stable_and_partitioning_free(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    a = {r["c_custkey"] for r in deterministic_sample(c, "c_custkey", 100_000).collect()}
+    b = {
+        r["c_custkey"]
+        for r in deterministic_sample(
+            c.repartition(13), "c_custkey", 100_000
+        ).collect()
+    }
+    assert a == b  # df.sample cannot promise this across partitionings
+    n = c.count()
+    assert 0.05 * n < len(a) < 0.15 * n  # ~10% +- hash noise
+    # Supersample property: a higher rate strictly contains a lower one
+    # (the gate is a fixed per-row bucket compared against the rate).
+    big = {
+        r["c_custkey"]
+        for r in deterministic_sample(c, "c_custkey", 300_000).collect()
+    }
+    assert a <= big
+
+
+def test_stratified_sample_rates_apply_per_stratum(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    kept = stratified_sample(
+        c, "c_custkey", "c_mktsegment", {"BUILDING": 1_000_000}, 0
+    )
+    seg = {r["c_mktsegment"] for r in kept.select("c_mktsegment").distinct().collect()}
+    assert seg == {"BUILDING"}  # rate 100% for BUILDING, 0 elsewhere
+    n_building = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert kept.count() == n_building
+
+
+def test_budget_shards_matches_global_window(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    got = {
+        r["doc_id"]: r["shard_id"]
+        for r in budget_shards(d, "doc_id", "w", budget=7_000, bucket_width=37).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r["doc_id"]: r["shard"]
+        for r in d.withColumn("pre", F.coalesce(F.sum("w").over(w), F.lit(0)))
+        .withColumn("shard", F.expr("pre div 7000"))
+        .collect()
+    }
+    assert got == ref
+    # Shard ids are contiguous from 0 and weights respect the budget
+    # boundary semantics (a shard's exclusive start is below (id+1)*budget).
+    assert min(got.values()) == 0
+
+
+def test_contamination_screen_matches_brute_force(spark, sf_dir):
+    from loris_mri_spark.functions.texthash import tokens, word_shingles
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(
+        "doc_id", word_shingles(tokens("text"), 8).alias("s")
+    ).filter(F.size("s") > 0)
+    ev = sh.filter(F.col("doc_id").isin(45, 98)).select(F.explode("s").alias("s"))
+    got = {
+        (r["doc_id"], r["n_matched"], r["contaminated"])
+        for r in contamination_screen(sh, "doc_id", "s", ev, 2).collect()
+    }
+    ev_set = {r["s"] for r in ev.distinct().collect()}
+    ref = set()
+    for r in sh.collect():
+        hits = sum(1 for g in r["s"] if g in ev_set)
+        if hits >= 1:
+            ref.add((r["doc_id"], hits, hits >= 2))
+    assert got == ref
+    assert any(c for (_, _, c) in got)  # at least one contaminated doc
