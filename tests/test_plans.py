@@ -87,3 +87,37 @@ def test_column_pruning_narrow_read_schema(spark, sf_dir):
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "o_orderstatus" in read and "o_orderpriority" in read
     assert "o_totalprice" not in read and "o_comment" not in read
+
+
+def test_visit_window_broadcasts_rule_table(spark, sf_dir):
+    """The Visit_Windows rule join must broadcast the (tiny) window table
+    and never sort-merge the session side."""
+    plan = _plan(workload.QUERIES["f5_visit_window_validation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sample_is_pure_filter_no_shuffle_before_agg(spark, sf_dir):
+    """The stratified sample is a broadcast rate join + filter; the only
+    Exchange in the plan belongs to the final rollup, never the sample."""
+    plan = _plan(
+        workload.QUERIES["sample_stratified_deterministic"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_budget_shards_no_global_single_partition_sort(spark, sf_dir):
+    """The shard packer must not plan a global-order window (a
+    single-partition Exchange): its windows are partitioned by the id
+    bucket."""
+    plan = _plan(workload.QUERIES["pack_token_budget_shards"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket-offset join broadcasts
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    plan = _plan(workload.QUERIES["contamination_eval_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
