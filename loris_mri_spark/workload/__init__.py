@@ -58,6 +58,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_winnow_coverage",
     "c5_blake2b_hash",
     "vec_cosine_pairs_lsh",
+    "vec_cosine_clusters",
     # -- code or oracle changed in r5: need a fresh green row --
     "profile_percentiles_distributed",  # rewritten (cost-based buckets)
     "mm_audio_wav_meta",  # WAV fmt-consistency check + numpy RMS
@@ -101,7 +102,6 @@ PRIORITY_ORDER: list[str] = [
     "c7_json_extract",
     "eav_pivot_user_event_matrix",
     "eav_melt_pivot_roundtrip",
-    "a7_range_merge",
 ]
 
 

@@ -370,6 +370,48 @@ def _lsh_values_sql() -> "str | None":
     return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(i, j, cos_r)"
 
 
+def _lsh_clusters_sql() -> "str | None":
+    """Components oracle over the deterministic LSH pair graph: the
+    import-time golden pair VALUES (see _lsh_values_sql) feed a
+    recursive-CTE min-label reachability — fully independent of the
+    engine's frontier-loop implementation."""
+    pairs = _lsh_values_sql()
+    if pairs is None:
+        return None
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    nodes AS (SELECT DISTINCT n FROM (SELECT i AS n FROM pairs
+                                      UNION SELECT j FROM pairs)),
+    edges2 AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach AS (
+      SELECT n AS node, n AS r FROM nodes
+      UNION
+      SELECT rr.node, e.j AS r FROM reach rr JOIN edges2 e ON e.i = rr.r)
+    SELECT node AS vec_id, MIN(r) AS component
+    FROM reach GROUP BY node
+    """
+
+
+@query("vec_cosine_clusters", oracle=_lsh_clusters_sql())
+def vec_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the hyperplane-LSH cosine pair graph
+    collapsed to connected components via min-label propagation
+    (operators/components.py) — the embedding-space counterpart of
+    dedup_minhash_clusters, turning pairwise cosine >= 0.45 into
+    keep/remove sets (keep = min vec_id per component). Oracle:
+    recursive-CTE reachability over the independently recomputed golden
+    pair graph."""
+    from loris_mri_spark.operators.components import connected_components
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = hyperplane_lsh_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.45,
+        n_planes=64, bands=16, dim=64,
+    )
+    comp = connected_components(pairs, "i", "j")
+    return comp.select(F.col("node").alias("vec_id"), "component")
+
+
 @query("vec_cosine_pairs_lsh", oracle=_lsh_values_sql())
 def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All vector pairs with cosine >= 0.45 found via random-hyperplane
