@@ -433,7 +433,9 @@ def parse_ecat7_directory(content: bytes) -> list[dict[str, Any]]:
     while block not in seen:
         seen.add(block)
         off = (block - 1) * 512
-        if off + 512 > len(content):
+        if off < 512 or off + 512 > len(content):
+            # a corrupted next-block pointer (negative or past EOF) ends
+            # the chain: classify, don't fail (fuzz: double byte flip)
             break
         nxt = struct.unpack_from(">i", content, off + 4)[0]
         nused = struct.unpack_from(">i", content, off + 12)[0]

@@ -94,6 +94,34 @@ def test_parsers_never_raise_on_byte_flip(idx, pos, val):
         parse(blob)
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=0, max_value=255),
+)
+def test_parsers_never_raise_on_double_byte_flip(idx, p1, v1, p2, v2):
+    """Two independent flips reach states a single flip can't (r5 found
+    the ECAT directory-chain crash only under a double flip)."""
+    raw = bytearray(VALID[idx])
+    raw[p1 % len(raw)] = v1
+    raw[p2 % len(raw)] = v2
+    blob = bytes(raw)
+    for parse in PARSERS:
+        parse(blob)
+
+
+def test_ecat_corrupt_next_block_pointer_classifies():
+    """r5 counterexample: flipping the ECAT directory's next-block pointer
+    to a huge/negative value must end the chain walk, not raise
+    struct.error on a far-out-of-range offset."""
+    raw = bytearray((FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes())
+    raw[3588 % len(raw)] = 128
+    parse_ecat7_directory(bytes(raw))
+
+
 def test_wav_inconsistent_channels_classifies_none():
     """Hypothesis counterexample from round 4 (idx=0, pos=22, val=2): a
     byte flip at offset 22 bumps channels 1->2 while block_align stays 2,
