@@ -59,6 +59,7 @@ PRIORITY_ORDER: list[str] = [
     "c5_blake2b_hash",
     "vec_cosine_pairs_lsh",
     "vec_cosine_clusters",
+    "w5_rolling_event_stats",
     # -- code or oracle changed in r5: need a fresh green row --
     "profile_percentiles_distributed",  # rewritten (cost-based buckets)
     "mm_audio_wav_meta",  # WAV fmt-consistency check + numpy RMS
@@ -101,7 +102,6 @@ PRIORITY_ORDER: list[str] = [
     "c3_date_functions",
     "c7_json_extract",
     "eav_pivot_user_event_matrix",
-    "eav_melt_pivot_roundtrip",
 ]
 
 

@@ -300,6 +300,62 @@ def w2_lead_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# W5 (extension) — moving-frame window aggregates. The reference uses no
+# frame specs (SURVEY §2.5); rolling stats over event streams are table
+# stakes for an analytics engine, so both frame kinds are declared: a
+# ROWS frame (last-5-events) and a RANGE frame (trailing 10 minutes over
+# the nanosecond event time). Values accumulate as DECIMAL(18,2) so the
+# running sums are exact in both engines (double accumulation order
+# differs between Spark's frame re-scan and DuckDB's segment tree); the
+# single final cast to double is deterministic.
+# --------------------------------------------------------------------------
+@query(
+    "w5_rolling_event_stats",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tns,
+                      CAST(value AS DECIMAL(18,2)) AS v
+               FROM events)
+    SELECT event_id, user_id,
+           COUNT(*) OVER w5 AS n_5,
+           CAST(SUM(v) OVER w5 AS DOUBLE) AS sum_5,
+           ROUND(CAST(SUM(v) OVER w5 AS DOUBLE) / (COUNT(*) OVER w5), 4)
+             AS avg_5,
+           COUNT(*) OVER w10 AS n_10m,
+           CAST(SUM(v) OVER w10 AS DOUBLE) AS sum_10m
+    FROM e
+    WINDOW w5 AS (PARTITION BY user_id ORDER BY tns, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w10 AS (PARTITION BY user_id ORDER BY tns
+                   RANGE BETWEEN 600000000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w5_rolling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    w5 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    w10 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-600_000_000_000, 0)
+    )
+    sum5 = F.sum(v).over(w5).cast("double")
+    n5 = F.count("*").over(w5)
+    return e.select(
+        "event_id",
+        "user_id",
+        n5.alias("n_5"),
+        sum5.alias("sum_5"),
+        F.round(sum5 / n5, 4).alias("avg_5"),
+        F.count("*").over(w10).alias("n_10m"),
+        F.sum(v).over(w10).cast("double").alias("sum_10m"),
+    )
+
+
+# --------------------------------------------------------------------------
 # W3 — top-1 by ordering (latest visit label, `MRIProcessingUtility.pm:
 # 206-212`).
 # --------------------------------------------------------------------------
