@@ -101,3 +101,34 @@ def test_ts_ns_is_timezone_independent(spark, era_dir):
         assert got == {i + 1: u * 1000 for i, u in enumerate(_US)}
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_corpus_tables_expected_columns(spark, sf_dir):
+    """Drift tripwire for the corpus tables (the events postmortem's
+    lesson applied forward): the text/dedup/vector workloads assume these
+    column names and Spark types. A driver testdata refresh that changes
+    them should fail HERE with a message naming the assumption, not
+    deep inside a query plan."""
+    want = {
+        "documents": {
+            "doc_id": "bigint",
+            "text": "string",
+            "n_chars": {"bigint", "int"},
+        },
+        "embeddings": {
+            "vec_id": "bigint",
+            "embedding": {"array<float>", "array<double>"},
+            "label": {"int", "bigint"},
+        },
+    }
+    for table, cols in want.items():
+        df = load_table(spark, sf_dir, table)
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for col, typ in cols.items():
+            assert col in got, f"{table}.{col} missing (testdata drift?)"
+            allowed = typ if isinstance(typ, set) else {typ}
+            assert got[col] in allowed, (
+                f"{table}.{col} is {got[col]}, expected one of {allowed} — "
+                "update the corpus workloads' assumptions if this is a "
+                "deliberate testdata refresh"
+            )
