@@ -169,3 +169,50 @@ def contamination_screen(
             (F.col("n_matched") >= min_hits).alias("contaminated"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a salted
+    60-bit md5 sort key; ``shard = hkey % n_shards`` spreads the corpus
+    uniformly and ``pos`` is the row's rank within its shard ordered by
+    (hkey, id).  The (shard, pos) pair is a reproducible random permutation
+    of the corpus — same on any cluster, any partitioning, any retry, and
+    re-derivable per row (rehash the id), which `df.orderBy(rand())` can
+    never promise.
+
+    Scale shape: this is exactly the training-shard WRITE path —
+    ``repartition(n_shards, shard).sortWithinPartitions(hkey)`` — where the
+    per-shard sort is the partition-local file sort. ``n_shards`` scales
+    with corpus size (100 TB => tens of thousands of shards), so each
+    shard's window stays bounded at the intended training-file size; no
+    global sort, one shuffle keyed by the uniform hash (skew-free by
+    construction)."""
+    hkey = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), _c(id_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    keyed = df.select(
+        _c(id_col).alias(id_col), hkey.alias("hkey")
+    ).withColumn("shard", (F.col("hkey") % int(n_shards)).cast("long"))
+    w = Window.partitionBy("shard").orderBy("hkey", id_col)
+    return keyed.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -158,3 +158,36 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("s").alias("s")
     )
     return contamination_screen(sh, "doc_id", "s", ev, _MIN_HITS)
+
+
+_SHUFFLE_SALT = "shuffle-v1"
+_N_SHARDS = 8
+
+_SHUFFLE_SQL = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('{_SHUFFLE_SALT}:'
+                                      || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hkey
+      FROM documents)
+    SELECT doc_id,
+           hkey % {_N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hkey % {_N_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+"""
+
+
+@query("corpus_global_shuffle", oracle=_SHUFFLE_SQL)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle
+    (operators/corpus.py deterministic_shuffle): salted-hash sort key ->
+    uniform shard assignment -> rank within shard. The reproducible
+    random permutation a training run needs for its shard files —
+    df.orderBy(rand()) cannot promise stability across retries or
+    cluster sizes; the salted hash can, and makes the permutation
+    oracle-checkable."""
+    from loris_mri_spark.operators.corpus import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(d, "doc_id", _N_SHARDS, _SHUFFLE_SALT)

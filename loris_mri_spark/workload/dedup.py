@@ -40,6 +40,7 @@ from loris_mri_spark.operators.dedup import (
     simhash_pairs,
 )
 from loris_mri_spark.workload import query
+from loris_mri_spark.workload import shared_df as _shared
 
 _NORM = SQL_NORM.format(col="text")
 
@@ -62,26 +63,11 @@ _BRUTE_JACCARD_08 = f"""
 """
 
 
-# Shared-intermediate cache (the j7 pattern, workload/rules.py): the
-# shingle/simhash passes feed several contract-independent dedup queries;
-# with spark.loris.sharedCache=true (bench.py sets it) one cached copy
-# amortizes the tokenize+shingle expression across them, while
-# correctness/plan runs keep the pure single-scan plans.
-_DOC_CACHE: dict = {}
-
-
-def _shared(spark: SparkSession, key: tuple, build) -> DataFrame:
-    use_cache = (
-        spark.conf.get("spark.loris.sharedCache", "false").lower() == "true"
-    )
-    full_key = (id(spark),) + key
-    if use_cache and full_key in _DOC_CACHE:
-        return _DOC_CACHE[full_key]
-    out = build()
-    if use_cache:
-        out = out.persist()
-        _DOC_CACHE[full_key] = out
-    return out
+# Shared-intermediate passes (see workload.shared_df): the shingle /
+# simhash / winnow-fingerprint / minhash-LSH passes each feed several
+# contract-independent dedup queries; with spark.loris.sharedCache=true
+# (bench.py sets it) one cached copy amortizes the expensive expression
+# across them, while correctness/plan runs keep the pure single-scan plans.
 
 
 def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,6 +78,42 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.size("shingles") > 0)
 
     return _shared(spark, ("shingled", sf_dir), build)
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+16-band LSH verified pairs at j>=0.8 — consumed by the
+    pair listing, the cluster collapse, and the corpus-select capstone."""
+
+    def build() -> DataFrame:
+        sh = _shingled_docs(spark, sf_dir)
+        return minhash_lsh_pairs(
+            sh, "doc_id", "shingles", threshold=0.8, num_hashes=32, bands=16
+        )
+
+    return _shared(spark, ("minhash_pairs", sf_dir), build)
+
+
+def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) winnow-fingerprint arrays — consumed by the pair
+    query, the coverage guard, and text_fingerprint_winnow.
+
+    explode(array(...)) = Generate barrier: the fingerprint pipeline is
+    evaluated ONCE per row; the size() filter and downstream consumers
+    reference the generator's output attribute instead of re-expanding
+    the expression (re-evaluation cost 5x the whole rest of the query)."""
+    from loris_mri_spark.functions.texthash import let
+    from loris_mri_spark.workload.text import winnow_fingerprint
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.array(let(norm_text("text"), winnow_fingerprint))
+            ).alias("fp"),
+        ).filter(F.size("fp") > 0)
+
+    return _shared(spark, ("winnow_fps", sf_dir), build)
 
 
 @query(
@@ -143,10 +165,9 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 16-band LSH candidates, exact-verified at >= 0.8 —
     the sub-quadratic scale path. Oracle = brute force; see module
     docstring for why the outputs coincide."""
-    sh = _shingled_docs(spark, sf_dir)
-    return minhash_lsh_pairs(
-        sh, "doc_id", "shingles", threshold=0.8, num_hashes=32, bands=16
-    ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
+    return _minhash_pairs(spark, sf_dir).select(
+        "i", "j", F.round("jaccard", 4).alias("jaccard_r")
+    )
 
 
 _SQL_TOKEN_HASHES = (
@@ -227,10 +248,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability over the brute-force pair graph."""
     from loris_mri_spark.operators.components import connected_components
 
-    sh = _shingled_docs(spark, sf_dir)
-    pairs = minhash_lsh_pairs(
-        sh, "doc_id", "shingles", threshold=0.8, num_hashes=32, bands=16
-    )
+    pairs = _minhash_pairs(spark, sf_dir)
     comp = connected_components(pairs, "i", "j")
     return comp.select(F.col("node").alias("doc_id"), "component")
 
@@ -298,15 +316,9 @@ def dedup_winnow_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from candidacy entirely. On this corpus the number is pinned by the
     oracle; a testdata/corpus shift that inflates it is the signal to
     retune max_df or fall back to the df-insensitive minhash path."""
-    from loris_mri_spark.functions.texthash import let
     from loris_mri_spark.operators.dedup import capped_index_coverage
-    from loris_mri_spark.workload.text import winnow_fingerprint
 
-    d = load_table(spark, sf_dir, "documents")
-    fps = d.select(
-        "doc_id",
-        F.explode(F.array(let(norm_text("text"), winnow_fingerprint))).alias("fp"),
-    ).filter(F.size("fp") > 0)
+    fps = winnow_fps(spark, sf_dir)
     return capped_index_coverage(fps, "doc_id", "fp", max_df=_WINNOW_MAX_DF)
 
 
@@ -323,18 +335,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard_pairs (full word-3-gram index): this is the cheap
     first pass a 100 TB pipeline runs. Oracle applies the identical
     candidate rule + exact verify."""
-    from loris_mri_spark.functions.texthash import let
-    from loris_mri_spark.workload.text import winnow_fingerprint
-
-    d = load_table(spark, sf_dir, "documents")
-    # explode(array(...)) = Generate barrier: the fingerprint pipeline is
-    # evaluated ONCE per row; the size() filter and downstream consumers
-    # reference the generator's output attribute instead of re-expanding
-    # the expression (re-evaluation cost 5x the whole rest of the query).
-    fps = d.select(
-        "doc_id",
-        F.explode(F.array(let(norm_text("text"), winnow_fingerprint))).alias("fp"),
-    ).filter(F.size("fp") > 0)
+    fps = winnow_fps(spark, sf_dir)
     return capped_jaccard_pairs(
         fps, "doc_id", "fp", threshold=0.5, max_df=_WINNOW_MAX_DF
     ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))

@@ -312,34 +312,19 @@ WINNOW_FP_CTE = f"""
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprint (rolling-hash): char 5-gram md5_60
     hashes, min per sliding window of 4, distinct-sorted mins hashed to a
-    single fingerprint id. Single codegen'd pass, no shuffle
-    (winnow_fingerprint above)."""
-    from loris_mri_spark.functions.texthash import let
+    single fingerprint id. The (doc_id, fp) pass is workload.dedup.winnow_fps
+    — a single codegen'd pass behind a Generate barrier, shared with the
+    winnow dedup queries under spark.loris.sharedCache; the summary here is
+    two cheap expressions over the generator's output attribute."""
+    from loris_mri_spark.workload.dedup import winnow_fps
 
-    def summary(nrm: Column) -> Column:
-        return let(
-            winnow_fingerprint(nrm),
-            lambda fp: F.struct(
-                F.size(fp).cast("long").alias("n_fp"),
-                F.md5(
-                    F.concat_ws(",", F.transform(fp, lambda x: x.cast("string")))
-                ).alias("fp_hash"),
-            ),
-        )
-
-    d = load_table(spark, sf_dir, "documents")
-    # explode(array(...)) = a Generate barrier: the fingerprint pipeline
-    # is evaluated ONCE per row; downstream filter/select reference the
-    # generator's output attributes (projection collapse cannot reach
-    # through Generate, unlike plain aliases which were re-evaluated 3x).
-    out = d.select(
+    fps = winnow_fps(spark, sf_dir)
+    return fps.select(
         "doc_id",
-        F.explode(F.array(let(norm_text("text"), summary))).alias("s"),
-    ).filter(F.col("s.n_fp") > 0)
-    return out.select(
-        "doc_id",
-        F.col("s.n_fp").alias("n_fp"),
-        F.col("s.fp_hash").alias("fp_hash"),
+        F.size("fp").cast("long").alias("n_fp"),
+        F.md5(
+            F.concat_ws(",", F.transform("fp", lambda x: x.cast("string")))
+        ).alias("fp_hash"),
     )
 
 
@@ -376,4 +361,222 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.alias("n_bpe_tokens"),
         words.alias("n_word_tokens"),
         F.round(bpe / words, 4).alias("bpe_per_word"),
+    )
+
+
+# -- Gopher-style repetition filters ---------------------------------------
+# (Rae et al. 2021 §A1.1: documents dominated by repeated lines/n-grams are
+# boilerplate; the filter drops them before training.)  All counts are exact
+# integers and the keep rule is pure integer comparison, so both engines
+# agree bit-for-bit.  The whole query is ONE codegen'd pass over the corpus:
+# the run-length metrics are aggregate() folds over the (let-bound) token
+# array — no explode, no shuffle, JVM-side.
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run of equal consecutive elements, as a single JVM fold:
+    state = (prev, current-run, best-run)."""
+
+    def step(s: Column, x: Column) -> Column:
+        cur = (
+            F.when(x == s["prev"], s["cur"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(s["best"], cur).alias("best"),
+        )
+
+    return F.aggregate(
+        arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        step,
+        lambda s: s["best"],
+    )
+
+
+def _repetition_oracle() -> str:
+    from loris_mri_spark.functions.texthash import sql_shingles
+
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                  FROM documents),
+    u AS (SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+          FROM toks),
+    brk AS (SELECT doc_id, tok, pos,
+              CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+                   THEN 0 ELSE 1 END AS b
+            FROM u),
+    grp AS (SELECT doc_id, tok, pos,
+              SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM brk),
+    runs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_run
+             FROM (SELECT doc_id, g, COUNT(*) AS c FROM grp
+                   GROUP BY doc_id, g)
+             GROUP BY doc_id),
+    freqs AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok_count
+              FROM (SELECT doc_id, tok, COUNT(*) AS c FROM u
+                    GROUP BY doc_id, tok)
+              GROUP BY doc_id),
+    base AS (SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_2grams,
+               CAST(greatest(len(t) - 1, 0) - len({sql_shingles(2)})
+                    AS BIGINT) AS n_dup_2grams
+             FROM toks)
+    SELECT b.doc_id, b.n_tokens, b.n_2grams, b.n_dup_2grams,
+           f.top_tok_count, r.max_run,
+           (b.n_dup_2grams * 5 <= b.n_2grams
+            AND f.top_tok_count * 5 <= b.n_tokens
+            AND r.max_run <= 3) AS keep
+    FROM base b JOIN freqs f USING (doc_id) JOIN runs r USING (doc_id)
+    """
+
+
+@query("text_repetition_stats", oracle=_repetition_oracle())
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: duplicate-2-gram count, most-frequent
+    token count and longest same-token run per document, with an integer
+    keep rule (dup-2-gram fraction <= 0.2, top-token fraction <= 0.2,
+    max run <= 3).  The engine computes all three metrics as aggregate()
+    folds over one let-bound token array — one scan, zero shuffle, no
+    Python; the oracle states the same semantics relationally
+    (unnest + windows + group-bys)."""
+    from loris_mri_spark.functions.texthash import let, word_shingles
+
+    def metrics(t: Column) -> Column:
+        n = F.size(t).cast("long")
+        n2 = F.greatest(n - 1, F.lit(0).cast("long"))
+        dup2 = n2 - F.size(word_shingles(t, 2)).cast("long")
+        top = _max_run(F.array_sort(t))
+        run = _max_run(t)
+        return F.struct(
+            n.alias("n_tokens"),
+            n2.alias("n_2grams"),
+            dup2.alias("n_dup_2grams"),
+            top.alias("top_tok_count"),
+            run.alias("max_run"),
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        F.explode(F.array(let(tokens("text"), metrics))).alias("m"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.n_2grams").alias("n_2grams"),
+        F.col("m.n_dup_2grams").alias("n_dup_2grams"),
+        F.col("m.top_tok_count").alias("top_tok_count"),
+        F.col("m.max_run").alias("max_run"),
+        (
+            (F.col("m.n_dup_2grams") * 5 <= F.col("m.n_2grams"))
+            & (F.col("m.top_tok_count") * 5 <= F.col("m.n_tokens"))
+            & (F.col("m.max_run") <= 3)
+        ).alias("keep"),
+    )
+
+
+# -- PII detection / redaction ---------------------------------------------
+# The synthetic corpus carries no PII, so the query injects a deterministic
+# contact block per document (same construction in both engines) and then
+# runs the real detect+redact pass over it — the operator under test is the
+# regex extraction/replacement, which is JVM-side (Java regex) in Spark and
+# RE2 in DuckDB; the patterns below are restricted to the syntax subset the
+# two engines evaluate identically.
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+1-555-\d{4}"
+
+
+def _pii_oracle() -> str:
+    aug = (
+        "text || ' contact doc' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return f"""
+    WITH aug AS (SELECT doc_id, {aug} AS a FROM documents),
+    red AS (
+      SELECT doc_id, a,
+             regexp_replace(regexp_replace(regexp_replace(a,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+      FROM aug)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(a, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(a, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(a, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(clean) AS clean_hash
+    FROM red
+    """
+
+
+@query("text_pii_redact", oracle=_pii_oracle())
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails / IPv4 addresses /
+    phone numbers (each span replaced by a typed placeholder) and emit the
+    hash of the cleaned text.  One codegen'd pass, JVM regex only — the
+    shape of the C4/RefinedWeb-style scrub stage; at 100 TB this is a
+    narrow map with no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact doc"),
+        did.cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (did % 200).cast("string"),
+        F.lit(".0."),
+        (did % 250).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    from loris_mri_spark.functions.texthash import let
+
+    def fields(a: Column) -> Column:
+        clean = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(a, _PII_EMAIL, "<EMAIL>"),
+                _PII_IPV4,
+                "<IP>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        )
+        return F.struct(
+            F.size(F.regexp_extract_all(a, F.lit(_PII_EMAIL), F.lit(0)))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(a, F.lit(_PII_IPV4), F.lit(0)))
+            .cast("long")
+            .alias("n_ips"),
+            F.size(F.regexp_extract_all(a, F.lit(_PII_PHONE), F.lit(0)))
+            .cast("long")
+            .alias("n_phones"),
+            F.md5(clean).alias("clean_hash"),
+        )
+
+    out = d.select(
+        "doc_id", F.explode(F.array(let(aug, fields))).alias("p")
+    )
+    return out.select(
+        "doc_id",
+        F.col("p.n_emails").alias("n_emails"),
+        F.col("p.n_ips").alias("n_ips"),
+        F.col("p.n_phones").alias("n_phones"),
+        F.col("p.clean_hash").alias("clean_hash"),
     )

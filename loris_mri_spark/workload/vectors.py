@@ -22,6 +22,22 @@ from loris_mri_spark.operators.vectors import (
     ivf_topk,
 )
 from loris_mri_spark.workload import query
+from loris_mri_spark.workload import shared_df as _shared
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH verified cosine pairs (>= 0.45) — consumed by the
+    pair listing and the cluster collapse; one persisted copy under
+    spark.loris.sharedCache (see workload.shared_df)."""
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "embeddings")
+        return hyperplane_lsh_pairs(
+            e, id_col="vec_id", vec_col="embedding", threshold=0.45,
+            n_planes=64, bands=16, dim=64,
+        )
+
+    return _shared(spark, ("hyperplane_lsh_pairs", sf_dir), build)
 
 # Shared DuckDB fragments: double-cast vectors + sequential-fold cosine.
 _V_CTE = """
@@ -403,11 +419,7 @@ def vec_cosine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph."""
     from loris_mri_spark.operators.components import connected_components
 
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = hyperplane_lsh_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.45,
-        n_planes=64, bands=16, dim=64,
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs, "i", "j")
     return comp.select(F.col("node").alias("vec_id"), "component")
 
@@ -424,9 +436,5 @@ def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is an import-time golden recomputed independently in
     numpy/pure Python (_lsh_values_sql); tests additionally assert
     output ⊆ brute force and recall >= 0.9."""
-    e = load_table(spark, sf_dir, "embeddings")
-    out = hyperplane_lsh_pairs(
-        e, id_col="vec_id", vec_col="embedding", threshold=0.45,
-        n_planes=64, bands=16, dim=64,
-    )
+    out = _lsh_pairs(spark, sf_dir)
     return out.select("i", "j", F.round("cos", 6).alias("cos_r"))
