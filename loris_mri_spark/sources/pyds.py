@@ -1,0 +1,218 @@
+"""Spark Python Data Source (`pyspark.sql.datasource`, Spark 4) exposing
+the engine's stdlib header parsers as a REAL registered source:
+
+    spark.dataSource.register(HeadersDataSource)
+    spark.read.format("loris_headers").option("kind", "dicom").load(dir)
+
+This is the idiomatic Spark-4 packaging of the S1/S4 scans (reference:
+per-file Perl/pydicom loops, `summary_get.py:21-63`,
+`python/lib/imaging_lib/nifti.py:7-30`): the directory listing happens
+once at planning time (metadata only — names, no file reads), each task
+parses its own slice of files, and Catalyst-pushed `path` predicates prune
+FILES before a single byte is read (`pushFilters`: EqualTo /
+StringStartsWith / StringEndsWith / StringContains on `path`), the same
+partition-pruning contract a parquet scan gives you. Pushdown is opt-in
+(``.option("pushdown", "true")`` plus the runtime conf
+``spark.sql.python.filterPushdown.enabled=true``) because Spark rejects
+pushFilters readers outright when the conf is off.
+
+Batch reader: one `InputPartition` per `filesPerTask` files (default 4) —
+at 100 TB the unit of parallelism is the file, the output is a narrow
+header table, and pixel payloads never leave the task.
+
+Streaming reader (`simpleStreamReader`): incremental header ingest over a
+landing directory. The offset is the sorted list of already-seen file
+names — exact, replayable (`readBetweenOffsets` re-derives the delta from
+the two offsets alone), and exactly-once under Structured Streaming's
+offset log. Listing-sized offsets are the same trade Spark's own file
+source makes with its seen-files map; compaction beyond that is the
+checkpoint's job, not the source's.
+
+Both readers classify-don't-fail: unreadable bytes produce an
+``is_<kind>=false`` row, never an exception (DCMSUM.pm skip semantics).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+from loris_mri_spark.sources.dicom import DICOM_SCHEMA, parse_dicom_bytes
+from loris_mri_spark.sources.nifti import NIFTI_SCHEMA, parse_nifti_bytes
+
+FORMAT_NAME = "loris_headers"
+
+# kind -> (DDL schema, bytes-parser). The schemas/parsers are the exact
+# ones the mapInPandas scans use, so the two paths agree row-for-row.
+_KINDS: dict[str, tuple[str, Any]] = {
+    "dicom": (DICOM_SCHEMA, parse_dicom_bytes),
+    "nifti": (NIFTI_SCHEMA, parse_nifti_bytes),
+}
+
+
+def _schema_cols(ddl: str) -> list[str]:
+    return [c.strip().split(" ")[0] for c in ddl.split(",")]
+
+
+def _list_files(root: str) -> list[str]:
+    """Deterministic recursive listing (names only, no reads)."""
+    out: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            out.append(os.path.join(dirpath, f))
+    return sorted(out)
+
+
+def _path_pred(filters: Sequence[Filter]):
+    """Compile supported path filters into one predicate; return
+    (predicate, unsupported). Only `path` filters prune at listing time —
+    everything else stays in Spark's post-scan Filter."""
+    preds, unsupported = [], []
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr == ("path",):
+            if isinstance(f, EqualTo):
+                preds.append(lambda p, v=f.value: p == v)
+                continue
+            if isinstance(f, StringStartsWith):
+                preds.append(lambda p, v=f.value: p.startswith(v))
+                continue
+            if isinstance(f, StringEndsWith):
+                preds.append(lambda p, v=f.value: p.endswith(v))
+                continue
+            if isinstance(f, StringContains):
+                preds.append(lambda p, v=f.value: v in p)
+                continue
+        unsupported.append(f)
+    if not preds:
+        return (lambda _p: True), unsupported
+    return (lambda p: all(pr(p) for pr in preds)), unsupported
+
+
+def _parse_file(path: str, parser, cols: list[str]) -> tuple:
+    try:
+        with open(path, "rb") as fh:
+            content = fh.read()
+        row = {"path": path, **parser(content)}
+    except OSError:
+        row = {"path": path}
+    return tuple(row.get(c) for c in cols)
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, paths: list[str]) -> None:
+        self.paths = paths
+
+
+class _HeadersReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("loris_headers: .load(<directory>) is required")
+        kind = options.get("kind", "dicom")
+        if kind not in _KINDS:
+            raise ValueError(f"loris_headers: unknown kind {kind!r}")
+        self.kind = kind
+        self.files_per_task = int(options.get("filesPerTask", "4"))
+        self._pred = lambda _p: True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = [p for p in _list_files(self.path) if self._pred(p)]
+        n = max(self.files_per_task, 1)
+        return [
+            _FileSlice(files[i : i + n]) for i in range(0, len(files), n)
+        ] or [_FileSlice([])]
+
+    def read(self, partition: _FileSlice) -> Iterator[tuple]:
+        ddl, parser = _KINDS[self.kind]
+        cols = _schema_cols(ddl)
+        for path in partition.paths:
+            yield _parse_file(path, parser, cols)
+
+
+class _HeadersPushdownReader(_HeadersReader):
+    """Pushdown-capable variant. Spark REFUSES any reader that defines
+    pushFilters unless ``spark.sql.python.filterPushdown.enabled`` is on
+    (it is runtime-settable but defaults off), so this subclass is chosen
+    only when the read sets ``.option("pushdown", "true")`` alongside the
+    conf — a vanilla session reading without the option keeps working."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        self._pred, unsupported = _path_pred(filters)
+        return iter(unsupported)
+
+
+class _HeadersStreamReader(SimpleDataSourceStreamReader):
+    """Incremental landing-directory ingest: each micro-batch emits header
+    rows for files not present in the start offset."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("loris_headers: .load(<directory>) is required")
+        self.kind = options.get("kind", "dicom")
+        ddl, self._parser = _KINDS[self.kind]
+        self._cols = _schema_cols(ddl)
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        seen = set(start.get("seen", []))
+        files = _list_files(self.path)
+        new = [p for p in files if p not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        rows = iter(
+            [_parse_file(p, self._parser, self._cols) for p in new]
+        )
+        return rows, end
+
+    def readBetweenOffsets(
+        self, start: dict, end: dict
+    ) -> Iterator[tuple]:
+        delta = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return iter(
+            [_parse_file(p, self._parser, self._cols) for p in delta]
+        )
+
+
+class HeadersDataSource(DataSource):
+    """`loris_headers`: neuroimaging header tables as a first-class Spark
+    source (batch + streaming). Options: ``kind`` (dicom | nifti),
+    ``filesPerTask`` (batch parallelism granularity)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> str:
+        kind = self.options.get("kind", "dicom")
+        if kind not in _KINDS:
+            raise ValueError(f"loris_headers: unknown kind {kind!r}")
+        return _KINDS[kind][0]
+
+    def reader(self, schema) -> DataSourceReader:
+        opts = dict(self.options)
+        if opts.get("pushdown", "false").lower() == "true":
+            return _HeadersPushdownReader(opts)
+        return _HeadersReader(opts)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _HeadersStreamReader(dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(HeadersDataSource)

@@ -77,6 +77,7 @@ PRIORITY_ORDER: list[str] = [
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",
+    "s1_headers_datasource",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",

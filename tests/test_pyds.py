@@ -1,0 +1,147 @@
+"""The Spark-4 Python Data Source (sources/pyds.py) must agree row-for-row
+with the binaryFile+mapInPandas scans, prune files at listing time under
+filter pushdown, and do exactly-once incremental ingest as a stream."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from loris_mri_spark.sources import pyds
+from loris_mri_spark.sources.dicom import scan_dicom_dir
+from loris_mri_spark.sources.nifti import read_nifti_headers
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _rows_by_basename(df):
+    cols = df.columns[1:]
+    return sorted(
+        (os.path.basename(r["path"]),) + tuple(r[c] for c in cols)
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def registered(spark):
+    pyds.register(spark)
+    return spark
+
+
+def test_dicom_matches_mapinpandas_scan(registered):
+    ds = (
+        registered.read.format("loris_headers")
+        .option("kind", "dicom")
+        .load(f"{FIXTURES}/dicom")
+    )
+    legacy = scan_dicom_dir(registered, f"{FIXTURES}/dicom")
+    assert ds.columns == legacy.columns
+    assert _rows_by_basename(ds) == _rows_by_basename(legacy)
+
+
+def test_nifti_matches_mapinpandas_scan(registered):
+    ds = (
+        registered.read.format("loris_headers")
+        .option("kind", "nifti")
+        .load(f"{FIXTURES}/nifti")
+    )
+    legacy = read_nifti_headers(registered, f"{FIXTURES}/nifti")
+    assert ds.columns == legacy.columns
+    assert _rows_by_basename(ds) == _rows_by_basename(legacy)
+
+
+def test_vanilla_session_read_without_pushdown_option(registered):
+    # No pushdown option, conf untouched: the plain reader must plan fine.
+    n = (
+        registered.read.format("loris_headers")
+        .option("kind", "dicom")
+        .load(f"{FIXTURES}/dicom")
+        .count()
+    )
+    assert n == 7  # 6 DICOMs + README classified not-DICOM
+
+
+def test_pushdown_prunes_files_at_listing(registered):
+    registered.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        reader = pyds._HeadersPushdownReader(
+            {"path": f"{FIXTURES}/dicom", "kind": "dicom"}
+        )
+        from pyspark.sql.datasource import StringEndsWith
+
+        unsupported = list(reader.pushFilters([StringEndsWith(("path",), ".dcm")]))
+        assert unsupported == []
+        files = [p for part in reader.partitions() for p in part.paths]
+        assert files and all(p.endswith(".dcm") for p in files)
+
+        # end-to-end: the filtered read returns only DICOM rows
+        df = (
+            registered.read.format("loris_headers")
+            .option("kind", "dicom")
+            .option("pushdown", "true")
+            .load(f"{FIXTURES}/dicom")
+            .filter(F.col("path").endswith(".dcm"))
+        )
+        got = df.collect()
+        assert len(got) == 6 and all(r["is_dicom"] for r in got)
+    finally:
+        registered.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        )
+
+
+def test_unsupported_filters_are_returned(registered):
+    from pyspark.sql.datasource import EqualTo, StringEndsWith
+
+    reader = pyds._HeadersPushdownReader(
+        {"path": f"{FIXTURES}/dicom", "kind": "dicom"}
+    )
+    keep = list(
+        reader.pushFilters(
+            [StringEndsWith(("path",), ".dcm"), EqualTo(("modality",), "MR")]
+        )
+    )
+    # the non-path filter must stay in Spark's post-scan Filter
+    assert keep == [EqualTo(("modality",), "MR")]
+
+
+def test_stream_incremental_exactly_once(registered, tmp_path):
+    land = tmp_path / "land"
+    land.mkdir()
+    outd = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = sorted(
+        os.path.join(f"{FIXTURES}/dicom", f)
+        for f in os.listdir(f"{FIXTURES}/dicom")
+        if f.endswith(".dcm")
+    )
+
+    def run_batch():
+        sdf = (
+            registered.readStream.format("loris_headers")
+            .option("kind", "dicom")
+            .load(str(land))
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", outd)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    shutil.copy(src[0], land)
+    shutil.copy(src[1], land)
+    run_batch()
+    assert registered.read.parquet(outd).count() == 2
+
+    shutil.copy(src[2], land)
+    run_batch()  # only the new file lands — the first two are in the offset
+    out = registered.read.parquet(outd)
+    assert out.count() == 3
+    assert out.select("path").distinct().count() == 3
+    assert out.filter(F.col("is_dicom")).count() == 3
