@@ -78,6 +78,7 @@ PRIORITY_ORDER: list[str] = [
     "text_pii_redact",
     "corpus_global_shuffle",
     "s1_headers_datasource",
+    "layout_zorder_stats",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",
@@ -144,6 +145,7 @@ def load_all() -> None:
         corpusops,
         dedup,
         ingest,
+        layoutops,
         multimodal,
         pipeline,
         plugin_ops,
