@@ -79,6 +79,8 @@ PRIORITY_ORDER: list[str] = [
     "corpus_global_shuffle",
     "s1_headers_datasource",
     "layout_zorder_stats",
+    "dedup_keep_best",
+    "corpus_mixture_interleave",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",

@@ -191,3 +191,75 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return deterministic_shuffle(d, "doc_id", _N_SHARDS, _SHUFFLE_SALT)
+
+
+# Integer mixture weights (relative sampling frequency per source); the
+# interleave key is src_rank * (LCM / weight), so comparing keys is exact
+# integer math — no float ratios, no drift between engines.
+_MIX_WEIGHTS = {"src0": 4, "src1": 2}
+_MIX_DEFAULT_W = 1
+_MIX_LCM = 4
+_MIX_SALT = "mix-v1"
+
+_MIX_SQL = f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('{_MIX_SALT}:'
+                                      || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hkey
+      FROM documents),
+    wt(src, w) AS (VALUES ('src0', 4), ('src1', 2)),
+    r AS (
+      SELECT doc_id, source,
+             COALESCE(w, {_MIX_DEFAULT_W}) AS w,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY hkey, doc_id) AS BIGINT)
+               AS src_rank
+      FROM g LEFT JOIN wt ON g.source = wt.src)
+    SELECT doc_id, source, src_rank,
+           src_rank * ({_MIX_LCM} // w) AS mix_key
+    FROM r
+"""
+
+
+@query("corpus_mixture_interleave", oracle=_MIX_SQL)
+def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-ratio mixing: each source's documents get a
+    salted-hash rank, and the training order is ascending
+    ``mix_key = src_rank * (LCM / weight)`` — a weight-4 source appears 4x
+    as often as a weight-1 source in any prefix of the order (the
+    domain-mixture schedule of a pre-training run), reproducibly on any
+    cluster. All-integer keys; the per-source rank is the only shuffle.
+    At 100 TB a giant source's rank comes from the same id-bucket
+    offset trick as operators/corpus.budget_shards rather than one
+    per-source sort partition."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(_MIX_SALT), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in _MIX_WEIGHTS.items()], "src string, w int"
+    )
+    keyed = d.select("doc_id", "source", hkey.alias("hkey")).join(
+        F.broadcast(rates), F.col("source") == F.col("src"), "left"
+    )
+    w = Window.partitionBy("source").orderBy("hkey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("w"), F.lit(_MIX_DEFAULT_W)).alias("__w"),
+        F.row_number().over(w).cast("long").alias("src_rank"),
+    ).select(
+        "doc_id",
+        "source",
+        "src_rank",
+        (F.col("src_rank") * F.expr(f"{_MIX_LCM} div __w")).alias("mix_key"),
+    )

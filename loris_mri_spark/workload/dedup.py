@@ -339,3 +339,65 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_jaccard_pairs(
         fps, "doc_id", "fp", threshold=0.5, max_df=_WINNOW_MAX_DF
     ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+def _keep_best_oracle() -> str:
+    from loris_mri_spark.workload import ORACLES
+
+    return f"""
+    WITH clusters AS ({ORACLES["dedup_minhash_clusters"]}),
+    w AS (SELECT doc_id, CAST(len(string_split({_NORM}, ' ')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+    ranked AS (
+      SELECT c.component, c.doc_id, w.n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY w.n_tokens DESC, c.doc_id ASC)
+               AS rn
+      FROM clusters c JOIN w USING (doc_id))
+    SELECT component,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+           MAX(CASE WHEN rn = 1 THEN n_tokens END) AS keep_tokens,
+           COUNT(*) AS n_members
+    FROM ranked GROUP BY component
+    """
+
+
+@query("dedup_keep_best", oracle=None)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster collapse: instead of keeping each near-dup
+    cluster's min doc_id, keep its LONGEST member (ties to lowest id) —
+    the keep-best policy real pipelines use so dedup does not discard the
+    most complete copy. Composes the shared minhash cluster pass with a
+    per-doc token weight; one window over the (tiny) clustered subset."""
+    from pyspark.sql.window import Window
+
+    from loris_mri_spark.operators.components import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "i", "j").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    joined = comp.join(w, "doc_id")
+    win = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(win))
+    return ranked.groupBy("component").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keep_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_tokens"))).alias(
+            "keep_tokens"
+        ),
+        F.count("*").alias("n_members"),
+    )
+
+
+# Registered with the composed oracle AFTER definition so the module-load
+# order (dedup_minhash_clusters registers above) is explicit.
+from loris_mri_spark.workload import ORACLES as _OR  # noqa: E402
+
+_OR["dedup_keep_best"] = _keep_best_oracle()

@@ -121,3 +121,42 @@ def test_contamination_broadcasts_eval_side(spark, sf_dir):
     plan = _plan(workload.QUERIES["contamination_eval_overlap"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_zero_shuffle_single_scan(spark, sf_dir):
+    """The Gopher repetition metrics are aggregate() folds per row — the
+    plan must be one scan with no Exchange and no Python stage."""
+    df = workload.QUERIES["text_repetition_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_pii_redact_zero_shuffle_no_python(spark, sf_dir):
+    df = workload.QUERIES["text_pii_redact"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_global_shuffle_single_hash_exchange(spark, sf_dir):
+    """The deterministic shuffle is ONE hash exchange on the uniform
+    shard key (skew-free by construction) + per-shard window sort — no
+    global single-partition sort."""
+    df = workload.QUERIES["corpus_global_shuffle"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_zorder_stats_no_join_one_agg_exchange(spark, sf_dir):
+    """Z-key is a flat integer expression: one scan, the only exchange is
+    the bucket aggregation's."""
+    df = workload.QUERIES["layout_zorder_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 1
