@@ -216,3 +216,175 @@ class HeadersDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the source on a session."""
     spark.dataSource.register(HeadersDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Write side: the S14 protobuf chunk sink as a registered format —
+# ``df.write.format("loris_chunks").save(dir)`` with the full two-phase
+# commit protocol (tasks stage into a job-scoped tmp dir and return commit
+# messages; the driver moves staged files into place and writes a _SUCCESS
+# manifest on commit, or deletes the staging dir on abort). Local-FS here;
+# on a cluster the rename/delete calls go through the same Hadoop
+# FileSystem surface as sinks.fs_copy (S13) — the protocol is unchanged.
+# ---------------------------------------------------------------------------
+
+import json
+import shutil
+import struct as _struct
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+CHUNKS_FORMAT = "loris_chunks"
+
+# Input contract: (index long, downsampling long, cutoff long,
+#                  samples array<float>) — the FloatChunk fields.
+CHUNK_WRITE_SCHEMA = (
+    "index long, downsampling long, cutoff long, samples array<float>"
+)
+
+
+def _pb_varint_local(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_chunk_row(row) -> bytes:
+    from loris_mri_spark.sinks import pb_encode_float_chunk
+
+    return pb_encode_float_chunk(
+        int(row["index"] or 0),
+        int(row["downsampling"] or 0),
+        int(row["cutoff"] or 0),
+        list(row["samples"] or []),
+    )
+
+
+@dataclass
+class _ChunkCommit(WriterCommitMessage):
+    filename: str
+    n_records: int
+    n_bytes: int
+
+
+class _ChunksWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("loris_chunks: .save(<directory>) is required")
+        self.overwrite = overwrite
+        # job-scoped staging dir: chosen on the driver, shared by every
+        # task via pickling, so commit/abort see exactly this job's files
+        self.staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{part:05d}.pb"
+        n, total = 0, 0
+        # length-prefixed (varint-delimited) FloatChunk stream — the
+        # standard protobuf framing for message sequences in one file
+        with open(os.path.join(self.staging, fname), "wb") as fh:
+            for row in iterator:
+                msg = _encode_chunk_row(row)
+                fh.write(_pb_varint_local(len(msg)))
+                fh.write(msg)
+                n += 1
+                total += len(msg)
+        return _ChunkCommit(filename=fname, n_records=n, n_bytes=total)
+
+    def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".pb"):
+                    os.remove(os.path.join(self.path, f))
+        manifest = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.staging, m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            manifest.append(
+                {
+                    "file": m.filename,
+                    "n_records": m.n_records,
+                    "n_bytes": m.n_bytes,
+                }
+            )
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"files": manifest}, fh, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class ChunksDataSource(DataSource):
+    """`loris_chunks`: the FloatChunk protobuf sink as a write format."""
+
+    @classmethod
+    def name(cls) -> str:
+        return CHUNKS_FORMAT
+
+    def schema(self) -> str:
+        return CHUNK_WRITE_SCHEMA
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _ChunksWriter(dict(self.options), overwrite)
+
+
+def decode_chunk_stream(data: bytes) -> list[dict]:
+    """Pure-python reader for the varint-delimited FloatChunk stream —
+    the test/verification twin of the writer."""
+    out, pos = [], 0
+
+    def varint(p: int) -> tuple[int, int]:
+        shift = val = 0
+        while True:
+            b = data[p]
+            val |= (b & 0x7F) << shift
+            p += 1
+            if not b & 0x80:
+                return val, p
+            shift += 7
+
+    while pos < len(data):
+        size, pos = varint(pos)
+        end = pos + size
+        msg = {"index": 0, "downsampling": 0, "cutoff": 0, "samples": []}
+        while pos < end:
+            tag, pos = varint(pos)
+            if tag == 0x08:
+                msg["index"], pos = varint(pos)
+            elif tag == 0x10:
+                msg["downsampling"], pos = varint(pos)
+            elif tag == 0x18:
+                msg["cutoff"], pos = varint(pos)
+            elif tag == 0x22:
+                ln, pos = varint(pos)
+                msg["samples"] = list(
+                    _struct.unpack(f"<{ln // 4}f", data[pos : pos + ln])
+                )
+                pos += ln
+            else:  # unknown field: stop parsing this message defensively
+                pos = end
+        out.append(msg)
+    return out
+
+
+def register_chunks(spark) -> None:
+    spark.dataSource.register(ChunksDataSource)

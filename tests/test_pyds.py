@@ -145,3 +145,64 @@ def test_stream_incremental_exactly_once(registered, tmp_path):
     assert out.count() == 3
     assert out.select("path").distinct().count() == 3
     assert out.filter(F.col("is_dicom")).count() == 3
+
+
+def test_chunks_writer_roundtrip_and_commit(registered, tmp_path):
+    pyds.register_chunks(registered)
+    rows = [(1, 2, 3, [1.0, 2.5]), (4, 0, 0, [0.5]), (7, 1, 2, [])]
+    df = registered.createDataFrame(rows, pyds.CHUNK_WRITE_SCHEMA).repartition(2)
+    out = str(tmp_path / "chunks")
+    df.write.format("loris_chunks").mode("append").save(out)
+
+    import json
+
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(m["n_records"] for m in manifest["files"]) == 3
+    assert not any(f.startswith("_staging") for f in files)
+
+    got = []
+    for f in files:
+        if f.endswith(".pb"):
+            data = open(os.path.join(out, f), "rb").read()
+            got += pyds.decode_chunk_stream(data)
+    assert sorted(
+        (m["index"], m["downsampling"], m["cutoff"], tuple(m["samples"]))
+        for m in got
+    ) == sorted((a, b, c, tuple(s)) for a, b, c, s in rows)
+
+
+def test_chunks_writer_message_bytes_match_s14_encoder(registered, tmp_path):
+    from loris_mri_spark.sinks import pb_encode_float_chunk
+
+    pyds.register_chunks(registered)
+    df = registered.createDataFrame(
+        [(9, 4, 2, [3.25, -1.5])], pyds.CHUNK_WRITE_SCHEMA
+    ).coalesce(1)
+    out = str(tmp_path / "one")
+    df.write.format("loris_chunks").mode("append").save(out)
+    (pb_file,) = [f for f in os.listdir(out) if f.endswith(".pb")]
+    data = open(os.path.join(out, pb_file), "rb").read()
+    expected = pb_encode_float_chunk(9, 4, 2, [3.25, -1.5])
+    # varint length prefix + the exact S14 wire bytes
+    assert data == bytes([len(expected)]) + expected
+
+
+def test_chunks_writer_overwrite_replaces(registered, tmp_path):
+    pyds.register_chunks(registered)
+    out = str(tmp_path / "ow")
+    mk = lambda rows: registered.createDataFrame(  # noqa: E731
+        rows, pyds.CHUNK_WRITE_SCHEMA
+    ).coalesce(1)
+    mk([(1, 1, 1, [1.0])]).write.format("loris_chunks").mode("append").save(out)
+    mk([(2, 2, 2, [2.0])]).write.format("loris_chunks").mode(
+        "overwrite"
+    ).save(out)
+    got = []
+    for f in os.listdir(out):
+        if f.endswith(".pb"):
+            got += pyds.decode_chunk_stream(
+                open(os.path.join(out, f), "rb").read()
+            )
+    assert [m["index"] for m in got] == [2]
