@@ -30,8 +30,13 @@ EDF_CHANNEL_SCHEMA = (
 
 
 def parse_edf_bytes(content: bytes) -> list[dict[str, Any]]:
-    """Parse an EDF byte stream into per-channel rows (header fields per
-    the public EDF spec; samples decoded from int16 LE records)."""
+    """Parse an EDF or BDF byte stream into per-channel rows (header
+    fields per the public EDF spec; BioSemi BDF is the same 256-byte
+    header layout behind the 0xFF+'BIOSEMI' ident, with 3-byte LE signed
+    samples instead of int16 — the reference's importer accepts both,
+    loris_bids_importer eeg/main.py:249)."""
+    is_bdf = content[:8] == b"\xffBIOSEMI"
+    bps = 3 if is_bdf else 2  # bytes per sample
 
     def ascii_at(off: int, n: int) -> str:
         return content[off : off + n].decode("ascii", "replace").strip()
@@ -64,13 +69,23 @@ def parse_edf_bytes(content: bytes) -> list[dict[str, Any]]:
     for _ in range(n_records):
         # A truncated final record (partial write, interrupted transfer) is
         # dropped rather than raising struct.error mid-scan.
-        if pos + 2 * record_len > len(content):
+        if pos + bps * record_len > len(content):
             break
         for c in range(ns):
             cnt = sprs[c]
-            vals = struct.unpack_from(f"<{cnt}h", content, pos)
+            if is_bdf:
+                vals = [
+                    int.from_bytes(
+                        content[pos + 3 * k : pos + 3 * k + 3],
+                        "little",
+                        signed=True,
+                    )
+                    for k in range(cnt)
+                ]
+            else:
+                vals = struct.unpack_from(f"<{cnt}h", content, pos)
             per_channel[c].extend(vals)
-            pos += 2 * cnt
+            pos += bps * cnt
     for c in range(ns):
         s = per_channel[c]
         rows.append(
@@ -413,3 +428,239 @@ def read_eeglab_channels(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=EEGLAB_CHANNEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BrainVision Core Data Format 1.0 (.vhdr INI header + .vmrk markers +
+# multiplexed binary .eeg) — the remaining raw-EEG format the reference's
+# importer accepts (loris_bids_importer eeg/main.py:249: set/edf/vhdr/
+# vmrk/eeg/bdf). Pure stdlib text/struct parsing, classify-don't-fail.
+# ---------------------------------------------------------------------------
+
+BRAINVISION_CHANNEL_SCHEMA = (
+    "path string, data_file string, n_channels int, srate_hz double, "
+    "binary_format string, channel_idx int, label string, "
+    "resolution double, unit string, n_samples bigint, "
+    "dig_min bigint, dig_max bigint"
+)
+
+BRAINVISION_MARKER_SCHEMA = (
+    "path string, marker_idx int, mk_type string, description string, "
+    "position bigint, size bigint, channel int"
+)
+
+
+def _vhdr_sections(text: str) -> dict[str, list[tuple[str, str]]]:
+    """INI sections -> ordered key=value pairs (comments/blank skipped)."""
+    out: dict[str, list[tuple[str, str]]] = {}
+    section = ""
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith(";"):
+            continue
+        if line.startswith("[") and line.endswith("]"):
+            section = line[1:-1].strip().lower()
+            out.setdefault(section, [])
+        elif "=" in line and section:
+            k, _, v = line.partition("=")
+            out[section].append((k.strip(), v.strip()))
+    return out
+
+
+def parse_vhdr_bytes(content: bytes) -> "dict[str, Any] | None":
+    """Parse a .vhdr: common infos + per-channel Ch<N>=name,ref,res,unit.
+    Returns None for non-BrainVision content."""
+    try:
+        text = content.decode("utf-8", "replace")
+    except Exception:
+        return None
+    if "Brain Vision Data Exchange Header File" not in text.split("\n", 1)[0]:
+        return None
+    sec = _vhdr_sections(text)
+    common = dict(sec.get("common infos", []))
+    binary = dict(sec.get("binary infos", []))
+    try:
+        n_channels = int(common.get("NumberOfChannels", "0"))
+        interval_us = float(common.get("SamplingInterval", "0"))
+    except ValueError:
+        return None
+    channels = []
+    for k, v in sec.get("channel infos", []):
+        if not k.lower().startswith("ch"):
+            continue
+        try:
+            idx = int(k[2:]) - 1
+        except ValueError:
+            continue
+        parts = v.split(",")
+        channels.append(
+            {
+                "channel_idx": idx,
+                "label": parts[0] if parts else None,
+                "resolution": float(parts[2])
+                if len(parts) > 2 and parts[2]
+                else None,
+                "unit": parts[3] if len(parts) > 3 and parts[3] else None,
+            }
+        )
+    return {
+        "data_file": common.get("DataFile"),
+        "marker_file": common.get("MarkerFile"),
+        "n_channels": n_channels,
+        "srate_hz": (1e6 / interval_us) if interval_us > 0 else None,
+        "binary_format": binary.get("BinaryFormat"),
+        "channels": channels,
+    }
+
+
+def parse_vmrk_bytes(content: bytes) -> list[dict[str, Any]]:
+    """Parse a .vmrk: Mk<N>=type,description,position,size,channel."""
+    text = content.decode("utf-8", "replace")
+    if "Brain Vision Data Exchange Marker File" not in text.split("\n", 1)[0]:
+        return []
+    rows = []
+    for k, v in _vhdr_sections(text).get("marker infos", []):
+        if not k.lower().startswith("mk"):
+            continue
+        try:
+            idx = int(k[2:])
+        except ValueError:
+            continue
+        parts = v.split(",")
+
+        def _i(s: str) -> "int | None":
+            try:
+                return int(s)
+            except (ValueError, TypeError):
+                return None
+
+        rows.append(
+            {
+                "marker_idx": idx,
+                "mk_type": parts[0] if parts else None,
+                "description": parts[1] if len(parts) > 1 else None,
+                "position": _i(parts[2]) if len(parts) > 2 else None,
+                "size": _i(parts[3]) if len(parts) > 3 else None,
+                "channel": _i(parts[4]) if len(parts) > 4 else None,
+            }
+        )
+    return rows
+
+
+def _bv_channel_stats(
+    data: bytes, n_channels: int, binary_format: str
+) -> "list[tuple[int, int, int]] | None":
+    """(n_samples, dig_min, dig_max) per channel from the multiplexed
+    binary stream (INT_16 only; other formats report sizes as None)."""
+    if binary_format != "INT_16" or n_channels <= 0:
+        return None
+    n_samples = len(data) // (2 * n_channels)
+    mins = [None] * n_channels
+    maxs = [None] * n_channels
+    vals = struct.unpack_from(f"<{n_samples * n_channels}h", data, 0)
+    for c in range(n_channels):
+        col = vals[c :: n_channels]
+        mins[c], maxs[c] = min(col), max(col)
+    return [(n_samples, mins[c], maxs[c]) for c in range(n_channels)]
+
+
+def read_brainvision_channels(spark: SparkSession, path_glob: str) -> DataFrame:
+    """S7 (BrainVision): scan .vhdr headers, then resolve each header's
+    DataFile NEXT TO IT (the .ds-style sibling contract) for per-channel
+    sample stats — one binaryFile scan per extension, joined on dirname +
+    DataFile, parse in Arrow-batched tasks."""
+    vhdr = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.vhdr")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+    eeg = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.eeg")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .selectExpr("path AS eeg_path", "content AS eeg_content")
+    )
+    import pyspark.sql.functions as F
+
+    dirname = F.expr(r"regexp_replace(path, '/[^/]+$', '')")
+    eeg_dir = F.expr(r"regexp_replace(eeg_path, '/[^/]+$', '')")
+    eeg_name = F.expr(r"regexp_extract(eeg_path, '([^/]+)$', 1)")
+    joined = vhdr.withColumn("__dir", dirname).join(
+        eeg.withColumn("__edir", eeg_dir).withColumn("__ename", eeg_name),
+        on=F.expr("__dir = __edir"),
+        how="left",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in BRAINVISION_CHANNEL_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content, ename, econtent in zip(
+                pdf["path"], pdf["content"], pdf["__ename"], pdf["eeg_content"]
+            ):
+                hdr = parse_vhdr_bytes(bytes(content))
+                if hdr is None:
+                    continue
+                if ename is not None and ename != hdr["data_file"]:
+                    continue  # sibling .eeg not the one this header names
+                stats = (
+                    _bv_channel_stats(
+                        bytes(econtent), hdr["n_channels"], hdr["binary_format"]
+                    )
+                    if econtent is not None
+                    else None
+                )
+                for ch in hdr["channels"]:
+                    st = (
+                        stats[ch["channel_idx"]]
+                        if stats and ch["channel_idx"] < len(stats)
+                        else (None, None, None)
+                    )
+                    rows.append(
+                        {
+                            "path": path,
+                            "data_file": hdr["data_file"],
+                            "n_channels": hdr["n_channels"],
+                            "srate_hz": hdr["srate_hz"],
+                            "binary_format": hdr["binary_format"],
+                            **{
+                                k: ch[k]
+                                for k in (
+                                    "channel_idx",
+                                    "label",
+                                    "resolution",
+                                    "unit",
+                                )
+                            },
+                            "n_samples": st[0],
+                            "dig_min": st[1],
+                            "dig_max": st[2],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(run, schema=BRAINVISION_CHANNEL_SCHEMA)
+
+
+def read_brainvision_markers(spark: SparkSession, path_glob: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.vmrk")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in BRAINVISION_MARKER_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_vmrk_bytes(bytes(content)):
+                    rows.append({"path": path, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=BRAINVISION_MARKER_SCHEMA)

@@ -81,6 +81,9 @@ PRIORITY_ORDER: list[str] = [
     "layout_zorder_stats",
     "dedup_keep_best",
     "corpus_mixture_interleave",
+    "s7_bdf_channels",
+    "s7_brainvision_channels",
+    "s7_brainvision_markers",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",

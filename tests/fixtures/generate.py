@@ -121,6 +121,85 @@ def write_edf(path: str, channels: list[str], n_records: int, spr: int) -> None:
         f.write(hdr + data)
 
 
+def write_bdf(path: str, channels: list[str], n_records: int, spr: int) -> None:
+    """BioSemi BDF: the EDF header layout with ident 0xFF+'BIOSEMI',
+    '24BIT' reserved field and 3-byte little-endian signed samples."""
+    ns = len(channels)
+
+    def pad(s: str, n: int) -> bytes:
+        return s[:n].ljust(n).encode("ascii")
+
+    header_bytes = 256 + 256 * ns
+    hdr = b"".join([
+        b"\xffBIOSEMI", pad("SUB005 M X LORIS", 80),
+        pad("Startdate 02-JAN-2024", 80),
+        pad("02.01.24", 8), pad("00.00.00", 8), pad(str(header_bytes), 8),
+        pad("24BIT", 44), pad(str(n_records), 8), pad("1", 8), pad(str(ns), 4),
+    ])
+    fields = [
+        (16, channels), (80, ["active electrode"] * ns), (8, ["uV"] * ns),
+        (8, ["-262144"] * ns), (8, ["262143"] * ns), (8, ["-8388608"] * ns),
+        (8, ["8388607"] * ns), (80, ["HP:DC"] * ns), (8, [str(spr)] * ns),
+        (32, [""] * ns),
+    ]
+    for width, vals in fields:
+        hdr += b"".join(pad(v, width) for v in vals)
+    data = bytearray()
+    for r in range(n_records):
+        for c in range(ns):
+            for k in range(spr):
+                # exceeds int16 range on purpose: proves 24-bit decode
+                v = ((r * spr + k) * (1001 + 37 * c)) % 2_000_000 - 1_000_000
+                data += int(v).to_bytes(3, "little", signed=True)
+    with open(path, "wb") as f:
+        f.write(hdr + bytes(data))
+
+
+def write_brainvision(base: str, channels: list[str],
+                      sampling_interval_us: int, n_samples: int) -> None:
+    """BrainVision triplet: INI-style .vhdr header, .vmrk marker file and
+    multiplexed int16 .eeg binary (the vendor's Core Data Format 1.0)."""
+    name = os.path.basename(base)
+    vhdr = [
+        "Brain Vision Data Exchange Header File Version 1.0",
+        "[Common Infos]",
+        "Codepage=UTF-8",
+        f"DataFile={name}.eeg",
+        f"MarkerFile={name}.vmrk",
+        "DataFormat=BINARY",
+        "DataOrientation=MULTIPLEXED",
+        f"NumberOfChannels={len(channels)}",
+        f"SamplingInterval={sampling_interval_us}",
+        "[Binary Infos]",
+        "BinaryFormat=INT_16",
+        "[Channel Infos]",
+    ]
+    for i, ch in enumerate(channels):
+        vhdr.append(f"Ch{i + 1}={ch},,0.5,uV")
+    with open(base + ".vhdr", "w", newline="\r\n") as f:
+        f.write("\n".join(vhdr) + "\n")
+
+    vmrk = [
+        "Brain Vision Data Exchange Marker File, Version 1.0",
+        "[Common Infos]",
+        "Codepage=UTF-8",
+        f"DataFile={name}.eeg",
+        "[Marker Infos]",
+        "Mk1=New Segment,,1,1,0",
+        f"Mk2=Stimulus,S  1,{n_samples // 4},1,0",
+        f"Mk3=Response,R  8,{n_samples // 2},1,2",
+    ]
+    with open(base + ".vmrk", "w", newline="\r\n") as f:
+        f.write("\n".join(vmrk) + "\n")
+
+    data = bytearray()
+    for k in range(n_samples):
+        for c in range(len(channels)):
+            data += struct.pack("<h", (k * (11 + 5 * c)) % 3000 - 1500)
+    with open(base + ".eeg", "wb") as f:
+        f.write(bytes(data))
+
+
 def _itag(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
     """Implicit-VR little-endian element: (group, elem, len32, value) —
     no VR bytes on the wire; `vr` only picks the pad byte."""
@@ -739,6 +818,16 @@ def main() -> None:
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
               ["EEG Fp1", "EEG Fp2", "ECG"], n_records=4, spr=64)
+
+    # --- BDF (BioSemi, 24-bit EDF variant — the reference's importer
+    # accepts .bdf alongside .edf, loris_bids_importer eeg/main.py:249)
+    write_bdf(os.path.join(edir, "sub-05_task-rest_eeg.bdf"),
+              ["Fp1", "Oz"], n_records=2, spr=32)
+
+    # --- BrainVision triplet (.vhdr/.vmrk/.eeg — eeg/main.py:249)
+    write_brainvision(os.path.join(edir, "sub-06_task-rest_eeg"),
+                      ["Fp1", "Cz", "ECG"],
+                      sampling_interval_us=4000, n_samples=200)
 
     # --- EEGLAB .set (S7, second EEG format: MAT v5)
     write_eeglab_set(os.path.join(edir, "sub-02_task-rest_eeg.set"),

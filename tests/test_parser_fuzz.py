@@ -17,6 +17,8 @@ from loris_mri_spark.sources.eeg import (
     parse_edf_bytes,
     parse_eeglab_set_bytes,
     parse_meg4_samples,
+    parse_vhdr_bytes,
+    parse_vmrk_bytes,
 )
 from loris_mri_spark.sources.minc_ecat import (
     parse_ecat7_directory,
@@ -36,6 +38,8 @@ PARSERS = [
     parse_ctf_res4_bytes,
     parse_edf_bytes,
     parse_eeglab_set_bytes,
+    parse_vhdr_bytes,
+    parse_vmrk_bytes,
     lambda b: parse_meg4_samples(b, 4, 16),
     parse_ecat7_main_header,
     parse_ecat7_directory,
@@ -53,6 +57,9 @@ VALID = [
      / "sub-03_task-rest_meg.res4").read_bytes(),
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
     (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes(),
+    (FIXTURES / "eeg" / "sub-05_task-rest_eeg.bdf").read_bytes(),
+    (FIXTURES / "eeg" / "sub-06_task-rest_eeg.vhdr").read_bytes(),
+    (FIXTURES / "eeg" / "sub-06_task-rest_eeg.vmrk").read_bytes(),
     (FIXTURES / "eeg" / "sub-04_task-rest_meg.ds"
      / "sub-04_task-rest_meg.meg4").read_bytes(),
     (FIXTURES / "ecat" / "sub-01_fdg.v").read_bytes(),
