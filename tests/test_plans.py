@@ -160,3 +160,28 @@ def test_zorder_stats_no_join_one_agg_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert "Python" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
+    """BatchEvalPython (row-at-a-time Python UDF) is the 10-100x-slower
+    path and must never appear in ANY registered query plan. Python is
+    allowed only Arrow-batched: ArrowEvalPython for the six genuinely
+    non-expression operators (hashlib blake2b, the HED parser, PNG
+    codecs, protobuf framing) and mapInPandas/applyInPandas stages."""
+    allowed_arrow = {
+        "c5_blake2b_hash",
+        "x4_hed_parse",
+        "x4b_hed_ancestors",
+        "mm_decode_png_roundtrip",
+        "s15_png_preview",
+        "s14_chunk_encode",
+    }
+    offenders, surprise_arrow = [], []
+    for name, fn in workload.QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if "ArrowEvalPython" in plan and name not in allowed_arrow:
+            surprise_arrow.append(name)
+    assert offenders == [], offenders
+    assert surprise_arrow == [], surprise_arrow
