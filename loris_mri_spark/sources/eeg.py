@@ -493,13 +493,15 @@ def parse_vhdr_bytes(content: bytes) -> "dict[str, Any] | None":
         except ValueError:
             continue
         parts = v.split(",")
+        try:  # a corrupt line's resolution field classifies as None
+            res = float(parts[2]) if len(parts) > 2 and parts[2] else None
+        except ValueError:
+            res = None
         channels.append(
             {
                 "channel_idx": idx,
                 "label": parts[0] if parts else None,
-                "resolution": float(parts[2])
-                if len(parts) > 2 and parts[2]
-                else None,
+                "resolution": res,
                 "unit": parts[3] if len(parts) > 3 and parts[3] else None,
             }
         )
@@ -664,3 +666,98 @@ def read_brainvision_markers(spark: SparkSession, path_glob: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=BRAINVISION_MARKER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EDF+ annotations (TALs) — the event stream MNE surfaces as
+# raw.annotations and the reference's BIDS importer writes into
+# *_events.tsv (loris_bids_importer eeg/main.py; BIDS events via S8).
+# A TAL is "+onset[\x15duration]\x14text\x14...\x00"; the record-keeping
+# TAL that leads each record has empty text and is skipped.
+# ---------------------------------------------------------------------------
+
+EDF_ANNOTATION_SCHEMA = (
+    "path string, onset_s double, duration_s double, text string"
+)
+
+
+def parse_edf_annotations(content: bytes) -> list[dict[str, Any]]:
+    """TAL rows from the 'EDF Annotations' channel(s) of an EDF+ stream.
+    Classify-don't-fail: plain EDF (no annotation channel), truncated
+    records and malformed TALs yield fewer rows, never an exception."""
+
+    def ascii_at(off: int, n: int) -> str:
+        return content[off : off + n].decode("ascii", "replace").strip()
+
+    try:
+        n_records = int(ascii_at(236, 8))
+        ns = int(ascii_at(252, 4))
+        if ns < 0 or n_records < 0:
+            return []
+        base = 256
+        labels = [ascii_at(base + 16 * c, 16) for c in range(ns)]
+        off = base + ns * (16 + 80 + 8 + 8 + 8 + 8 + 8 + 80)
+        sprs = [int(ascii_at(off + 8 * c, 8)) for c in range(ns)]
+        header_bytes = int(ascii_at(184, 8))
+    except ValueError:
+        return []
+    if header_bytes < 0 or any(s < 0 for s in sprs):
+        return []
+    ann_idx = {c for c, lb in enumerate(labels) if lb == "EDF Annotations"}
+    if not ann_idx:
+        return []
+
+    def parse_tals(buf: bytes) -> list[dict[str, Any]]:
+        rows = []
+        for tal in buf.split(b"\x00"):
+            if not tal.startswith((b"+", b"-")):
+                continue
+            head, _, texts = tal.partition(b"\x14")
+            onset_b, _, dur_b = head.partition(b"\x15")
+            try:
+                onset = float(onset_b)
+                dur = float(dur_b) if dur_b else 0.0
+            except ValueError:
+                continue
+            for t in texts.split(b"\x14"):
+                txt = t.decode("utf-8", "replace").strip()
+                if txt:  # record-keeping TALs have empty text
+                    rows.append(
+                        {"onset_s": onset, "duration_s": dur, "text": txt}
+                    )
+        return rows
+
+    record_len = sum(sprs)
+    rows: list[dict[str, Any]] = []
+    pos = header_bytes
+    for _ in range(n_records if record_len > 0 else 0):
+        if pos + 2 * record_len > len(content):
+            break
+        for c in range(ns):
+            if c in ann_idx:
+                rows.extend(
+                    parse_tals(content[pos : pos + 2 * sprs[c]])
+                )
+            pos += 2 * sprs[c]
+    return rows
+
+
+def read_edf_annotations(spark: SparkSession, path_glob: str) -> DataFrame:
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.edf")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in EDF_ANNOTATION_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for r in parse_edf_annotations(bytes(content)):
+                    rows.append({"path": path, **r})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=EDF_ANNOTATION_SCHEMA)

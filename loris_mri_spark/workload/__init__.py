@@ -84,6 +84,7 @@ PRIORITY_ORDER: list[str] = [
     "s7_bdf_channels",
     "s7_brainvision_channels",
     "s7_brainvision_markers",
+    "s7_edf_annotations",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",

@@ -121,6 +121,55 @@ def write_edf(path: str, channels: list[str], n_records: int, spr: int) -> None:
         f.write(hdr + data)
 
 
+def write_edf_plus(path: str, channels: list[str], n_records: int,
+                   spr: int, annotations: list[tuple[float, float, str]]) -> None:
+    """EDF+C: regular signal channels plus one 'EDF Annotations' channel
+    carrying TALs (+onset[\\x15duration]\\x14text\\x14\\x00); every record
+    leads with the record-timekeeping TAL (empty text)."""
+    ns = len(channels) + 1
+    ann_spr = 32  # 64 bytes of TAL space per record
+
+    def pad(s: str, n: int) -> bytes:
+        return s[:n].ljust(n).encode("ascii")
+
+    header_bytes = 256 + 256 * ns
+    hdr = b"".join([
+        pad("0", 8), pad("SUB007 F X LORIS", 80), pad("Startdate 03-JAN-2024", 80),
+        pad("03.01.24", 8), pad("00.00.00", 8), pad(str(header_bytes), 8),
+        pad("EDF+C", 44), pad(str(n_records), 8), pad("1", 8), pad(str(ns), 4),
+    ])
+    labels = channels + ["EDF Annotations"]
+    fields = [
+        (16, labels), (80, ["transducer"] * len(channels) + [""]),
+        (8, ["uV"] * len(channels) + [""]),
+        (8, ["-100"] * len(channels) + ["-1"]),
+        (8, ["100"] * len(channels) + ["1"]),
+        (8, ["-2048"] * len(channels) + ["-32768"]),
+        (8, ["2047"] * len(channels) + ["32767"]),
+        (80, ["HP:0.1Hz"] * len(channels) + [""]),
+        (8, [str(spr)] * len(channels) + [str(ann_spr)]),
+        (32, [""] * ns),
+    ]
+    for width, vals in fields:
+        hdr += b"".join(pad(v, width) for v in vals)
+    by_record: dict[int, list[tuple[float, float, str]]] = {}
+    for onset, dur, text in annotations:
+        by_record.setdefault(int(onset), []).append((onset, dur, text))
+    data = b""
+    for r in range(n_records):
+        for c in range(len(channels)):
+            samples = [((r * spr + k) * (13 + 7 * c)) % 4000 - 2000
+                       for k in range(spr)]
+            data += struct.pack(f"<{spr}h", *samples)
+        tal = f"+{r}\x14\x14\x00".encode("ascii")
+        for onset, dur, text in by_record.get(r, []):
+            tal += (f"+{onset:g}\x15{dur:g}\x14{text}\x14\x00"
+                    .encode("ascii"))
+        data += tal.ljust(2 * ann_spr, b"\x00")
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+
+
 def write_bdf(path: str, channels: list[str], n_records: int, spr: int) -> None:
     """BioSemi BDF: the EDF header layout with ident 0xFF+'BIOSEMI',
     '24BIT' reserved field and 3-byte little-endian signed samples."""
@@ -818,6 +867,15 @@ def main() -> None:
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
               ["EEG Fp1", "EEG Fp2", "ECG"], n_records=4, spr=64)
+
+    # --- EDF+C with an annotations channel (TAL events -> BIDS events);
+    # own directory so the plain-EDF golden scans stay scoped
+    epdir = _mkdir(os.path.join(HERE, "eeg_plus"))
+    write_edf_plus(os.path.join(epdir, "sub-07_task-rest_eeg.edf"),
+                   ["EEG Fz", "EEG Pz"], n_records=3, spr=16,
+                   annotations=[(0.5, 0.2, "Stimulus A"),
+                                (1.25, 0.0, "Response"),
+                                (2.5, 1.0, "Artifact chew")])
 
     # --- BDF (BioSemi, 24-bit EDF variant — the reference's importer
     # accepts .bdf alongside .edf, loris_bids_importer eeg/main.py:249)

@@ -14,6 +14,7 @@ from loris_mri_spark.operators.media import decode_png_bytes, parse_wav_bytes
 from loris_mri_spark.sources.dicom import parse_dicom_bytes
 from loris_mri_spark.sources.eeg import (
     parse_ctf_res4_bytes,
+    parse_edf_annotations,
     parse_edf_bytes,
     parse_eeglab_set_bytes,
     parse_meg4_samples,
@@ -37,6 +38,7 @@ PARSERS = [
     parse_dicom_bytes,
     parse_ctf_res4_bytes,
     parse_edf_bytes,
+    parse_edf_annotations,
     parse_eeglab_set_bytes,
     parse_vhdr_bytes,
     parse_vmrk_bytes,
@@ -58,6 +60,7 @@ VALID = [
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
     (FIXTURES / "eeg" / "sub-02_task-rest_eeg.set").read_bytes(),
     (FIXTURES / "eeg" / "sub-05_task-rest_eeg.bdf").read_bytes(),
+    (FIXTURES / "eeg_plus" / "sub-07_task-rest_eeg.edf").read_bytes(),
     (FIXTURES / "eeg" / "sub-06_task-rest_eeg.vhdr").read_bytes(),
     (FIXTURES / "eeg" / "sub-06_task-rest_eeg.vmrk").read_bytes(),
     (FIXTURES / "eeg" / "sub-04_task-rest_meg.ds"
