@@ -13,10 +13,13 @@ is per-file and the output is a narrow header table; the pixel payload
 never leaves the scan (we slice headers only).
 
 The parser reads explicit-VR little-endian DICOM (preamble + 'DICM' +
-(group,element,VR,len,value) stream) AND implicit-VR little-endian
+(group,element,VR,len,value) stream), implicit-VR little-endian
 (transfer syntax 1.2.840.10008.1.2, the DICOM default: VR-less
 (group,element,len32,value) elements resolved through a tag->VR table for
-the extracted tags) with pure stdlib `struct`. The file-meta group (0002,
+the extracted tags), explicit-VR BIG-endian (1.2.840.10008.1.2.2,
+retired but present in archives — same walker, '>' byte order) and
+DEFLATED explicit-VR little-endian (1.2.840.10008.1.2.1.99 — bounded
+raw-inflate then the explicit walker), all with pure stdlib `struct`. The file-meta group (0002,
 always explicit VR per PS3.10) is walked first for the TransferSyntaxUID
 that picks the dataset walker. When the optional `pydicom` package is
 importable it is used instead (full transfer-syntax coverage); the stdlib
@@ -61,6 +64,11 @@ _IMPLICIT_VRS = {
 }
 
 _IMPLICIT_TS = "1.2.840.10008.1.2"
+_BIGENDIAN_TS = "1.2.840.10008.1.2.2"  # explicit VR big endian (retired)
+_DEFLATED_TS = "1.2.840.10008.1.2.1.99"  # deflated explicit VR LE
+# Inflate bound for deflated datasets (decompression-bomb guard): header
+# surfaces never legitimately exceed this.
+_MAX_INFLATE = 64 * 1024 * 1024
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UN", b"UT"}
 _STR_VRS = {b"AE", b"AS", b"CS", b"DA", b"DS", b"DT", b"IS", b"LO", b"LT",
@@ -92,7 +100,12 @@ def _decode_value(vr: bytes, raw: bytes) -> Any:
 
 
 def _walk_dataset(
-    content: bytes, pos: int, end: int, depth: int, found: dict[str, tuple[int, Any]]
+    content: bytes,
+    pos: int,
+    end: int,
+    depth: int,
+    found: dict[str, tuple[int, Any]],
+    bo: str = "<",
 ) -> int:
     """Walk one explicit-VR dataset in content[pos:end], recording the
     SHALLOWEST occurrence of each interesting tag (S2 fallback semantics:
@@ -101,27 +114,27 @@ def _walk_dataset(
     into SQ sequences (defined and undefined length). Returns the end
     position reached."""
     while pos + 8 <= end:
-        group, elem = struct.unpack_from("<HH", content, pos)
+        group, elem = struct.unpack_from(f"{bo}HH", content, pos)
         if (group, elem) == (0xFFFE, 0xE00D) or (group, elem) == (0xFFFE, 0xE0DD):
             return pos + 8  # item/sequence delimiter
         if group == 0xFFFE and elem == 0xE000:  # item header inside SQ
-            (ilen,) = struct.unpack_from("<I", content, pos + 4)
+            (ilen,) = struct.unpack_from(f"{bo}I", content, pos + 4)
             ipos = pos + 8
             iend = end if ilen == 0xFFFFFFFF else min(ipos + ilen, end)
-            pos = _walk_dataset(content, ipos, iend, depth, found)
+            pos = _walk_dataset(content, ipos, iend, depth, found, bo)
             continue
         vr = content[pos + 4 : pos + 6]
         if vr in _LONG_VRS:
             if pos + 12 > end:
                 break
-            (length,) = struct.unpack_from("<I", content, pos + 8)
+            (length,) = struct.unpack_from(f"{bo}I", content, pos + 8)
             vpos = pos + 12
         else:
-            (length,) = struct.unpack_from("<H", content, pos + 6)
+            (length,) = struct.unpack_from(f"{bo}H", content, pos + 6)
             vpos = pos + 8
         if vr == b"SQ":
             sq_end = end if length == 0xFFFFFFFF else min(vpos + length, end)
-            pos = _walk_dataset(content, vpos, sq_end, depth + 1, found)
+            pos = _walk_dataset(content, vpos, sq_end, depth + 1, found, bo)
             if length != 0xFFFFFFFF:
                 pos = sq_end
             continue
@@ -224,6 +237,18 @@ def parse_dicom_bytes(content: bytes) -> dict[str, Any]:
     try:
         if ts == _IMPLICIT_TS:
             _walk_implicit(content, pos, len(content), 0, found)
+        elif ts == _BIGENDIAN_TS:
+            _walk_dataset(content, pos, len(content), 0, found, ">")
+        elif ts == _DEFLATED_TS:
+            import zlib
+
+            try:  # raw deflate stream, bounded inflate (bomb guard)
+                data = zlib.decompressobj(-15).decompress(
+                    content[pos:], _MAX_INFLATE
+                )
+            except zlib.error:
+                data = b""
+            _walk_dataset(data, 0, len(data), 0, found)
         else:
             _walk_dataset(content, pos, len(content), 0, found)
     except RecursionError:

@@ -863,6 +863,28 @@ def main() -> None:
             echo_ms=90.0, tr_ms=9000.0,
         )
 
+    # --- explicit-VR big-endian DICOM (1.2.840.10008.1.2.2, retired)
+    bedicom = _mkdir(os.path.join(HERE, "dicom_be"))
+    for inst in range(1, 3):
+        write_bigendian_dicom(
+            os.path.join(bedicom, f"MR.x.{inst}.dcm"),
+            patient="SUB008", study_uid="1.2.840.99999.4",
+            series_uid="1.2.840.99999.4.1", series_num=1,
+            series_desc="t1w_be", instance=inst,
+            echo_ms=12.5, tr_ms=2500.0,
+        )
+
+    # --- deflated explicit-VR LE DICOM (1.2.840.10008.1.2.1.99)
+    dfdicom = _mkdir(os.path.join(HERE, "dicom_deflate"))
+    for inst in range(1, 3):
+        write_deflated_dicom(
+            os.path.join(dfdicom, f"MR.x.{inst}.dcm"),
+            patient="SUB009", study_uid="1.2.840.99999.5",
+            series_uid="1.2.840.99999.5.1", series_num=1,
+            series_desc="t1w_deflated", instance=inst,
+            echo_ms=12.5, tr_ms=2500.0,
+        )
+
     # --- EDF (EEG raw, S7)
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
@@ -985,3 +1007,60 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def _btag(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+    """Explicit-VR BIG-endian element (transfer syntax 1.2.840.10008.1.2.2):
+    group/element/length big-endian; VR chars and string values unchanged."""
+    if len(value) % 2:
+        value += b" " if vr in (b"LO", b"SH", b"PN", b"DA", b"TM", b"UI", b"CS", b"DS", b"IS") else b"\x00"
+    if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+        return struct.pack(">HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack(">HH2sH", group, elem, vr, len(value)) + value
+
+
+def _dicom_body(tagger, patient: str, study_uid: str, series_uid: str,
+                series_num: int, series_desc: str, instance: int,
+                echo_ms: float, tr_ms: float) -> bytes:
+    return b"".join([
+        tagger(0x0008, 0x0060, b"CS", b"MR"),
+        tagger(0x0008, 0x103E, b"LO", series_desc.encode()),
+        tagger(0x0010, 0x0010, b"PN", patient.encode()),
+        tagger(0x0018, 0x0080, b"DS", f"{tr_ms:.2f}".encode()),
+        tagger(0x0018, 0x0081, b"DS", f"{echo_ms:.2f}".encode()),
+        tagger(0x0020, 0x000D, b"UI", study_uid.encode()),
+        tagger(0x0020, 0x000E, b"UI", series_uid.encode()),
+        tagger(0x0020, 0x0011, b"IS", str(series_num).encode()),
+        tagger(0x0020, 0x0013, b"IS", str(instance).encode()),
+        tagger(0x7FE0, 0x0010, b"OW",
+               bytes((i * 17 + instance) % 251 for i in range(64))),
+    ])
+
+
+def _meta_group(ts: str) -> bytes:
+    tsb = ts.encode("ascii")
+    if len(tsb) % 2:
+        tsb += b"\x00"
+    meta = _tag(0x0002, 0x0010, b"UI", tsb)
+    return _tag(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta))) + meta
+
+
+def write_bigendian_dicom(path: str, **kw) -> None:
+    """Explicit-VR big-endian (1.2.840.10008.1.2.2, retired): LE explicit
+    file meta declaring the syntax, then a big-endian dataset."""
+    body = _dicom_body(_btag, **kw)
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + _meta_group("1.2.840.10008.1.2.2")
+                + body)
+
+
+def write_deflated_dicom(path: str, **kw) -> None:
+    """Deflated explicit-VR LE (1.2.840.10008.1.2.1.99): LE explicit file
+    meta, then the dataset as a raw deflate stream."""
+    import zlib
+    body = _dicom_body(_tag, **kw)
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    deflated = co.compress(body) + co.flush()
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM"
+                + _meta_group("1.2.840.10008.1.2.1.99") + deflated)

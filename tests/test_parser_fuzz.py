@@ -55,6 +55,8 @@ VALID = [
     (FIXTURES / "audio" / "sub-01_audio.wav").read_bytes(),
     (FIXTURES / "dicom" / "MR.1.1.dcm").read_bytes(),
     (FIXTURES / "dicom_implicit" / "MR.imp.1.dcm").read_bytes(),
+    (FIXTURES / "dicom_be" / "MR.x.1.dcm").read_bytes(),
+    (FIXTURES / "dicom_deflate" / "MR.x.1.dcm").read_bytes(),
     (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
      / "sub-03_task-rest_meg.res4").read_bytes(),
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
