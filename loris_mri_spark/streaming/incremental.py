@@ -204,3 +204,69 @@ def stateful_running_index(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_incremental_store_dedup(
+    spark: SparkSession,
+    staged_dir: str,
+    fingerprint_col: str,
+    id_col: str,
+    tag: str,
+) -> DataFrame:
+    """Incremental EXACT dedup against a PERSISTENT fingerprint store —
+    the cross-run form of duplicate suppression (T3 dedups within one
+    stream's watermark; this is `database_lib/files.py:40-101` semantics
+    across ingest runs: a document whose fingerprint is already in the
+    store is rejected forever, not just within a window).
+
+    Each micro-batch: keep the first (min id) row per fingerprint within
+    the batch, anti-join against the store-so-far, append the survivors
+    to the accepted log AND their fingerprints to the store. Both writes
+    are batch-id-keyed overwrites (the T4 idempotence pattern), so an
+    at-least-once retry replaces its partial output. At scale the store
+    is a bucketed table on fingerprint — the anti-join is then
+    shuffle-free on the store side.
+
+    Returns the accepted log (id, fingerprint) as a batch DataFrame."""
+    from pyspark.sql.window import Window
+
+    store = scratch_dir(f"{tag}-store")
+    out = scratch_dir(f"{tag}-out")
+    schema = spark.read.parquet(staged_dir).schema
+
+    def accept_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        w = Window.partitionBy(fingerprint_col).orderBy(id_col)
+        firsts = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        known = [
+            d for d in os.listdir(store) if d.startswith("bid=")
+        ] if os.path.isdir(store) else []
+        if known:
+            seen = bspark.read.parquet(store).select(fingerprint_col)
+            firsts = firsts.join(seen, fingerprint_col, "left_anti")
+        firsts = firsts.localCheckpoint()  # one evaluation, two sinks
+        firsts.select(id_col, fingerprint_col).write.mode("overwrite").parquet(
+            f"{out}/bid={batch_id}"
+        )
+        firsts.select(fingerprint_col).write.mode("overwrite").parquet(
+            f"{store}/bid={batch_id}"
+        )
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged_dir)
+    )
+    with _scoped_stream_partitions(spark):
+        q = (
+            sdf.writeStream.foreachBatch(accept_batch)
+            .option("checkpointLocation", _checkpoint(tag))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).drop("bid")

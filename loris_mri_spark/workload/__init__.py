@@ -86,6 +86,7 @@ PRIORITY_ORDER: list[str] = [
     "s7_brainvision_markers",
     "s7_edf_annotations",
     "s1_dicom_transfer_syntaxes",
+    "t8_incremental_store_dedup",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",

@@ -200,3 +200,61 @@ def t7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap_us"),
     )
     return run_to_memory(joined, "append", "t7")
+
+
+@query(
+    "t8_incremental_store_dedup",
+    oracle="""
+    WITH drops AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      FROM documents)
+    SELECT MIN(doc_id) AS doc_id, fp AS fingerprint
+    FROM drops GROUP BY fp
+    """,
+)
+def t8_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-extension: exact dedup against a PERSISTENT fingerprint store
+    across ingest runs (`database_lib/files.py:40-101` across runs, not
+    just within a watermark — T3's complement). The corpus is staged as
+    two id-ordered drops; each micro-batch anti-joins the store-so-far
+    and appends survivors + fingerprints (batch-id-keyed, retry-safe).
+    The accepted log must equal the batch answer: first arrival (= min
+    doc_id under id-ordered staging) per fingerprint."""
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.functions.texthash import norm_text
+    from loris_mri_spark.streaming.incremental import (
+        run_incremental_store_dedup,
+        scratch_dir,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm_text("text")).alias("fingerprint")
+    )
+    staged = scratch_dir("t8-staged")
+    # drop0 = the corpus; drop1 = a RE-UPLOAD of the same content under new
+    # ids — every drop1 row must be rejected by the store. Staged as FLAT
+    # files (the file source does not recurse); mtimes order the batches.
+    now = os.stat(staged).st_mtime
+    halves = [
+        d,
+        d.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+    ]
+    for i, half in enumerate(halves):
+        wdir = f"{staged}/_w{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(wdir)
+        (part,) = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        dst = os.path.join(staged, f"drop-{i:03d}.parquet")
+        os.replace(os.path.join(wdir, part), dst)
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+        import shutil
+
+        shutil.rmtree(wdir, ignore_errors=True)
+    out = run_incremental_store_dedup(
+        spark, staged, "fingerprint", "doc_id", "t8"
+    )
+    return out.select("doc_id", "fingerprint")
