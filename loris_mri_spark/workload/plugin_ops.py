@@ -10,6 +10,44 @@ from loris_mri_spark.catalog import load_table
 from loris_mri_spark.functions.hed import hed_parse_udf
 from loris_mri_spark.plugins import resolve_session_config
 from loris_mri_spark.workload import query
+from loris_mri_spark.workload import shared_df as _shared
+
+
+def _hed_event_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, node) rows from the parsed per-event HED string — the
+    Arrow-UDF parse pass shared by x4_hed_parse and x4b_hed_ancestors
+    under spark.loris.sharedCache (see workload.shared_df).
+
+    Component-wise string construction mirroring the oracles' per-branch
+    null semantics: a NULL event_type or missing $.k drops ONLY its own
+    tag (concat_ws skips nulls) instead of nulling the whole string and
+    silently losing the event's other rows — the r03 drift class, guarded
+    against a future testdata refresh. On the current corpus (both fields
+    always present) the string is byte-identical."""
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        _k = F.get_json_object("props", "$.k")
+        hed = e.select(
+            "event_id",
+            F.concat(
+                F.lit("Sensory-event,("),
+                F.concat_ws(
+                    ",",
+                    F.when(
+                        F.col("event_type").isNotNull(),
+                        F.concat(F.lit("Label/"), F.col("event_type")),
+                    ),
+                    F.when(_k.isNotNull(), F.concat(F.lit("Value/"), _k)),
+                ),
+                F.lit(")"),
+            ).alias("hed"),
+        )
+        return hed.select(
+            "event_id", F.explode(hed_parse_udf(F.col("hed"))).alias("node")
+        )
+
+    return _shared(spark, ("hed_nodes", sf_dir), build)
 
 # Synthetic patient ids derived deterministically from customer keys —
 # every 50th scan is a phantom (the reference's lego phantom uploads).
@@ -98,32 +136,7 @@ def x4_hed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     event's HED string, parse it with the recursive parser UDF, explode
     the flattened (tag, depth, item) node rows. Deeper nesting is
     covered by tests/test_plugins.py."""
-    e = load_table(spark, sf_dir, "events")
-    # Component-wise construction mirroring the oracle's per-branch null
-    # semantics: a NULL event_type or missing $.k drops ONLY its own tag
-    # (concat_ws skips nulls) instead of nulling the whole string and
-    # silently losing the event's other rows — the r03 drift class,
-    # guarded against a future testdata refresh. On the current corpus
-    # (both fields always present) the string is byte-identical.
-    _k = F.get_json_object("props", "$.k")
-    hed = e.select(
-        "event_id",
-        F.concat(
-            F.lit("Sensory-event,("),
-            F.concat_ws(
-                ",",
-                F.when(
-                    F.col("event_type").isNotNull(),
-                    F.concat(F.lit("Label/"), F.col("event_type")),
-                ),
-                F.when(_k.isNotNull(), F.concat(F.lit("Value/"), _k)),
-            ),
-            F.lit(")"),
-        ).alias("hed"),
-    )
-    nodes = hed.select(
-        "event_id", F.explode(hed_parse_udf(F.col("hed"))).alias("node")
-    )
+    nodes = _hed_event_nodes(spark, sf_dir)
     return nodes.select(
         "event_id",
         F.col("node.tag").alias("tag"),
@@ -196,33 +209,9 @@ def x4b_hed_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     closure = ancestor_closure(nodes)
 
-    e = load_table(spark, sf_dir, "events")
-    # Component-wise construction mirroring the oracle's per-branch null
-    # semantics: a NULL event_type or missing $.k drops ONLY its own tag
-    # (concat_ws skips nulls) instead of nulling the whole string and
-    # silently losing the event's other rows — the r03 drift class,
-    # guarded against a future testdata refresh. On the current corpus
-    # (both fields always present) the string is byte-identical.
-    _k = F.get_json_object("props", "$.k")
-    hed = e.select(
-        "event_id",
-        F.concat(
-            F.lit("Sensory-event,("),
-            F.concat_ws(
-                ",",
-                F.when(
-                    F.col("event_type").isNotNull(),
-                    F.concat(F.lit("Label/"), F.col("event_type")),
-                ),
-                F.when(_k.isNotNull(), F.concat(F.lit("Value/"), _k)),
-            ),
-            F.lit(")"),
-        ).alias("hed"),
+    tags = _hed_event_nodes(spark, sf_dir).select(
+        "event_id", F.col("node.tag").alias("tag")
     )
-    tags = hed.select(
-        "event_id",
-        F.explode(hed_parse_udf(F.col("hed"))).alias("node"),
-    ).select("event_id", F.col("node.tag").alias("tag"))
 
     names = nodes.select("node_id", "name")
     anc_names = nodes.select(
