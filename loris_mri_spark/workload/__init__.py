@@ -87,6 +87,12 @@ PRIORITY_ORDER: list[str] = [
     "s7_edf_annotations",
     "s1_dicom_transfer_syntaxes",
     "t8_incremental_store_dedup",
+    # -- restructured this session (shared-pass refactor): need fresh greens --
+    "text_fingerprint_winnow",
+    "dedup_winnow_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "pipeline_corpus_select",
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",
