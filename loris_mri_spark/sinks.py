@@ -366,3 +366,30 @@ def png_preview_udf(content_col: Column, size: int = 8) -> Column:
         return pd.Series(out)
 
     return _png(content_col)
+
+
+def write_keyed_store(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    expected_ndv: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write a lookup/store table with a PARQUET BLOOM FILTER on its key
+    column — the store side of membership checks (duplicate suppression,
+    `database_lib/files.py:40-101`). At 100 TB the incremental-dedup
+    anti-join probes the store by fingerprint; with bloom filters each
+    row group answers "definitely absent" from its footer, so the scan
+    skips row groups without touching data pages (min/max stats are
+    useless for uniformly-distributed hash keys — blooms are the only
+    skipping that works there). ``expected_ndv`` sizes the filter; set it
+    to the approximate distinct-key count per file."""
+    (
+        df.write.mode(mode)
+        .option(f"parquet.bloom.filter.enabled#{key_col}", "true")
+        .option(
+            f"parquet.bloom.filter.expected.ndv#{key_col}",
+            str(int(expected_ndv)),
+        )
+        .parquet(path)
+    )

@@ -252,8 +252,16 @@ def run_incremental_store_dedup(
         firsts.select(id_col, fingerprint_col).write.mode("overwrite").parquet(
             f"{out}/bid={batch_id}"
         )
-        firsts.select(fingerprint_col).write.mode("overwrite").parquet(
-            f"{store}/bid={batch_id}"
+        # store files carry a bloom filter on the fingerprint: at scale the
+        # next batch's anti-join probe skips row groups from the footer
+        # (hash keys defeat min/max stats; blooms are the skipping that works)
+        from loris_mri_spark.sinks import write_keyed_store
+
+        write_keyed_store(
+            firsts.select(fingerprint_col),
+            f"{store}/bid={batch_id}",
+            fingerprint_col,
+            expected_ndv=100_000,
         )
 
     sdf = (

@@ -95,3 +95,30 @@ def test_s13_fs_transfer_semantics(spark, tmp_path):
     assert fs_delete(spark, dst_url) is True        # delete
     assert not fs_exists(spark, dst_url)
     assert fs_delete(spark, dst_url) is False       # idempotent delete
+
+
+def test_write_keyed_store_embeds_bloom_filter(spark, tmp_path):
+    """The bloom-filtered store write must (a) round-trip identically and
+    (b) actually embed the filter — pinned via the on-disk footprint
+    delta, since this pyarrow build does not surface bloom offsets."""
+    import glob
+    import os
+
+    from loris_mri_spark.sinks import write_keyed_store
+
+    df = spark.range(2000).selectExpr(
+        "md5(cast(id as string)) AS fingerprint"
+    ).coalesce(1)
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.parquet(plain)
+    write_keyed_store(df, bloomed, "fingerprint", expected_ndv=2000)
+
+    a = sorted(r["fingerprint"] for r in spark.read.parquet(plain).collect())
+    b = sorted(r["fingerprint"] for r in spark.read.parquet(bloomed).collect())
+    assert a == b and len(a) == 2000
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+    )
+    # an ndv=2000 split-block bloom adds >= 1 KiB per file
+    assert size(bloomed) >= size(plain) + 1024
