@@ -87,6 +87,7 @@ PRIORITY_ORDER: list[str] = [
     "s7_edf_annotations",
     "s1_dicom_transfer_syntaxes",
     "t8_incremental_store_dedup",
+    "graph_authority_rank",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

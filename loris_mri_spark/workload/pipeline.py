@@ -199,3 +199,40 @@ def pipeline_corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(remove, "doc_id", "left_anti")
         .select("doc_id", "n_tokens", "stop_ratio")
     )
+
+
+def _authority_oracle() -> str:
+    from loris_mri_spark.operators.rank import sql_power_iteration_rank
+
+    edges = """
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      UNION
+      SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    """
+    return sql_power_iteration_rank(edges, n_iter=3)
+
+
+@query("graph_authority_rank", oracle=_authority_oracle())
+def graph_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative authority scoring (PageRank shape, 3 power iterations)
+    over the customer<->supplier purchase graph — the third iterative-
+    algorithm family member next to transitive closure and connected
+    components, and the corpus-quality-propagation shape LLM pipelines
+    run over source/link graphs. Decimal-exact message passing
+    (operators/rank.py) makes an iterative float algorithm
+    hash-checkable; the oracle replays the identical rounds as a
+    generated CTE chain (the ann_ivf_kmeans pattern)."""
+    from loris_mri_spark.operators.rank import power_iteration_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey)
+    fwd = joined.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ranks = power_iteration_rank(fwd.union(rev), n_iter=3)
+    return ranks.select("node", "rank")
