@@ -340,3 +340,73 @@ def scan_dicom_dir(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_parse_partition, schema=DICOM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Encapsulated pixel data (the compressed transfer syntaxes: JPEG family,
+# JPEG 2000, RLE — PS3.5 §A.4): the (7FE0,0010) element is OB with
+# UNDEFINED length and its value is an item sequence — first item the
+# Basic Offset Table, then one item per fragment, closed by a sequence
+# delimiter. The engine surfaces the CONTAINER (offset table + fragment
+# boundaries + fragment bytes => frame access, the mm_frame_sample shape);
+# decoding the codestream is the documented codec seam
+# (operators/media.py:153) — same stance as JPEG in the media module.
+# ---------------------------------------------------------------------------
+
+_PIXEL_DATA = (0x7FE0, 0x0010)
+
+
+def parse_encapsulated_frames(content: bytes) -> "dict[str, Any] | None":
+    """Fragment inventory of an encapsulated-pixel-data DICOM: returns
+    {"transfer_syntax", "bot_offsets": [...], "fragments": [(offset_in_
+    pixel_data, size, bytes)]} or None when the file has no encapsulated
+    pixel data. Classify-don't-fail: truncated items end the walk."""
+    if len(content) < 132 or content[128:132] != b"DICM":
+        return None
+    pos, ts = _walk_file_meta(content, 132)
+    end = len(content)
+    # explicit-VR LE walk to the pixel-data element (compressed syntaxes
+    # are explicit LE apart from the retired big-endian one)
+    while pos + 12 <= end:
+        group, elem = struct.unpack_from("<HH", content, pos)
+        vr = content[pos + 4 : pos + 6]
+        if vr in _LONG_VRS:
+            (length,) = struct.unpack_from("<I", content, pos + 8)
+            vpos = pos + 12
+        else:
+            (length,) = struct.unpack_from("<H", content, pos + 6)
+            vpos = pos + 8
+        if (group, elem) == _PIXEL_DATA and length == 0xFFFFFFFF:
+            break
+        if length == 0xFFFFFFFF or vpos + length > end:
+            return None
+        pos = vpos + length
+    else:
+        return None
+
+    items: list[tuple[int, int]] = []  # (offset within value, size)
+    ipos = vpos
+    while ipos + 8 <= end:
+        g, e = struct.unpack_from("<HH", content, ipos)
+        (ilen,) = struct.unpack_from("<I", content, ipos + 4)
+        if (g, e) == (0xFFFE, 0xE0DD):
+            break
+        if (g, e) != (0xFFFE, 0xE000) or ilen == 0xFFFFFFFF:
+            break
+        if ipos + 8 + ilen > end:
+            break
+        items.append((ipos + 8 - vpos, ilen))
+        ipos += 8 + ilen
+    if not items:
+        return None
+    bot_off, bot_len = items[0]
+    bot = list(
+        struct.unpack_from(
+            f"<{bot_len // 4}I", content, vpos + bot_off
+        )
+    )
+    frags = [
+        (off, ln, content[vpos + off : vpos + off + ln])
+        for off, ln in items[1:]
+    ]
+    return {"transfer_syntax": ts, "bot_offsets": bot, "fragments": frags}

@@ -88,6 +88,7 @@ PRIORITY_ORDER: list[str] = [
     "s1_dicom_transfer_syntaxes",
     "t8_incremental_store_dedup",
     "graph_authority_rank",
+    "s1_dicom_encapsulated_frames",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

@@ -885,6 +885,13 @@ def main() -> None:
             echo_ms=12.5, tr_ms=2500.0,
         )
 
+    # --- encapsulated pixel data (JPEG 2000 transfer syntax, PS3.5 A.4)
+    endicom = _mkdir(os.path.join(HERE, "dicom_encap"))
+    for inst in range(1, 3):
+        write_encapsulated_dicom(
+            os.path.join(endicom, f"MR.j2k.{inst}.dcm"), inst
+        )
+
     # --- EDF (EEG raw, S7)
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
@@ -1064,3 +1071,35 @@ def write_deflated_dicom(path: str, **kw) -> None:
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM"
                 + _meta_group("1.2.840.10008.1.2.1.99") + deflated)
+
+
+def _encap_fragment(instance: int, k: int) -> bytes:
+    """Deterministic fake JPEG-2000 codestream: real SOC/SIZ markers, then
+    filler bytes (the codec seam stays stubbed; the container is real)."""
+    filler = bytes((i * 31 + 7 * k + instance) % 251 for i in range(40 + 8 * k))
+    return b"\xff\x4f\xff\x51" + filler
+
+
+def write_encapsulated_dicom(path: str, instance: int) -> None:
+    """Encapsulated pixel data (PS3.5 A.4): JPEG 2000 lossless transfer
+    syntax, explicit-LE tags, then (7FE0,0010) OB undefined-length with a
+    Basic Offset Table item + 2 fragment items + sequence delimiter."""
+    frags = [_encap_fragment(instance, k) for k in range(2)]
+    bot = struct.pack("<II", 0, 8 + len(frags[0]))
+    pixel = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pixel += struct.pack("<HHI", 0xFFFE, 0xE000, len(bot)) + bot
+    for fr in frags:
+        pixel += struct.pack("<HHI", 0xFFFE, 0xE000, len(fr)) + fr
+    pixel += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    body = b"".join([
+        _tag(0x0008, 0x0060, b"CS", b"MR"),
+        _tag(0x0008, 0x103E, b"LO", b"t1w_j2k"),
+        _tag(0x0010, 0x0010, b"PN", b"SUB010"),
+        _tag(0x0020, 0x000D, b"UI", b"1.2.840.99999.6"),
+        _tag(0x0020, 0x000E, b"UI", b"1.2.840.99999.6.1"),
+        _tag(0x0020, 0x0011, b"IS", b"1 "),
+        _tag(0x0020, 0x0013, b"IS", str(instance).encode()),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM"
+                + _meta_group("1.2.840.10008.1.2.4.90") + body + pixel)

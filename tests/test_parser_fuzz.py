@@ -11,7 +11,10 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from loris_mri_spark.operators.media import decode_png_bytes, parse_wav_bytes
-from loris_mri_spark.sources.dicom import parse_dicom_bytes
+from loris_mri_spark.sources.dicom import (
+    parse_dicom_bytes,
+    parse_encapsulated_frames,
+)
 from loris_mri_spark.sources.eeg import (
     parse_ctf_res4_bytes,
     parse_edf_annotations,
@@ -36,6 +39,7 @@ PARSERS = [
     decode_png_bytes,
     parse_wav_bytes,
     parse_dicom_bytes,
+    parse_encapsulated_frames,
     parse_ctf_res4_bytes,
     parse_edf_bytes,
     parse_edf_annotations,
@@ -57,6 +61,7 @@ VALID = [
     (FIXTURES / "dicom_implicit" / "MR.imp.1.dcm").read_bytes(),
     (FIXTURES / "dicom_be" / "MR.x.1.dcm").read_bytes(),
     (FIXTURES / "dicom_deflate" / "MR.x.1.dcm").read_bytes(),
+    (FIXTURES / "dicom_encap" / "MR.j2k.1.dcm").read_bytes(),
     (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
      / "sub-03_task-rest_meg.res4").read_bytes(),
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
