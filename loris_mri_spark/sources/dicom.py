@@ -355,6 +355,14 @@ def scan_dicom_dir(spark: SparkSession, path: str) -> DataFrame:
 
 _PIXEL_DATA = (0x7FE0, 0x0010)
 
+# Image-geometry US tags captured on the way to the pixel data (needed to
+# validate/shape decoded RLE frames).
+_IMG_TAGS = {
+    (0x0028, 0x0010): "rows",
+    (0x0028, 0x0011): "cols",
+    (0x0028, 0x0100): "bits_allocated",
+}
+
 
 def parse_encapsulated_frames(content: bytes) -> "dict[str, Any] | None":
     """Fragment inventory of an encapsulated-pixel-data DICOM: returns
@@ -365,6 +373,7 @@ def parse_encapsulated_frames(content: bytes) -> "dict[str, Any] | None":
         return None
     pos, ts = _walk_file_meta(content, 132)
     end = len(content)
+    meta: dict[str, int] = {}
     # explicit-VR LE walk to the pixel-data element (compressed syntaxes
     # are explicit LE apart from the retired big-endian one)
     while pos + 12 <= end:
@@ -380,6 +389,10 @@ def parse_encapsulated_frames(content: bytes) -> "dict[str, Any] | None":
             break
         if length == 0xFFFFFFFF or vpos + length > end:
             return None
+        if (group, elem) in _IMG_TAGS and vr == b"US" and length == 2:
+            meta[_IMG_TAGS[(group, elem)]] = struct.unpack_from(
+                "<H", content, vpos
+            )[0]
         pos = vpos + length
     else:
         return None
@@ -409,4 +422,69 @@ def parse_encapsulated_frames(content: bytes) -> "dict[str, Any] | None":
         (off, ln, content[vpos + off : vpos + off + ln])
         for off, ln in items[1:]
     ]
-    return {"transfer_syntax": ts, "bot_offsets": bot, "fragments": frags}
+    return {
+        "transfer_syntax": ts,
+        "bot_offsets": bot,
+        "fragments": frags,
+        **meta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# RLE transfer syntax (1.2.840.10008.1.2.5, PS3.5 Annex G): each fragment
+# is one FRAME — a 64-byte header (16 uint32 LE: segment count + 15 segment
+# offsets) followed by PackBits-encoded byte planes (MSB plane first for
+# multi-byte samples). PackBits is public and trivially stdlib, so unlike
+# the JPEG family this compressed syntax DECODES natively.
+# ---------------------------------------------------------------------------
+
+RLE_TS = "1.2.840.10008.1.2.5"
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PS3.5 G.3.1 (PackBits): classify-don't-fail — truncated input
+    yields the bytes decoded so far."""
+    out = bytearray()
+    pos, end = 0, len(data)
+    while pos < end:
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if 0 <= n <= 127:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n != -128:
+            if pos >= end:
+                break
+            out += bytes([data[pos]]) * (-n + 1)
+            pos += 1
+    return bytes(out)
+
+
+def decode_rle_frame(frag: bytes) -> "list[int] | None":
+    """One RLE frame -> pixel values (composited across byte planes).
+    Returns None for a malformed header."""
+    if len(frag) < 64:
+        return None
+    header = struct.unpack_from("<16I", frag, 0)
+    n_seg = header[0]
+    if not 1 <= n_seg <= 15:
+        return None
+    offs = [o for o in header[1 : n_seg + 1]]
+    if any(o < 64 or o > len(frag) for o in offs):
+        return None
+    bounds = offs + [len(frag)]
+    planes = [
+        packbits_decode(frag[bounds[i] : bounds[i + 1]])
+        for i in range(n_seg)
+    ]
+    n = min(len(pl) for pl in planes)
+    if n_seg == 1:
+        return list(planes[0][:n])
+    # MSB plane first (PS3.5 G.2): composite big-endian across planes
+    vals = []
+    for i in range(n):
+        v = 0
+        for pl in planes:
+            v = (v << 8) | pl[i]
+        vals.append(v)
+    return vals

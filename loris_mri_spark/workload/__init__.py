@@ -89,6 +89,7 @@ PRIORITY_ORDER: list[str] = [
     "t8_incremental_store_dedup",
     "graph_authority_rank",
     "s1_dicom_encapsulated_frames",
+    "s1_dicom_rle_decode",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

@@ -892,6 +892,11 @@ def main() -> None:
             os.path.join(endicom, f"MR.j2k.{inst}.dcm"), inst
         )
 
+    # --- RLE transfer syntax (native PackBits decode, PS3.5 Annex G)
+    rldicom = _mkdir(os.path.join(HERE, "dicom_rle"))
+    for inst in range(1, 3):
+        write_rle_dicom(os.path.join(rldicom, f"MR.rle.{inst}.dcm"), inst)
+
     # --- EDF (EEG raw, S7)
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
@@ -1103,3 +1108,91 @@ def write_encapsulated_dicom(path: str, instance: int) -> None:
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM"
                 + _meta_group("1.2.840.10008.1.2.4.90") + body + pixel)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple spec-conformant PackBits encoder (runs >= 3 become replicate
+    ops, everything else literal ops)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            out += bytes([256 - (run - 1), data[i]])
+            i += run
+        else:
+            lit_start = i
+            i += run
+            while i < n and run < 128:
+                nxt = 1
+                while i + nxt < n and data[i + nxt] == data[i] and nxt < 128:
+                    nxt += 1
+                if nxt >= 3:
+                    break
+                i += nxt
+                run += nxt
+                if run >= 128:
+                    i -= run - 128
+                    run = 128
+                    break
+            lit = data[lit_start:i]
+            out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
+def rle_frame_pixels(inst: int, frame: int, rows: int = 8,
+                     cols: int = 16) -> bytes:
+    """Deterministic 8-bit frame: even rows constant (long runs for the
+    RLE), odd rows varying (literals)."""
+    px = bytearray()
+    for r in range(rows):
+        for c in range(cols):
+            if r % 2 == 0:
+                px.append((r * 17 + inst + 3 * frame) % 251)
+            else:
+                px.append((r * 31 + c * 7 + inst + 3 * frame) % 251)
+    return bytes(px)
+
+
+def write_rle_dicom(path: str, instance: int, rows: int = 8,
+                    cols: int = 16, n_frames: int = 2) -> None:
+    """RLE transfer syntax (1.2.840.10008.1.2.5, PS3.5 Annex G): one
+    fragment per frame; fragment = 64-byte segment header (16 uint32) +
+    PackBits-encoded single 8-bit plane."""
+    frags = []
+    for f in range(n_frames):
+        seg = _packbits_encode(rle_frame_pixels(instance, f, rows, cols))
+        header = struct.pack("<16I", 1, 64, *([0] * 14))
+        frags.append(header + seg)
+    bot, off = [], 0
+    for fr in frags:
+        bot.append(off)
+        off += 8 + len(fr) + (len(fr) % 2)
+    pixel = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pixel += struct.pack("<HHI", 0xFFFE, 0xE000, 4 * len(bot))
+    pixel += struct.pack(f"<{len(bot)}I", *bot)
+    for fr in frags:
+        if len(fr) % 2:
+            fr += b"\x00"
+        pixel += struct.pack("<HHI", 0xFFFE, 0xE000, len(fr)) + fr
+    pixel += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    body = b"".join([
+        _tag(0x0008, 0x0060, b"CS", b"MR"),
+        _tag(0x0008, 0x103E, b"LO", b"t1w_rle"),
+        _tag(0x0010, 0x0010, b"PN", b"SUB011"),
+        _tag(0x0020, 0x000D, b"UI", b"1.2.840.99999.7"),
+        _tag(0x0020, 0x000E, b"UI", b"1.2.840.99999.7.1"),
+        _tag(0x0020, 0x0011, b"IS", b"1 "),
+        _tag(0x0020, 0x0013, b"IS", str(instance).encode()),
+        struct.pack("<HH2sH", 0x0028, 0x0010, b"US", 2)
+        + struct.pack("<H", rows),
+        struct.pack("<HH2sH", 0x0028, 0x0011, b"US", 2)
+        + struct.pack("<H", cols),
+        struct.pack("<HH2sH", 0x0028, 0x0100, b"US", 2)
+        + struct.pack("<H", 8),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM"
+                + _meta_group("1.2.840.10008.1.2.5") + body + pixel)

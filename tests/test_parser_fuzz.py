@@ -12,6 +12,8 @@ from hypothesis import strategies as st
 
 from loris_mri_spark.operators.media import decode_png_bytes, parse_wav_bytes
 from loris_mri_spark.sources.dicom import (
+    decode_rle_frame,
+    packbits_decode,
     parse_dicom_bytes,
     parse_encapsulated_frames,
 )
@@ -40,6 +42,8 @@ PARSERS = [
     parse_wav_bytes,
     parse_dicom_bytes,
     parse_encapsulated_frames,
+    decode_rle_frame,
+    packbits_decode,
     parse_ctf_res4_bytes,
     parse_edf_bytes,
     parse_edf_annotations,
@@ -62,6 +66,7 @@ VALID = [
     (FIXTURES / "dicom_be" / "MR.x.1.dcm").read_bytes(),
     (FIXTURES / "dicom_deflate" / "MR.x.1.dcm").read_bytes(),
     (FIXTURES / "dicom_encap" / "MR.j2k.1.dcm").read_bytes(),
+    (FIXTURES / "dicom_rle" / "MR.rle.1.dcm").read_bytes(),
     (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
      / "sub-03_task-rest_meg.res4").read_bytes(),
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
