@@ -165,3 +165,21 @@ def test_meg4_truncation_drops_partial_trial():
     assert full[-1]["samples"][-1] == 1 * 1000 + 3 * 100 + 15 - 50
     cut = parse_meg4_samples(raw[: 8 + 4 * 4 * 16 + 12], 4, 16)
     assert [r["trial"] for r in cut] == [0, 0, 0, 0]
+
+
+def test_rle_two_segment_16bit_composites_msb_first():
+    """PS3.5 G.2: multi-byte samples ship one PackBits plane per byte,
+    MSB plane first — the composite must rebuild the 16-bit values."""
+    import struct as _struct
+
+    vals = [0x0102, 0x0304, 0xABCD, 0x0000, 0x7FFF]
+    msb = bytes(v >> 8 for v in vals)
+    lsb = bytes(v & 0xFF for v in vals)
+
+    def lit(data: bytes) -> bytes:  # literal-only PackBits
+        return bytes([len(data) - 1]) + data
+
+    seg0, seg1 = lit(msb), lit(lsb)
+    header = _struct.pack("<16I", 2, 64, 64 + len(seg0), *([0] * 13))
+    out = decode_rle_frame(header + seg0 + seg1)
+    assert out == vals
