@@ -90,6 +90,7 @@ PRIORITY_ORDER: list[str] = [
     "graph_authority_rank",
     "s1_dicom_encapsulated_frames",
     "s1_dicom_rle_decode",
+    "text_quality_classifier",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

@@ -580,3 +580,76 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.n_phones").alias("n_phones"),
         F.col("p.clean_hash").alias("clean_hash"),
     )
+
+
+# -- Hashed-feature linear classifier inference -----------------------------
+# The fastText-shaped quality model every corpus pipeline runs: tokens hash
+# into feature buckets, each bucket carries a (pre)trained weight, and the
+# document score is the mean bucket weight. Here the weight table is
+# DETERMINISTIC (derived from the bucket id by the same oracle-portable
+# md5_60), and weights are INTEGER MILLI-UNITS so the per-document sum is
+# exact under any evaluation order — model inference as a zero-shuffle,
+# zero-UDF Column expression, hash-checkable against SQL.
+
+_CLF_BUCKETS = 1024
+_CLF_THRESH_MILLI = 20  # keep docs whose mean token weight > 0.020
+
+
+def _clf_weight_sql(tok: str) -> str:
+    from loris_mri_spark.functions.texthash import SQL_MD5_60
+
+    bucket = f"({SQL_MD5_60.format(col=tok)} % {_CLF_BUCKETS})"
+    wkey = f"'w:' || CAST({bucket} AS VARCHAR)"
+    return f"({SQL_MD5_60.format(col=wkey)} % 2001 - 1000)"
+
+
+_CLF_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                  FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(t, tok -> {_clf_weight_sql("tok")}))
+                AS BIGINT) AS score_milli,
+           1000 * list_sum(list_transform(t, tok -> {_clf_weight_sql("tok")}))
+             > {_CLF_THRESH_MILLI} * len(t) AS keep
+    FROM toks
+"""
+
+
+@query("text_quality_classifier", oracle=_CLF_SQL)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: hashed-bag-of-words linear classifier
+    scored entirely inside whole-stage codegen — tokens -> md5 buckets ->
+    integer milli-weights -> exact fold sum; keep = integer-cross-
+    multiplied mean-weight threshold. One scan, zero shuffle, zero UDF:
+    the shape a learned fastText-style filter compiles to when its
+    weights are broadcast as expressions. Weights here are derived
+    deterministically from the bucket id so both engines hold the same
+    'model'."""
+    from loris_mri_spark.functions.texthash import let, md5_60
+
+    def weight(tok: Column) -> Column:
+        bucket = md5_60(tok) % _CLF_BUCKETS
+        return md5_60(F.concat(F.lit("w:"), bucket.cast("string"))) % 2001 - 1000
+
+    def fields(t: Column) -> Column:
+        s = F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, tok: acc + weight(tok)
+        )
+        n = F.size(t).cast("long")
+        return F.struct(
+            n.alias("n_tokens"),
+            s.alias("score_milli"),
+            (s * 1000 > _CLF_THRESH_MILLI * n).alias("keep"),
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id", F.explode(F.array(let(tokens("text"), fields))).alias("q")
+    )
+    return out.select(
+        "doc_id",
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.col("q.score_milli").alias("score_milli"),
+        F.col("q.keep").alias("keep"),
+    )
