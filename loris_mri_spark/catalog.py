@@ -171,3 +171,45 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots (time travel): each write lands a NEW immutable
+# v=<n> directory and flips a one-line _LATEST pointer — readers pin a
+# version (reproducible reruns, audits, the delete-upload investigations
+# the reference does with backup tables) or follow the pointer. The
+# pointer flip is the only mutation and it is atomic (os.replace), so a
+# reader never sees a half-written version: the Delta/Iceberg snapshot
+# idea reduced to its filesystem core.
+# ---------------------------------------------------------------------------
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Append a new immutable version under ``path`` and return its id."""
+    import os
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    versions = [
+        int(d[2:]) for d in os.listdir(path)
+        if d.startswith("v=") and d[2:].isdigit()
+    ]
+    v = max(versions, default=-1) + 1
+    df.write.mode("errorifexists").parquet(f"{path}/v={v}")
+    fd, tmp = tempfile.mkstemp(dir=path)
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, "_LATEST"))
+    return v
+
+
+def load_versioned(
+    spark: SparkSession, path: str, version: "int | None" = None
+) -> DataFrame:
+    """Read a pinned version (time travel) or the _LATEST pointer."""
+    import os
+
+    if version is None:
+        with open(os.path.join(path, "_LATEST")) as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(f"{path}/v={int(version)}")

@@ -284,3 +284,63 @@ def s16_external_md5sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "member",
         F.split(F.col("stdout"), " ").getItem(0).alias("content_md5"),
     )
+
+
+_S12B_ORACLE = """
+    WITH v0 AS (SELECT o_orderstatus AS status, COUNT(*) AS n
+                FROM orders GROUP BY 1),
+    v1 AS (SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'F'
+                       ELSE o_orderstatus END AS status, COUNT(*) AS n
+           FROM orders GROUP BY 1)
+    SELECT COALESCE(v0.status, v1.status) AS status,
+           COALESCE(v0.n, 0) AS n_v0,
+           COALESCE(v1.n, 0) AS n_latest,
+           COALESCE(v1.n, 0) - COALESCE(v0.n, 0) AS delta
+    FROM v0 FULL OUTER JOIN v1 ON v0.status = v1.status
+"""
+
+
+@query("s12b_versioned_time_travel", oracle=_S12B_ORACLE)
+def s12b_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 extension: versioned snapshots with TIME TRAVEL
+    (catalog.write_versioned / load_versioned): every write is a new
+    immutable v=<n> directory behind an atomically-flipped _LATEST
+    pointer. The query lands v0 (status rollup) and v1 (the same rollup
+    after a deterministic status 'update'), then audits the change by
+    joining the PINNED v0 against the pointer read — the reproducible
+    before/after comparison the reference does with backup tables during
+    delete-upload investigations."""
+    from loris_mri_spark.catalog import (
+        load_table,
+        load_versioned,
+        write_versioned,
+    )
+    from loris_mri_spark.streaming.incremental import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    v0 = o.groupBy(F.col("o_orderstatus").alias("status")).count()
+    v1 = o.withColumn(
+        "status",
+        F.when(F.col("o_orderkey") % 10 == 0, "F").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).groupBy("status").count()
+
+    path = scratch_dir("s12b-versions")
+    assert write_versioned(v0, path) == 0
+    assert write_versioned(v1, path) == 1
+
+    pinned = load_versioned(spark, path, 0).withColumnRenamed("count", "n_v0")
+    latest = load_versioned(spark, path).withColumnRenamed("count", "n_latest")
+    return (
+        pinned.join(latest, "status", "full_outer")
+        .select(
+            "status",
+            F.coalesce("n_v0", F.lit(0)).alias("n_v0"),
+            F.coalesce("n_latest", F.lit(0)).alias("n_latest"),
+            (
+                F.coalesce("n_latest", F.lit(0))
+                - F.coalesce("n_v0", F.lit(0))
+            ).alias("delta"),
+        )
+    )
