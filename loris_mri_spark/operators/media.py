@@ -9,11 +9,12 @@ the path/hash/params row the reference keeps for NIfTI/MINC blobs
 Processing model: decode / feature-extract / resize / frame-sample are
 Arrow-batched `mapInPandas` stages. The BYTE-LEVEL math here (block-mean
 "resize" of a raw grayscale interpretation, frame slicing, per-frame
-checksums) is real and tested; the CODEC step (JPEG/PNG/WAV decode) is a
-clearly-marked stub that raises NotImplementedError unless a decoder
-callback is injected — the runtime image has no imaging libraries, and
-the Spark-side plumbing (schemas, batching, partitioning) is what must
-hold at 100 TB.
+checksums) is real and tested, and PNG, grayscale BASELINE JPEG and PCM
+WAV all decode NATIVELY (stdlib/numpy). The remaining codec seam —
+progressive/chroma JPEG, video — raises NotImplementedError unless a
+decoder callback is injected; the runtime image has no imaging
+libraries, and the Spark-side plumbing (schemas, batching, partitioning)
+is what must hold at 100 TB.
 """
 
 from __future__ import annotations
@@ -143,9 +144,10 @@ def decode_media(content: bytes, media_type: str,
                  decoder: Callable[[bytes], "np.ndarray"] | None = None) -> "np.ndarray":
     """CODEC SEAM: inject ``decoder`` (e.g. PIL/ffmpeg-backed) to decode
     formats the engine has no native reader for. Native paths: PNG decodes
-    with the stdlib reader above; ``image/raw`` interprets bytes as 8-bit
-    grayscale. Only JPEG/video remain injected-only — the runtime image
-    ships no imaging libraries."""
+    with the stdlib reader above; grayscale BASELINE JPEG decodes with the
+    native T.81 decoder below; ``image/raw`` interprets bytes as 8-bit
+    grayscale. Progressive/chroma JPEG and video remain injected-only —
+    the runtime image ships no imaging libraries."""
     if decoder is not None:
         return decoder(content)
     if media_type in ("image/raw", "application/octet-stream"):
@@ -155,6 +157,11 @@ def decode_media(content: bytes, media_type: str,
         if arr is None:
             raise ValueError("corrupt or unsupported PNG stream")
         return arr.reshape(-1) if arr.ndim == 2 else arr
+    if media_type == "image/jpeg":
+        arr = decode_jpeg_baseline(content)
+        if arr is None:
+            raise ValueError("corrupt or non-baseline JPEG stream")
+        return arr
     raise NotImplementedError(
         f"no decoder for media_type={media_type!r}; inject decoder="
     )
@@ -339,3 +346,199 @@ def sample_frames(df: DataFrame, content_col: str, id_col: str,
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_md5"])
 
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / JFIF, grayscale SOF0) — native stdlib+numpy
+# decoder: marker walk, DQT/DHT table build, entropy-coded segment with
+# byte unstuffing, DC-diff + AC run/size block decode, zigzag, dequantize,
+# float64 IDCT, level shift. This closes the 'JPEG stays behind the codec
+# seam' note for the grayscale baseline process; progressive/chroma remain
+# injected-only. Classify-don't-fail: malformed streams return None.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_table(bits: list, vals: list) -> dict:
+    """Canonical Huffman: (length, code) -> value."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise EOFError
+        b = self.data[self.pos]
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, n: int) -> int:
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid huffman code")
+
+
+_IDCT_C = None
+
+
+def _idct_matrix() -> "np.ndarray":
+    global _IDCT_C
+    if _IDCT_C is None:
+        m = np.zeros((8, 8))
+        for x in range(8):
+            for u in range(8):
+                cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+                m[x, u] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _IDCT_C = m
+    return _IDCT_C
+
+
+def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
+    """Grayscale baseline JPEG -> uint8 (h, w) array, or None."""
+    try:
+        if content[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qt: dict[int, list] = {}
+        hts: dict[tuple, dict] = {}
+        h = w = None
+        comp_q = 0
+        dc_id = ac_id = 0
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                return None
+            (seglen,) = struct.unpack_from(">H", content, pos)
+            seg = content[pos + 2 : pos + seglen]
+            if marker == 0xDB:  # DQT
+                s = 0
+                while s < len(seg):
+                    pq, tq = seg[s] >> 4, seg[s] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-8
+                    qt[tq] = list(seg[s + 1 : s + 65])
+                    s += 65
+            elif marker == 0xC4:  # DHT
+                s = 0
+                while s + 17 <= len(seg):
+                    tc, th = seg[s] >> 4, seg[s] & 0xF
+                    bits = list(seg[s + 1 : s + 17])
+                    n = sum(bits)
+                    vals = list(seg[s + 17 : s + 17 + n])
+                    hts[(tc, th)] = _huff_table(bits, vals)
+                    s += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                if seg[0] != 8 or seg[5] != 1:
+                    return None  # 8-bit grayscale only
+                h, w = struct.unpack_from(">HH", seg, 1)
+                # allocation guard: a flipped dimension byte must classify,
+                # not demand a multi-GB raster
+                if h == 0 or w == 0 or h * w > 64_000_000:
+                    return None
+                comp_q = seg[8]
+            elif marker in (0xC1, 0xC2, 0xC3):
+                return None  # extended/progressive: injected-only
+            elif marker == 0xDA:  # SOS
+                dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+                pos += seglen
+                break
+            pos += seglen
+        else:
+            return None
+        if h is None or comp_q not in qt:
+            return None
+
+        # entropy-coded data: unstuff FF00, stop at next marker
+        ecs = bytearray()
+        while pos < len(content):
+            b = content[pos]
+            if b == 0xFF:
+                nxt = content[pos + 1] if pos + 1 < len(content) else 0xD9
+                if nxt == 0x00:
+                    ecs.append(0xFF)
+                    pos += 2
+                    continue
+                break
+            ecs.append(b)
+            pos += 1
+
+        dc_t = hts.get((0, dc_id))
+        ac_t = hts.get((1, ac_id))
+        if dc_t is None or ac_t is None:
+            return None
+        q = qt[comp_q]  # zigzag order, as stored in DQT
+        br = _BitReader(bytes(ecs))
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        pred = 0
+        m = _idct_matrix()
+        for by in range(bh):
+            for bx in range(bw):
+                zz = [0] * 64
+                t = _huff_decode(br, dc_t)
+                diff = _extend(br.receive(t), t)
+                pred += diff
+                zz[0] = pred
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(br, ac_t)
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        return None
+                    zz[k] = _extend(br.receive(s), s)
+                    k += 1
+                block = np.zeros(64)
+                for i in range(64):
+                    block[_ZIGZAG[i]] = zz[i] * q[i]
+                block = block.reshape(8, 8)
+                px = m @ block @ m.T + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+    except (IndexError, EOFError, ValueError, struct.error):
+        return None

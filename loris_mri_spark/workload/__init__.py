@@ -92,6 +92,7 @@ PRIORITY_ORDER: list[str] = [
     "s1_dicom_rle_decode",
     "text_quality_classifier",
     "s12b_versioned_time_travel",
+    "mm_decode_jpeg_baseline",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

@@ -204,3 +204,81 @@ def mm_decode_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pngs = d.select("doc_id", png_preview_udf(F.col("content"), 8).alias("png"))
     return extract_png_features(pngs, "png", "doc_id")
+
+
+def _jpeg_oracle() -> str:
+    """Golden from the BLOCK-VALUE SPEC (tests/fixtures/generate.py
+    jpeg_block_values) — independent of both the JPEG encoder and the
+    decoder; the flat-block/q_DC=8 construction makes the lossy pipeline
+    exact, so the spec IS the decoded image."""
+    import hashlib
+
+    rows = []
+    bw, bh = 4, 3
+    for inst in (1, 2):
+        vals = [(17 * (by * bw + bx) + 29 * inst) % 256
+                for by in range(bh) for bx in range(bw)]
+        img = bytearray()
+        for py in range(bh * 8):
+            for px_ in range(bw * 8):
+                img.append(vals[(py // 8) * bw + px_ // 8])
+        rows.append(
+            f"('img-{inst}.jpg', {bh * 8}, {bw * 8}, "
+            f"CAST({sum(img)} AS BIGINT), "
+            f"'{hashlib.md5(bytes(img)).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(file, height, width, px_sum, px_md5)"
+    )
+
+
+@query("mm_decode_jpeg_baseline", oracle=_jpeg_oracle())
+def mm_decode_jpeg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image decode, JPEG edition: NATIVE grayscale baseline
+    T.81 decode (marker walk, Huffman entropy decode with byte
+    unstuffing, dequantize, float64 IDCT) inside Arrow-batched tasks —
+    the codec seam now covers PNG + baseline JPEG + PCM WAV natively.
+    Oracle: golden from the block-value spec, independent of encoder and
+    decoder (the fixtures' flat-block construction makes the lossy
+    pipeline exact)."""
+    import os as _os
+
+    from loris_mri_spark.operators.media import decode_jpeg_baseline
+
+    fixtures = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
+        "tests", "fixtures", "jpeg",
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(fixtures)
+        .select("path", "content")
+    )
+    schema = "file string, height int, width int, px_sum long, px_md5 string"
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cols = [c.split(" ")[0] for c in schema.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_jpeg_baseline(bytes(content))
+                if img is None:
+                    continue
+                rows.append(
+                    {
+                        "file": _os.path.basename(path),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "px_sum": int(img.astype("int64").sum()),
+                        "px_md5": hashlib.md5(img.tobytes()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=schema)

@@ -892,6 +892,12 @@ def main() -> None:
             os.path.join(endicom, f"MR.j2k.{inst}.dcm"), inst
         )
 
+    # --- grayscale baseline JPEGs (native T.81 decode; flat blocks with
+    # q_DC=8 make the lossy pipeline exact — see write_jpeg_gray_flat)
+    jdir = _mkdir(os.path.join(HERE, "jpeg"))
+    for inst in range(1, 3):
+        write_jpeg_gray_flat(os.path.join(jdir, f"img-{inst}.jpg"), inst)
+
     # --- RLE transfer syntax (native PackBits decode, PS3.5 Annex G)
     rldicom = _mkdir(os.path.join(HERE, "dicom_rle"))
     for inst in range(1, 3):
@@ -1196,3 +1202,116 @@ def write_rle_dicom(path: str, instance: int, rows: int = 8,
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM"
                 + _meta_group("1.2.840.10008.1.2.5") + body + pixel)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG encoder (grayscale SOF0, Annex-K standard luminance Huffman
+# tables). Fixtures use FLAT 8x8 blocks with an all-8 DC quantizer, so the
+# lossy pipeline is EXACT: DC = v - 128 survives quantize+dequantize+IDCT
+# bit-for-bit and the decoded image equals the block-value spec.
+# ---------------------------------------------------------------------------
+
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpg_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, ln, code):
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per T.81
+        return bytes(self.out)
+
+
+def jpeg_block_values(inst: int, bw: int, bh: int) -> list:
+    """The flat value of each 8x8 block, row-major — the pixel SPEC the
+    oracle recomputes from."""
+    return [
+        (17 * (by * bw + bx) + 29 * inst) % 256
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+
+
+def write_jpeg_gray_flat(path: str, inst: int, bw: int = 4, bh: int = 3) -> None:
+    """Grayscale baseline JPEG of bw x bh flat 8x8 blocks (q_DC = 8 makes
+    the DC path exact; all AC coefficients are zero)."""
+    h, w = bh * 8, bw * 8
+    quant = [8] + [16] * 63  # zigzag order; only q[0] matters (flat blocks)
+    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    bwr = _JpgBitWriter()
+    pred = 0
+    for v in jpeg_block_values(inst, bw, bh):
+        dc = v - 128  # exact: 8*(v-128) / q00=8
+        diff = dc - pred
+        pred = dc
+        mag = abs(diff)
+        ssss = mag.bit_length()
+        bits = diff if diff >= 0 else diff + (1 << ssss) - 1
+        ln, code = dc_codes[ssss]
+        bwr.put(ln, code)
+        if ssss:
+            bwr.put(ssss, bits)
+        ln, code = ac_codes[0x00]  # EOB: all AC zero
+        bwr.put(ln, code)
+    ecs = bwr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(quant))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS)
+              + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    with open(path, "wb") as f:
+        f.write(b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")

@@ -37,8 +37,13 @@ def test_decode_features_golden(spark, sf_dir):
 
 
 def test_decode_stub_boundary():
-    with pytest.raises(NotImplementedError):
+    # JPEG is native now: corrupt bytes classify as a decode error,
+    # not a missing codec; the remaining seam (video) still raises
+    # NotImplementedError until a decoder is injected.
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x00", "video/mp4")
     out = decode_media(b"\x01\x02", "image/raw")
     assert list(out) == [1, 2]
 
