@@ -542,3 +542,45 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
         return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
     except (IndexError, EOFError, ValueError, struct.error):
         return None
+
+
+# ---------------------------------------------------------------------------
+# AVI/MJPEG container (RIFF): the video modality's NATIVE path — walk the
+# RIFF chunk tree, read the avih main header, iterate the movi LIST's
+# '..dc'/'..db' video chunks, and decode each frame with the baseline JPEG
+# decoder above. Inter-frame codecs (H.264 etc.) remain injected-only;
+# MJPEG is just JPEG-per-frame, so it decodes with what the engine has.
+# ---------------------------------------------------------------------------
+
+
+def parse_avi_mjpeg(content: bytes) -> "dict | None":
+    """RIFF-AVI walk -> {"width", "height", "n_frames_declared",
+    "frames": [jpeg bytes]} or None. Classify-don't-fail: truncated
+    chunks end the walk with the frames found so far."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        return None
+    meta = {"width": None, "height": None, "n_frames_declared": None}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = content[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", content, pos + 4)
+            data_end = min(pos + 8 + size, end)
+            if fourcc == b"LIST" and pos + 12 <= end:
+                walk(pos + 12, data_end)
+            elif fourcc == b"avih" and size >= 40:
+                vals = struct.unpack_from("<14I", content, pos + 8)
+                meta["n_frames_declared"] = vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(content[pos + 8 : data_end])
+            pos = pos + 8 + size + (size % 2)
+
+    try:
+        walk(12, len(content))
+    except (struct.error, IndexError, RecursionError):
+        pass  # crafted deep LIST nesting: keep the frames found so far
+    if meta["width"] is None and not frames:
+        return None
+    return {**meta, "frames": frames}

@@ -93,6 +93,7 @@ PRIORITY_ORDER: list[str] = [
     "text_quality_classifier",
     "s12b_versioned_time_travel",
     "mm_decode_jpeg_baseline",
+    "mm_video_mjpeg_frames",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

@@ -282,3 +282,94 @@ def mm_decode_jpeg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=schema)
+
+
+def _mjpeg_oracle() -> str:
+    """Golden from the block-value spec (frame f of clip inst uses
+    jpeg_block_values(inst + 11 * f, 2, 2)) — independent of the AVI
+    writer, the JPEG encoder and both decoders."""
+    import hashlib
+
+    rows = []
+    bw, bh = 2, 2
+    for inst in (1, 2):
+        for f in range(3):
+            seed = inst + 11 * f
+            vals = [(17 * (by * bw + bx) + 29 * seed) % 256
+                    for by in range(bh) for bx in range(bw)]
+            img = bytearray()
+            for py in range(bh * 8):
+                for px_ in range(bw * 8):
+                    img.append(vals[(py // 8) * bw + px_ // 8])
+            rows.append(
+                f"('clip-{inst}.avi', {f}, 16, 16, 3, "
+                f"CAST({sum(img)} AS BIGINT), "
+                f"'{hashlib.md5(bytes(img)).hexdigest()}')"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(file, frame_idx, width, height, n_frames_declared, "
+        + "px_sum, px_md5)"
+    )
+
+
+@query("mm_video_mjpeg_frames", oracle=_mjpeg_oracle())
+def mm_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal VIDEO decode, native path: RIFF/AVI container walk
+    (operators/media.parse_avi_mjpeg) -> '00dc' MJPEG chunks -> per-frame
+    grayscale baseline JPEG decode — video frame extraction with zero
+    injected codecs. Inter-frame codecs (H.264 etc.) stay on the seam;
+    MJPEG is JPEG-per-frame, so the engine's own decoder covers it.
+    Oracle: spec-derived golden, independent of writer and decoders."""
+    import os as _os
+
+    from loris_mri_spark.operators.media import (
+        decode_jpeg_baseline,
+        parse_avi_mjpeg,
+    )
+
+    fixtures = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
+        "tests", "fixtures", "video",
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avi")
+        .load(fixtures)
+        .select("path", "content")
+    )
+    schema = (
+        "file string, frame_idx int, width int, height int, "
+        "n_frames_declared int, px_sum long, px_md5 string"
+    )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cols = [c.split(" ")[0] for c in schema.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                avi = parse_avi_mjpeg(bytes(content))
+                if avi is None:
+                    continue
+                for f, jpg in enumerate(avi["frames"]):
+                    img = decode_jpeg_baseline(jpg)
+                    if img is None:
+                        continue
+                    rows.append(
+                        {
+                            "file": _os.path.basename(path),
+                            "frame_idx": f,
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "n_frames_declared": avi["n_frames_declared"],
+                            "px_sum": int(img.astype("int64").sum()),
+                            "px_md5": hashlib.md5(img.tobytes()).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=schema)

@@ -898,6 +898,11 @@ def main() -> None:
     for inst in range(1, 3):
         write_jpeg_gray_flat(os.path.join(jdir, f"img-{inst}.jpg"), inst)
 
+    # --- AVI/MJPEG clips (RIFF container walk + per-frame JPEG decode)
+    vdir = _mkdir(os.path.join(HERE, "video"))
+    for inst in range(1, 3):
+        write_avi_mjpeg(os.path.join(vdir, f"clip-{inst}.avi"), inst)
+
     # --- RLE transfer syntax (native PackBits decode, PS3.5 Annex G)
     rldicom = _mkdir(os.path.join(HERE, "dicom_rle"))
     for inst in range(1, 3):
@@ -1315,3 +1320,59 @@ def write_jpeg_gray_flat(path: str, inst: int, bw: int = 4, bh: int = 3) -> None
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     with open(path, "wb") as f:
         f.write(b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+
+
+def write_avi_mjpeg(path: str, inst: int, n_frames: int = 3,
+                    bw: int = 2, bh: int = 2) -> None:
+    """Minimal AVI/MJPEG: RIFF('AVI ') with an hdrl LIST (avih main
+    header carrying frame count + dims) and a movi LIST of '00dc' video
+    chunks, each a flat-block baseline JPEG (frame f uses block spec
+    jpeg_block_values(inst + 11 * f))."""
+    import io as _io
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    w, h = bw * 8, bh * 8
+    avih = struct.pack(
+        "<14I",
+        40_000,          # dwMicroSecPerFrame (25 fps)
+        0, 0, 0x10,      # MaxBytesPerSec, Padding, Flags(HASINDEX off)
+        n_frames,        # dwTotalFrames
+        0, 1, 0,         # InitialFrames, Streams, SuggestedBufferSize
+        w, h,            # dwWidth, dwHeight
+        0, 0, 0, 0,      # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_payload = b""
+    for f in range(n_frames):
+        buf = _io.BytesIO()
+        tmp = path + f".frame{f}"
+        write_jpeg_gray_flat(tmp, inst + 11 * f, bw, bh)
+        with open(tmp, "rb") as fh:
+            jpg = fh.read()
+        os.remove(tmp)
+        del buf
+        movi_payload += chunk(b"00dc", jpg)
+    movi = lst(b"movi", movi_payload)
+    riff = b"RIFF" + struct.pack(
+        "<I", 4 + len(hdrl) + len(movi)
+    ) + b"AVI " + hdrl + movi
+    with open(path, "wb") as f:
+        f.write(riff)

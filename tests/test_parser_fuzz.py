@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 from loris_mri_spark.operators.media import (
     decode_jpeg_baseline,
     decode_png_bytes,
+    parse_avi_mjpeg,
     parse_wav_bytes,
 )
 from loris_mri_spark.sources.dicom import (
@@ -44,6 +45,7 @@ FIXTURES = Path(__file__).resolve().parent / "fixtures"
 PARSERS = [
     decode_png_bytes,
     decode_jpeg_baseline,
+    parse_avi_mjpeg,
     parse_wav_bytes,
     parse_dicom_bytes,
     parse_encapsulated_frames,
@@ -73,6 +75,7 @@ VALID = [
     (FIXTURES / "dicom_encap" / "MR.j2k.1.dcm").read_bytes(),
     (FIXTURES / "dicom_rle" / "MR.rle.1.dcm").read_bytes(),
     (FIXTURES / "jpeg" / "img-1.jpg").read_bytes(),
+    (FIXTURES / "video" / "clip-1.avi").read_bytes(),
     (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
      / "sub-03_task-rest_meg.res4").read_bytes(),
     (FIXTURES / "eeg" / "sub-01_task-rest_eeg.edf").read_bytes(),
