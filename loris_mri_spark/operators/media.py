@@ -9,10 +9,11 @@ the path/hash/params row the reference keeps for NIfTI/MINC blobs
 Processing model: decode / feature-extract / resize / frame-sample are
 Arrow-batched `mapInPandas` stages. The BYTE-LEVEL math here (block-mean
 "resize" of a raw grayscale interpretation, frame slicing, per-frame
-checksums) is real and tested, and PNG, grayscale BASELINE JPEG and PCM
-WAV all decode NATIVELY (stdlib/numpy). The remaining codec seam —
-progressive/chroma JPEG, video — raises NotImplementedError unless a
-decoder callback is injected; the runtime image has no imaging
+checksums) is real and tested, and PNG, BASELINE JPEG (grayscale and
+3-component 4:4:4 color), MJPEG-in-AVI video frames and PCM WAV all
+decode NATIVELY (stdlib/numpy). The remaining codec seam — subsampled/
+progressive JPEG, inter-frame video codecs — raises NotImplementedError
+unless a decoder callback is injected; the runtime image has no imaging
 libraries, and the Spark-side plumbing (schemas, batching, partitioning)
 is what must hold at 100 TB.
 """
@@ -144,10 +145,11 @@ def decode_media(content: bytes, media_type: str,
                  decoder: Callable[[bytes], "np.ndarray"] | None = None) -> "np.ndarray":
     """CODEC SEAM: inject ``decoder`` (e.g. PIL/ffmpeg-backed) to decode
     formats the engine has no native reader for. Native paths: PNG decodes
-    with the stdlib reader above; grayscale BASELINE JPEG decodes with the
-    native T.81 decoder below; ``image/raw`` interprets bytes as 8-bit
-    grayscale. Progressive/chroma JPEG and video remain injected-only —
-    the runtime image ships no imaging libraries."""
+    with the stdlib reader above; BASELINE JPEG (grayscale + 4:4:4 color)
+    decodes with the native T.81 decoder below; ``image/raw`` interprets
+    bytes as 8-bit grayscale. Subsampled/progressive JPEG and inter-frame
+    video codecs remain injected-only — the runtime image ships no
+    imaging libraries."""
     if decoder is not None:
         return decoder(content)
     if media_type in ("image/raw", "application/octet-stream"):
@@ -431,7 +433,10 @@ def _idct_matrix() -> "np.ndarray":
 
 
 def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
-    """Grayscale baseline JPEG -> uint8 (h, w) array, or None."""
+    """Baseline JPEG -> uint8 array, or None. Grayscale gives (h, w);
+    3-component 4:4:4 (no subsampling) gives (h, w, 3) in the encoded
+    color space (YCbCr per JFIF — color transform is the caller's
+    choice). Subsampled/progressive streams return None."""
     try:
         if content[:2] != b"\xff\xd8":
             return None
@@ -439,8 +444,8 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
         qt: dict[int, list] = {}
         hts: dict[tuple, dict] = {}
         h = w = None
-        comp_q = 0
-        dc_id = ac_id = 0
+        comps: list[tuple] = []  # (comp_id, tq)
+        scan: list[tuple] = []  # (dc_id, ac_id) per comp in scan order
         while pos + 4 <= len(content):
             if content[pos] != 0xFF:
                 return None
@@ -468,24 +473,35 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
                     hts[(tc, th)] = _huff_table(bits, vals)
                     s += 17 + n
             elif marker == 0xC0:  # SOF0 baseline
-                if seg[0] != 8 or seg[5] != 1:
-                    return None  # 8-bit grayscale only
+                if seg[0] != 8 or seg[5] not in (1, 3):
+                    return None  # 8-bit, 1 or 3 components
                 h, w = struct.unpack_from(">HH", seg, 1)
                 # allocation guard: a flipped dimension byte must classify,
                 # not demand a multi-GB raster
                 if h == 0 or w == 0 or h * w > 64_000_000:
                     return None
-                comp_q = seg[8]
+                comps = []
+                for ci in range(seg[5]):
+                    cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                    if samp != 0x11:
+                        return None  # subsampling: injected-only
+                    comps.append((cid, tq))
             elif marker in (0xC1, 0xC2, 0xC3):
                 return None  # extended/progressive: injected-only
             elif marker == 0xDA:  # SOS
-                dc_id, ac_id = seg[2] >> 4, seg[2] & 0xF
+                ns = seg[0]
+                if ns != len(comps):
+                    return None
+                scan = []
+                for ci in range(ns):
+                    t = seg[2 + 2 * ci]
+                    scan.append((t >> 4, t & 0xF))
                 pos += seglen
                 break
             pos += seglen
         else:
             return None
-        if h is None or comp_q not in qt:
+        if h is None or not comps or any(tq not in qt for _c, tq in comps):
             return None
 
         # entropy-coded data: unstuff FF00, stop at next marker
@@ -502,44 +518,50 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
             ecs.append(b)
             pos += 1
 
-        dc_t = hts.get((0, dc_id))
-        ac_t = hts.get((1, ac_id))
-        if dc_t is None or ac_t is None:
-            return None
-        q = qt[comp_q]  # zigzag order, as stored in DQT
+        tables = []
+        for ci, (_cid, tq) in enumerate(comps):
+            dc_t = hts.get((0, scan[ci][0]))
+            ac_t = hts.get((1, scan[ci][1]))
+            if dc_t is None or ac_t is None:
+                return None
+            tables.append((dc_t, ac_t, qt[tq]))  # q in zigzag order
         br = _BitReader(bytes(ecs))
         bw, bh = (w + 7) // 8, (h + 7) // 8
-        out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        pred = 0
+        nc = len(comps)
+        out = np.zeros((bh * 8, bw * 8, nc), dtype=np.float64)
+        preds = [0] * nc
         m = _idct_matrix()
         for by in range(bh):
             for bx in range(bw):
-                zz = [0] * 64
-                t = _huff_decode(br, dc_t)
-                diff = _extend(br.receive(t), t)
-                pred += diff
-                zz[0] = pred
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(br, ac_t)
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        return None
-                    zz[k] = _extend(br.receive(s), s)
-                    k += 1
-                block = np.zeros(64)
-                for i in range(64):
-                    block[_ZIGZAG[i]] = zz[i] * q[i]
-                block = block.reshape(8, 8)
-                px = m @ block @ m.T + 128.0
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-        return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+                for ci in range(nc):  # 4:4:4 MCU: one block per component
+                    dc_t, ac_t, q = tables[ci]
+                    zz = [0] * 64
+                    t = _huff_decode(br, dc_t)
+                    diff = _extend(br.receive(t), t)
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            return None
+                        zz[k] = _extend(br.receive(s), s)
+                        k += 1
+                    block = np.zeros(64)
+                    for i in range(64):
+                        block[_ZIGZAG[i]] = zz[i] * q[i]
+                    block = block.reshape(8, 8)
+                    px = m @ block @ m.T + 128.0
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = px
+        img = np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+        return img[:, :, 0] if nc == 1 else img
     except (IndexError, EOFError, ValueError, struct.error):
         return None
 

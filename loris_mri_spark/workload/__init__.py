@@ -94,6 +94,7 @@ PRIORITY_ORDER: list[str] = [
     "s12b_versioned_time_travel",
     "mm_decode_jpeg_baseline",
     "mm_video_mjpeg_frames",
+    "mm_decode_jpeg_color",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

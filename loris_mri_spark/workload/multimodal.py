@@ -252,7 +252,7 @@ def mm_decode_jpeg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jpg")
+        .option("pathGlobFilter", "img-*.jpg")
         .load(fixtures)
         .select("path", "content")
     )
@@ -370,6 +370,95 @@ def mm_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "px_md5": hashlib.md5(img.tobytes()).hexdigest(),
                         }
                     )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(run, schema=schema)
+
+
+def _jpeg_color_oracle() -> str:
+    """Golden from the per-block (Y, Cb, Cr) spec
+    (tests/fixtures/generate.py jpeg_color_block_values)."""
+    import hashlib
+
+    rows = []
+    bw, bh = 3, 2
+    for inst in (1, 2):
+        spec = [
+            ((17 * i + 29 * inst) % 256, (23 * i + 31 * inst) % 256,
+             (41 * i + 37 * inst) % 256)
+            for i in range(bw * bh)
+        ]
+        img = bytearray()
+        sums = [0, 0, 0]
+        for py in range(bh * 8):
+            for px_ in range(bw * 8):
+                triple = spec[(py // 8) * bw + px_ // 8]
+                img += bytes(triple)
+                for c in range(3):
+                    sums[c] += triple[c]
+        rows.append(
+            f"('color-{inst}.jpg', {bh * 8}, {bw * 8}, "
+            f"CAST({sums[0]} AS BIGINT), CAST({sums[1]} AS BIGINT), "
+            f"CAST({sums[2]} AS BIGINT), "
+            f"'{hashlib.md5(bytes(img)).hexdigest()}')"
+        )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows)
+        + ") AS t(file, height, width, y_sum, cb_sum, cr_sum, px_md5)"
+    )
+
+
+@query("mm_decode_jpeg_color", oracle=_jpeg_color_oracle())
+def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Color (3-component 4:4:4) baseline JPEG decode: interleaved MCUs
+    with per-component Huffman/quant tables and DC predictors — the
+    native decoder's color path, emitting per-plane sums in the encoded
+    YCbCr space (the RGB transform is a caller choice, kept off the
+    exactness-checked path). Subsampled/progressive streams stay on the
+    injected seam."""
+    import os as _os
+
+    from loris_mri_spark.operators.media import decode_jpeg_baseline
+
+    fixtures = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
+        "tests", "fixtures", "jpeg",
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "color-*.jpg")
+        .load(fixtures)
+        .select("path", "content")
+    )
+    schema = (
+        "file string, height int, width int, y_sum long, cb_sum long, "
+        "cr_sum long, px_md5 string"
+    )
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        cols = [c.split(" ")[0] for c in schema.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                img = decode_jpeg_baseline(bytes(content))
+                if img is None or img.ndim != 3:
+                    continue
+                s = img.astype("int64").sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "file": _os.path.basename(path),
+                        "height": img.shape[0],
+                        "width": img.shape[1],
+                        "y_sum": int(s[0]),
+                        "cb_sum": int(s[1]),
+                        "cr_sum": int(s[2]),
+                        "px_md5": hashlib.md5(img.tobytes()).hexdigest(),
+                    }
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=schema)

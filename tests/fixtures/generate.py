@@ -897,6 +897,7 @@ def main() -> None:
     jdir = _mkdir(os.path.join(HERE, "jpeg"))
     for inst in range(1, 3):
         write_jpeg_gray_flat(os.path.join(jdir, f"img-{inst}.jpg"), inst)
+        write_jpeg_ycbcr_flat(os.path.join(jdir, f"color-{inst}.jpg"), inst)
 
     # --- AVI/MJPEG clips (RIFF container walk + per-frame JPEG decode)
     vdir = _mkdir(os.path.join(HERE, "video"))
@@ -1376,3 +1377,59 @@ def write_avi_mjpeg(path: str, inst: int, n_frames: int = 3,
     ) + b"AVI " + hdrl + movi
     with open(path, "wb") as f:
         f.write(riff)
+
+
+def jpeg_color_block_values(inst: int, bw: int, bh: int) -> list:
+    """Per-block flat (Y, Cb, Cr) triples — the color fixture's spec."""
+    out = []
+    for i in range(bw * bh):
+        out.append((
+            (17 * i + 29 * inst) % 256,
+            (23 * i + 31 * inst) % 256,
+            (41 * i + 37 * inst) % 256,
+        ))
+    return out
+
+
+def write_jpeg_ycbcr_flat(path: str, inst: int, bw: int = 3, bh: int = 2) -> None:
+    """3-component 4:4:4 baseline JPEG (no subsampling): flat per-block
+    YCbCr planes with q00=8 quantizers, so decode is exact. Y uses quant
+    table 0, chroma table 1; all components share Huffman tables 0."""
+    h, w = bh * 8, bw * 8
+    quant = [8] + [16] * 63
+    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    bwr = _JpgBitWriter()
+    preds = [0, 0, 0]
+    for triple in jpeg_color_block_values(inst, bw, bh):
+        for ci, v in enumerate(triple):
+            dc = v - 128
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            mag = abs(diff)
+            ssss = mag.bit_length()
+            bits = diff if diff >= 0 else diff + (1 << ssss) - 1
+            ln, code = dc_codes[ssss]
+            bwr.put(ln, code)
+            if ssss:
+                bwr.put(ssss, bits)
+            ln, code = ac_codes[0x00]
+            bwr.put(ln, code)
+    ecs = bwr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(quant)) + seg(
+        0xDB, bytes([0x01]) + bytes(quant)
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS)
+              + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    with open(path, "wb") as f:
+        f.write(b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
