@@ -483,9 +483,10 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
                 comps = []
                 for ci in range(seg[5]):
                     cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                    if samp != 0x11:
-                        return None  # subsampling: injected-only
-                    comps.append((cid, tq))
+                    hi, vi = samp >> 4, samp & 0xF
+                    if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                        return None  # beyond 2x2 sampling: injected-only
+                    comps.append((cid, hi, vi, tq))
             elif marker in (0xC1, 0xC2, 0xC3):
                 return None  # extended/progressive: injected-only
             elif marker == 0xDA:  # SOS
@@ -501,8 +502,14 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
             pos += seglen
         else:
             return None
-        if h is None or not comps or any(tq not in qt for _c, tq in comps):
+        if h is None or not comps or any(
+            tq not in qt for _c, _hi, _vi, tq in comps
+        ):
             return None
+        hmax = max(hi for _c, hi, _vi, _tq in comps)
+        vmax = max(vi for _c, _hi, vi, _tq in comps)
+        if any(hmax % hi or vmax % vi for _c, hi, vi, _tq in comps):
+            return None  # non-integer upsampling ratios
 
         # entropy-coded data: unstuff FF00, stop at next marker
         ecs = bytearray()
@@ -519,48 +526,66 @@ def decode_jpeg_baseline(content: bytes) -> "np.ndarray | None":
             pos += 1
 
         tables = []
-        for ci, (_cid, tq) in enumerate(comps):
+        for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
             dc_t = hts.get((0, scan[ci][0]))
             ac_t = hts.get((1, scan[ci][1]))
             if dc_t is None or ac_t is None:
                 return None
             tables.append((dc_t, ac_t, qt[tq]))  # q in zigzag order
         br = _BitReader(bytes(ecs))
-        bw, bh = (w + 7) // 8, (h + 7) // 8
         nc = len(comps)
-        out = np.zeros((bh * 8, bw * 8, nc), dtype=np.float64)
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+        rasters = [
+            np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64)
+            for _c, hi, vi, _tq in comps
+        ]
         preds = [0] * nc
         m = _idct_matrix()
-        for by in range(bh):
-            for bx in range(bw):
-                for ci in range(nc):  # 4:4:4 MCU: one block per component
-                    dc_t, ac_t, q = tables[ci]
-                    zz = [0] * 64
-                    t = _huff_decode(br, dc_t)
-                    diff = _extend(br.receive(t), t)
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, ac_t)
-                        r, s = rs >> 4, rs & 0xF
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            return None
-                        zz[k] = _extend(br.receive(s), s)
-                        k += 1
-                    block = np.zeros(64)
-                    for i in range(64):
-                        block[_ZIGZAG[i]] = zz[i] * q[i]
-                    block = block.reshape(8, 8)
-                    px = m @ block @ m.T + 128.0
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = px
-        img = np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+
+        def read_block(ci: int) -> "np.ndarray":
+            dc_t, ac_t, q = tables[ci]
+            zz = [0] * 64
+            t = _huff_decode(br, dc_t)
+            diff = _extend(br.receive(t), t)
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overrun")
+                zz[k] = _extend(br.receive(s), s)
+                k += 1
+            block = np.zeros(64)
+            for i in range(64):
+                block[_ZIGZAG[i]] = zz[i] * q[i]
+            return m @ block.reshape(8, 8) @ m.T + 128.0
+
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                    for byy in range(vi):
+                        for bxx in range(hi):
+                            px = read_block(ci)
+                            y0 = (my * vi + byy) * 8
+                            x0 = (mx * hi + bxx) * 8
+                            rasters[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+        planes = []
+        for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+            plane = np.repeat(
+                np.repeat(rasters[ci], vmax // vi, axis=0), hmax // hi, axis=1
+            )
+            planes.append(plane[:h, :w])
+        out = np.stack(planes, axis=-1)
+        img = np.clip(np.rint(out), 0, 255).astype(np.uint8)
         return img[:, :, 0] if nc == 1 else img
     except (IndexError, EOFError, ValueError, struct.error):
         return None

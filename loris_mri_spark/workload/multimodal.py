@@ -414,8 +414,9 @@ def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-component Huffman/quant tables and DC predictors — the
     native decoder's color path, emitting per-plane sums in the encoded
     YCbCr space (the RGB transform is a caller choice, kept off the
-    exactness-checked path). Subsampled/progressive streams stay on the
-    injected seam."""
+    exactness-checked path). 4:2:0 subsampling also decodes natively
+    (pinned in tests/test_multimodal.py); progressive streams stay on
+    the injected seam."""
     import os as _os
 
     from loris_mri_spark.operators.media import decode_jpeg_baseline

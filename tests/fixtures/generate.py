@@ -898,6 +898,7 @@ def main() -> None:
     for inst in range(1, 3):
         write_jpeg_gray_flat(os.path.join(jdir, f"img-{inst}.jpg"), inst)
         write_jpeg_ycbcr_flat(os.path.join(jdir, f"color-{inst}.jpg"), inst)
+        write_jpeg_420_flat(os.path.join(jdir, f"sub420-{inst}.jpg"), inst)
 
     # --- AVI/MJPEG clips (RIFF container walk + per-frame JPEG decode)
     vdir = _mkdir(os.path.join(HERE, "video"))
@@ -1426,6 +1427,69 @@ def write_jpeg_ycbcr_flat(path: str, inst: int, bw: int = 3, bh: int = 2) -> Non
     )
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
               + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS)
+              + bytes(_JPG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    with open(path, "wb") as f:
+        f.write(b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+
+
+def jpeg_420_mcu_values(inst: int, mw: int, mh: int) -> list:
+    """Per-MCU spec for the 4:2:0 fixture: (y0, y1, y2, y3, cb, cr) —
+    four flat 8x8 luma blocks + one flat 16x16 chroma region each."""
+    out = []
+    for i in range(mw * mh):
+        out.append((
+            (13 * i + 7 * inst) % 256, (13 * i + 7 * inst + 40) % 256,
+            (13 * i + 7 * inst + 80) % 256, (13 * i + 7 * inst + 120) % 256,
+            (19 * i + 11 * inst) % 256, (29 * i + 3 * inst) % 256,
+        ))
+    return out
+
+
+def write_jpeg_420_flat(path: str, inst: int, mw: int = 2, mh: int = 2) -> None:
+    """4:2:0 baseline JPEG (Y sampling 2x2, chroma 1x1): each MCU carries
+    four Y blocks then Cb then Cr; flat blocks + q00=8 keep decode exact
+    (nearest-neighbour chroma upsampling of a flat block is flat)."""
+    h, w = mh * 16, mw * 16
+    quant = [8] + [16] * 63
+    dc_codes = _jpg_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+    bwr = _JpgBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(ci: int, v: int) -> None:
+        dc = v - 128
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        mag = abs(diff)
+        ssss = mag.bit_length()
+        bits = diff if diff >= 0 else diff + (1 << ssss) - 1
+        ln, code = dc_codes[ssss]
+        bwr.put(ln, code)
+        if ssss:
+            bwr.put(ssss, bits)
+        ln, code = ac_codes[0x00]
+        bwr.put(ln, code)
+
+    for y0, y1, y2, y3, cb, cr in jpeg_420_mcu_values(inst, mw, mh):
+        for v in (y0, y1, y2, y3):
+            put_block(0, v)
+        put_block(1, cb)
+        put_block(2, cr)
+    ecs = bwr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(quant)) + seg(
+        0xDB, bytes([0x01]) + bytes(quant)
+    )
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPG_DC_BITS)
               + bytes(_JPG_DC_VALS)) + seg(
         0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)

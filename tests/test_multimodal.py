@@ -155,3 +155,41 @@ def test_png_decode_classifies_unsupported():
     bad_depth = bytearray(good)
     bad_depth[24] = 16
     assert decode_png_bytes(bytes(bad_depth)) is None
+
+
+def test_jpeg_420_subsampled_decodes_exactly():
+    """4:2:0 (Y 2x2, chroma 1x1) MCUs: four luma blocks + one chroma pair
+    per MCU, chroma upsampled 2x2 — the flat-block fixture makes every
+    pixel exactly predictable from the MCU spec."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from loris_mri_spark.operators.media import decode_jpeg_baseline
+
+    fixtures = os.path.join(os.path.dirname(__file__), "fixtures")
+    sys.path.insert(0, os.path.join(fixtures))
+    import generate
+
+    for inst in (1, 2):
+        img = decode_jpeg_baseline(
+            open(os.path.join(fixtures, "jpeg", f"sub420-{inst}.jpg"), "rb")
+            .read()
+        )
+        assert img is not None and img.shape == (32, 32, 3)
+        spec = generate.jpeg_420_mcu_values(inst, 2, 2)
+        exp = np.zeros((32, 32, 3), dtype=np.uint8)
+        for i, (y0, y1, y2, y3, cb, cr) in enumerate(spec):
+            my, mx = divmod(i, 2)
+            lut = [[y0, y1], [y2, y3]]
+            for byy in range(2):
+                for bxx in range(2):
+                    exp[
+                        my * 16 + byy * 8 : my * 16 + byy * 8 + 8,
+                        mx * 16 + bxx * 8 : mx * 16 + bxx * 8 + 8,
+                        0,
+                    ] = lut[byy][bxx]
+            exp[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16, 1] = cb
+            exp[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16, 2] = cr
+        assert (img == exp).all()

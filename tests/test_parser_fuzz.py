@@ -76,6 +76,7 @@ VALID = [
     (FIXTURES / "dicom_rle" / "MR.rle.1.dcm").read_bytes(),
     (FIXTURES / "jpeg" / "img-1.jpg").read_bytes(),
     (FIXTURES / "jpeg" / "color-1.jpg").read_bytes(),
+    (FIXTURES / "jpeg" / "sub420-1.jpg").read_bytes(),
     (FIXTURES / "video" / "clip-1.avi").read_bytes(),
     (FIXTURES / "eeg" / "sub-03_task-rest_meg.ds"
      / "sub-03_task-rest_meg.res4").read_bytes(),
