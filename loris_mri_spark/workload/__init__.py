@@ -64,13 +64,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The external driver's correctness gate evaluates only the FIRST 50 entries
 # of QUERIES in iteration order.  Each round this list rotates the window:
-# queries with no driver-green row yet come first, then this round's new
-# queries, then the re-fixed event-time queries (broken by the r03 testdata
-# schema drift), one previously-green sentinel, and finally the queries whose
-# last green signal is the OLDEST (r01/r02) so their results get refreshed on
-# the current testdata.  Queries not named here keep registration order after
-# the priority block — nothing is ever dropped.  (r04 rotation; r03 greened
-# 47 of its 50-window, see CORRECTNESS_r03.json.)
+# queries with no driver-green row yet come first (every r5 addition),
+# then queries whose CODE changed since their last green (the shared-pass
+# refactor block), one previously-green sentinel, and finally the queries
+# whose last green signal is the OLDEST (r01/r02) so their results get
+# refreshed on the current testdata.  Queries not named here keep
+# registration order after the priority block — nothing is ever dropped.
+# (r05 rotation; r04 greened 50/50, see CORRECTNESS_r04.json.)
 PRIORITY_ORDER: list[str] = [
     # -- never driver-checked (r5 additions + the two formerly rows-only
     #    queries that now carry import-time golden oracles) --
