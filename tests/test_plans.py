@@ -176,12 +176,18 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
         "s15_png_preview",
         "s14_chunk_encode",
     }
-    offenders, surprise_arrow = [], []
+    offenders, surprise_arrow, cartesian = [], [], []
     for name, fn in workload.QUERIES.items():
         plan = _plan(fn(spark, sf_dir))
         if "BatchEvalPython" in plan:
             offenders.append(name)
         if "ArrowEvalPython" in plan and name not in allowed_arrow:
             surprise_arrow.append(name)
+        # sweep-wide O(n^2) guard: a CartesianProduct anywhere is a scale
+        # bug (broadcast nested loops over a bounded side print as
+        # BroadcastNestedLoopJoin and stay allowed)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
     assert offenders == [], offenders
     assert surprise_arrow == [], surprise_arrow
+    assert cartesian == [], cartesian
