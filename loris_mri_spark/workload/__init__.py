@@ -95,6 +95,7 @@ PRIORITY_ORDER: list[str] = [
     "mm_decode_jpeg_baseline",
     "mm_video_mjpeg_frames",
     "mm_decode_jpeg_color",
+    "corpus_ingest_jsonl",
     # -- restructured this session (shared-pass refactor): need fresh greens --
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",

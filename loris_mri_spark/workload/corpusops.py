@@ -263,3 +263,55 @@ def corpus_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_rank",
         (F.col("src_rank") * F.expr(f"{_MIX_LCM} div __w")).alias("mix_key"),
     )
+
+
+_JSONL_ORACLE = """
+    SELECT * FROM (VALUES
+      (CAST(9001 AS BIGINT), 'web', 'en', CAST(9 AS BIGINT), FALSE),
+      (CAST(9002 AS BIGINT), 'web', 'en', CAST(8 AS BIGINT), FALSE),
+      (CAST(9003 AS BIGINT), 'books', 'de', CAST(4 AS BIGINT), FALSE),
+      (CAST(9004 AS BIGINT), 'web', 'en', CAST(NULL AS BIGINT), FALSE),
+      (CAST(9005 AS BIGINT), 'forum', CAST(NULL AS VARCHAR),
+       CAST(5 AS BIGINT), FALSE),
+      (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), TRUE),
+      (CAST(NULL AS BIGINT), 'web', 'en', CAST(2 AS BIGINT), TRUE))
+      AS t(doc_id, source, lang, n_tokens, is_corrupt)
+"""
+
+
+@query("corpus_ingest_jsonl", oracle=_JSONL_ORACLE)
+def corpus_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSONL landing ingest — the web-crawl drop format: an
+    EXPLICIT schema (never runtime inference at 100 TB) with PERMISSIVE
+    mode routing malformed lines and type-mangled fields into a
+    _corrupt_record column instead of killing the scan; clean rows get
+    token counts, corrupt rows are flagged for the quarantine sink. One
+    scan, schema pushdown, no Python. Golden oracle: byte-stable
+    fixture (one non-JSON line, one string-typed doc_id, one null
+    text)."""
+    import os as _os
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
+        "tests", "fixtures", "corpus", "landing.jsonl",
+    )
+    schema = (
+        "doc_id bigint, text string, source string, lang string, "
+        "_corrupt_record string"
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(fixture)
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.when(
+            F.col("text").isNotNull(), F.size(F.split(F.col("text"), " "))
+        ).cast("long").alias("n_tokens"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+    )
