@@ -417,3 +417,93 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("i", "j", "hamming")
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span dedup (the Lee et al. 2021 "Deduplicating
+    Training Data" shape, re-expressed relationally): find every k-token
+    window whose text occurs >= ``min_count`` times CORPUS-WIDE, then merge
+    the flagged windows into maximal per-document duplicated intervals.
+
+    Returns (id, span_start, span_end) with 1-based inclusive token
+    positions — one row per maximal duplicated span.
+
+    100 TB design:
+    - The window inventory is an explode over ``sequence(1, n-k+1)`` with
+      the key computed as md5 of the k-token slice — pure JVM expressions,
+      no Python. The shuffle payload for the corpus-wide count is the
+      32-hex key + (id, start), never the document text. (md5 is the
+      oracle-portable choice; swap ``xxhash64`` for half the key bytes
+      when oracle parity is not needed.)
+    - Flagging is a LEFT SEMI join against the >=min_count key set — a
+      plain shuffled equi-join, so AQE's skew handling splits hot keys
+      (a collect_list of positions per key would instead OOM on a
+      degenerate stop-span).
+    - Interval merging is the classic gaps-and-islands: running
+      max(end) over a per-document window; partitions are bounded by
+      document token counts, never corpus-sized.
+
+    The suffix-array formulation in the paper finds duplicates of ANY
+    length >= k; this window formulation is equivalent on token
+    boundaries: any duplicated run of m >= k tokens is covered by its
+    m-k+1 duplicated k-windows, which merge back into one [start, end]
+    island here.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("i"), F.col(tokens_col).alias("__t")
+    ).filter(F.size("__t") >= k)
+    keyed = base.select(
+        "i",
+        F.explode(
+            F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1))
+        ).alias("start"),
+        "__t",
+    ).select(
+        "i",
+        "start",
+        (F.col("start") + F.lit(k - 1)).alias("end"),
+        F.md5(F.concat_ws(" ", F.slice("__t", F.col("start"), k))).alias(
+            "key"
+        ),
+    )
+    dup_keys = (
+        keyed.groupBy("key")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("key")
+    )
+    flagged = keyed.join(dup_keys, "key", "left_semi").select(
+        "i", "start", "end"
+    )
+    w_prev = (
+        Window.partitionBy("i")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("i").orderBy("start")
+    return (
+        flagged.withColumn("__pmax", F.max("end").over(w_prev))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__pmax").isNull()
+                | (F.col("start") > F.col("__pmax") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__g", F.sum("__brk").over(w_run))
+        .groupBy("i", "__g")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+        )
+        .select("i", "span_start", "span_end")
+    )

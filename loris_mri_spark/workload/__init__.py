@@ -74,6 +74,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 PRIORITY_ORDER: list[str] = [
     # -- never driver-checked (r5 additions + the two formerly rows-only
     #    queries that now carry import-time golden oracles) --
+    "dedup_substring_spans",
+    "dedup_substring_hotspans",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

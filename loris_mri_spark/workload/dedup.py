@@ -401,3 +401,133 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 from loris_mri_spark.workload import ORACLES as _OR  # noqa: E402
 
 _OR["dedup_keep_best"] = _keep_best_oracle()
+
+
+# -- Exact-substring span dedup (Lee et al. 2021 shape) ----------------------
+
+_SPAN_K = 5
+
+_SPAN_KEYED_CTE = f"""
+    toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents),
+    spans AS (SELECT doc_id, unnest(range(1, len(t) - {_SPAN_K - 2}))
+                       AS start, t
+              FROM toks WHERE len(t) >= {_SPAN_K}),
+    keyed AS (SELECT doc_id, start, start + {_SPAN_K - 1} AS "end",
+                     md5(array_to_string(t[start:start+{_SPAN_K - 1}], ' '))
+                       AS key
+              FROM spans)
+"""
+
+_SPAN_STATS_SQL = f"""
+    WITH {_SPAN_KEYED_CTE},
+    dup AS (SELECT key FROM keyed GROUP BY key HAVING COUNT(*) >= 2),
+    flagged AS (SELECT doc_id, start, "end" FROM keyed
+                WHERE key IN (SELECT key FROM dup)),
+    brk AS (SELECT doc_id, start, "end",
+              CASE WHEN max("end") OVER w IS NULL
+                        OR start > max("end") OVER w + 1
+                   THEN 1 ELSE 0 END AS b
+            FROM flagged
+            WINDOW w AS (PARTITION BY doc_id ORDER BY start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    grp AS (SELECT doc_id, start, "end",
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY start) AS g
+            FROM brk),
+    merged AS (SELECT doc_id, g, MIN(start) AS s, MAX("end") AS e
+               FROM grp GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+                   SUM(e - s + 1) AS dup_tokens
+            FROM merged GROUP BY doc_id)
+    SELECT a.doc_id, n.n_tokens, a.n_dup_spans, a.dup_tokens,
+           ROUND(a.dup_tokens * 1.0 / n.n_tokens, 4) AS dup_frac
+    FROM agg a
+    JOIN (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks) n
+      USING (doc_id)
+"""
+
+
+@query("dedup_substring_spans", oracle=_SPAN_STATS_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup: per-document stats of maximal token
+    ranges whose every k-window repeats corpus-wide (the duplicated-span
+    family from "Deduplicating Training Data Makes Language Models
+    Better" — distinct from whole-doc exact dedup and from the
+    similarity families: it localizes WHICH part of a document is
+    boilerplate). See operators/dedup.py:duplicate_token_spans for the
+    plan (inventory explode -> hash-count -> semi-join -> per-doc
+    gaps-and-islands; shuffles hashes and positions, never text)."""
+    from loris_mri_spark.operators.dedup import duplicate_token_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    spans = duplicate_token_spans(toks, "doc_id", "t", k=_SPAN_K)
+    per_doc = spans.groupBy(F.col("i").alias("doc_id")).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens"
+        ),
+    )
+    n_tok = toks.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    return per_doc.join(n_tok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias(
+            "dup_frac"
+        ),
+    )
+
+
+_HOTSPAN_SQL = f"""
+    WITH {_SPAN_KEYED_CTE},
+    texted AS (SELECT doc_id,
+                      array_to_string(t[start:start+{_SPAN_K - 1}], ' ')
+                        AS span_text
+               FROM spans),
+    hot AS (SELECT span_text, COUNT(*) AS n_occ,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM texted GROUP BY span_text HAVING COUNT(*) >= 2)
+    SELECT span_text, n_occ, n_docs
+    FROM hot ORDER BY n_occ DESC, span_text ASC LIMIT 20
+"""
+
+
+@query("dedup_substring_hotspans", oracle=_HOTSPAN_SQL)
+def dedup_substring_hotspans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-repeated k-token spans — the boilerplate report a
+    corpus curator reads before choosing removal rules. Map-side partial
+    aggregation bounds the shuffle to per-partition-distinct spans; the
+    ORDER BY (n_occ DESC, span_text ASC) is total so the LIMIT is
+    deterministic. (At 100 TB, pre-aggregate on the md5 key and join the
+    exemplar text back for the 20 winners to halve the shuffle payload;
+    here the direct grouping keeps the plan one stage shorter.)"""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= _SPAN_K
+    )
+    spans = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t") - F.lit(_SPAN_K - 1))
+        ).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice("t", F.col("start"), _SPAN_K)
+        ).alias("span_text"),
+    )
+    hot = (
+        spans.groupBy("span_text")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= 2)
+    )
+    return hot.orderBy(
+        F.col("n_occ").desc(), F.col("span_text").asc()
+    ).limit(20)

@@ -77,3 +77,35 @@ def test_winnow_capped_candidates_equal_brute_force(spark, sf_dir):
         jaccard_pairs(fps, "doc_id", "fp", threshold=0.5).collect()
     }
     assert capped == brute
+
+
+def test_duplicate_token_spans_merge_semantics(spark):
+    """Hand-built corpus: doc 1 and 2 share a 7-token run (three
+    overlapping 5-windows -> ONE merged island); doc 3 repeats a
+    5-window internally (within-doc duplication counts); doc 4 is
+    unique (no row)."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.operators.dedup import duplicate_token_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g x y z"),
+            (2, "q q q a b c d e f g"),
+            (3, "m n o p r m n o p r"),
+            (4, "u1 u2 u3 u4 u5 u6 u7"),
+        ],
+        ["doc_id", "text"],
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    out = {
+        (r.i, r.span_start, r.span_end)
+        for r in duplicate_token_spans(toks, "doc_id", "t", k=5).collect()
+    }
+    assert out == {
+        (1, 1, 7),   # 'a b c d e f g' = windows 1-3 merged
+        (2, 4, 10),  # same run at offset 4
+        (3, 1, 10),  # 'm n o p r' twice; windows 1 and 6 both flagged,
+                     # plus the wrap windows are unique -> islands [1,5]
+                     # and [6,10] merge (adjacent)
+    }
