@@ -76,6 +76,8 @@ PRIORITY_ORDER: list[str] = [
     #    queries that now carry import-time golden oracles) --
     "dedup_substring_spans",
     "dedup_substring_hotspans",
+    "dq_constraint_report",
+    "er_fuzzy_name_pairs",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

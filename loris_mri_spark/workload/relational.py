@@ -1518,3 +1518,111 @@ def profile_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "revenue",
     )
+
+
+_DQ_SQL = """
+    WITH o AS (
+      SELECT
+        AVG(CASE WHEN o_orderdate IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m1,
+        COUNT(DISTINCT o_orderkey) * 1.0 / COUNT(*)                 AS m2,
+        AVG(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END)
+                                                                    AS m3,
+        AVG(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END)       AS m4,
+        AVG(CASE WHEN o_totalprice <= 400000 THEN 1.0 ELSE 0.0 END) AS m5
+      FROM orders),
+    l AS (
+      SELECT
+        AVG(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 1.0 ELSE 0.0 END)
+                                                                    AS m6,
+        AVG(CASE WHEN l_quantity > 0 THEN 1.0 ELSE 0.0 END)         AS m7
+      FROM lineitem),
+    fk1 AS (
+      SELECT 1.0 - COUNT(*) FILTER (o.o_orderkey IS NULL) * 1.0 / COUNT(*)
+               AS m8
+      FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey),
+    fk2 AS (
+      SELECT 1.0 - COUNT(*) FILTER (c.c_custkey IS NULL) * 1.0 / COUNT(*)
+               AS m9
+      FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey),
+    m AS (SELECT * FROM o, l, fk1, fk2),
+    rep AS (
+      SELECT 'completeness(o_orderdate)' AS check_name, m1 AS m FROM m
+      UNION ALL SELECT 'uniqueness(o_orderkey)', m2 FROM m
+      UNION ALL SELECT 'set(o_orderstatus in O,F,P)', m3 FROM m
+      UNION ALL SELECT 'range(o_totalprice > 0)', m4 FROM m
+      UNION ALL SELECT 'range(o_totalprice <= 400000)', m5 FROM m
+      UNION ALL SELECT 'range(l_discount in [0, 0.1])', m6 FROM m
+      UNION ALL SELECT 'range(l_quantity > 0)', m7 FROM m
+      UNION ALL SELECT 'fk(lineitem.l_orderkey -> orders)', m8 FROM m
+      UNION ALL SELECT 'fk(orders.o_custkey -> customer)', m9 FROM m)
+    SELECT check_name, ROUND(m, 6) AS metric, m = 1.0 AS passed FROM rep
+"""
+
+
+@query("dq_constraint_report", oracle=_DQ_SQL)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality report: completeness,
+    uniqueness, value-set, range, and referential-integrity constraints
+    evaluated as ONE metrics pass per table (all per-table constraints
+    fold into a single aggregate scan — the Deequ design that makes a
+    50-constraint suite cost two table scans at 100 TB, not 50), plus
+    one anti-join-shaped probe per foreign key. The 1-row metric frames
+    cross-join (trivially, 1x1) and unpivot into the report. `metric` is
+    the satisfaction fraction; `passed` iff it is exactly 1.0 — the
+    o_totalprice <= 400k constraint genuinely fails on this data, so the
+    report exercises both outcomes."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def frac(cond) -> F.Column:
+        return F.avg(F.when(cond, 1.0).otherwise(0.0))
+
+    om = o.agg(
+        frac(F.col("o_orderdate").isNotNull()).alias("m1"),
+        (F.countDistinct("o_orderkey") / F.count("*")).alias("m2"),
+        frac(F.col("o_orderstatus").isin("O", "F", "P")).alias("m3"),
+        frac(F.col("o_totalprice") > 0).alias("m4"),
+        frac(F.col("o_totalprice") <= 400000).alias("m5"),
+    )
+    lm = li.agg(
+        frac(F.col("l_discount").between(0, 0.1)).alias("m6"),
+        frac(F.col("l_quantity") > 0).alias("m7"),
+    )
+    # FK satisfaction via left-anti counts: the anti join ships only the
+    # key columns; at scale AQE turns the dim side into a broadcast.
+    fk1 = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("orph"))
+        .crossJoin(li.agg(F.count("*").alias("tot")))
+        .select((1.0 - F.col("orph") / F.col("tot")).alias("m8"))
+    )
+    fk2 = (
+        o.select("o_custkey")
+        .join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").alias("orph"))
+        .crossJoin(o.agg(F.count("*").alias("tot")))
+        .select((1.0 - F.col("orph") / F.col("tot")).alias("m9"))
+    )
+    m = om.crossJoin(lm).crossJoin(fk1).crossJoin(fk2)
+    labels = [
+        ("m1", "completeness(o_orderdate)"),
+        ("m2", "uniqueness(o_orderkey)"),
+        ("m3", "set(o_orderstatus in O,F,P)"),
+        ("m4", "range(o_totalprice > 0)"),
+        ("m5", "range(o_totalprice <= 400000)"),
+        ("m6", "range(l_discount in [0, 0.1])"),
+        ("m7", "range(l_quantity > 0)"),
+        ("m8", "fk(lineitem.l_orderkey -> orders)"),
+        ("m9", "fk(orders.o_custkey -> customer)"),
+    ]
+    stack = ", ".join(f"'{lab}', {col}" for col, lab in labels)
+    rep = m.selectExpr(
+        f"stack({len(labels)}, {stack}) AS (check_name, m)"
+    )
+    return rep.select(
+        "check_name",
+        F.round("m", 6).alias("metric"),
+        (F.col("m") == 1.0).alias("passed"),
+    )
