@@ -78,6 +78,7 @@ PRIORITY_ORDER: list[str] = [
     "dedup_substring_hotspans",
     "dq_constraint_report",
     "er_fuzzy_name_pairs",
+    "text_lm_quality",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

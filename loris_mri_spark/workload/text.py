@@ -653,3 +653,57 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q.score_milli").alias("score_milli"),
         F.col("q.keep").alias("keep"),
     )
+
+
+_LM_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS s FROM vocab),
+    lp AS (SELECT tok, ln(c * 1.0 / s) AS logp FROM vocab, tot),
+    scored AS (SELECT t.doc_id, COUNT(*) AS n_tok, AVG(lp.logp) AS alp
+               FROM toks t JOIN lp USING (tok) GROUP BY t.doc_id)
+    SELECT doc_id, n_tok, ROUND(alp, 4) AS avg_logprob
+    FROM scored
+"""
+
+
+@query("text_lm_quality", oracle=_LM_SQL)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring (the CCNet / Wikipedia-LM filtering
+    stage): score each document by its mean token log-probability under
+    a language model and filter the outliers. The in-engine model is the
+    corpus's own unigram LM — trained and applied in the same job:
+
+    1. vocabulary pass: one hash-groupBy over exploded tokens (map-side
+       combine makes the shuffle vocabulary-sized, not corpus-sized);
+    2. the (token -> logprob) table is vocabulary-sized, so it
+       BROADCASTS to the scoring join — the corpus is touched exactly
+       twice and never shuffled by token;
+    3. per-doc mean logprob = one agg keyed by doc_id.
+
+    At production scale the broadcast table is instead a pre-trained
+    KenLM-style model loaded as a dimension table — the plan shape
+    (broadcast score join + per-doc agg) is identical. avg_logprob is
+    rounded to 4 decimals so libm ulp differences between engines
+    cannot surface in the hash comparison."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("s"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", F.log(F.col("c") / F.col("s")).alias("logp")
+    )
+    scored = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.avg("logp").alias("alp"),
+        )
+    )
+    return scored.select(
+        "doc_id", "n_tok", F.round("alp", 4).alias("avg_logprob")
+    )

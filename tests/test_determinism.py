@@ -1,0 +1,39 @@
+"""Partition-count invariance: a plan that is correct on a 32-thread
+local session must produce the IDENTICAL result multiset at any shuffle
+partitioning — the property that makes results reproducible when the
+same job runs on a 1000-executor cluster. Exercises the queries whose
+plans are most exposed to partition-dependent nondeterminism (sorted
+LIMITs, banded self-joins, salted two-phase aggs, range-bucketed
+quantile picks, permutation sharding)."""
+
+from __future__ import annotations
+
+import pytest
+
+from loris_mri_spark import workload
+from tests.oracle import canonical
+
+workload.load_all()
+
+_SENSITIVE = [
+    "o1_topk_lineitems",
+    "dedup_minhash_lsh_pairs",
+    "profile_percentiles_distributed",
+    "dedup_substring_spans",
+    "corpus_global_shuffle",
+    "a8_salted_skew_rollup",
+    "er_fuzzy_name_pairs",
+]
+
+
+@pytest.mark.parametrize("name", _SENSITIVE)
+def test_partition_count_invariance(spark, sf_dir, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canonical(workload.QUERIES[name](spark, sf_dir).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = canonical(workload.QUERIES[name](spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on shuffle partition count"
