@@ -44,3 +44,39 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[expr.alias(name) for expr, name in merge_aggs]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join by salt replication, for the case AQE's
+    runtime skew-join cannot cover: AQE only splits skewed partitions of
+    a SORT-MERGE join after materializing the shuffle — when the
+    skewed-side stage itself is the problem (one key = one task at 1000
+    executors), pre-salting fixes the plan statically.
+
+    The FACT side gets a per-row salt in [0, n_salts); the DIM side is
+    replicated n_salts times (explode of a sequence — n_salts * |dim|
+    rows, which is why this is for fact-skewed joins with a dim side too
+    big to broadcast but small enough to replicate). Joining on
+    (key, salt) spreads each hot key over n_salts tasks. The salt is
+    `rand`-derived per fact row, so every fact row joins exactly one
+    replica — result == the unsalted join, row for row (pinned in
+    tests/test_plans.py).
+
+    ``how`` may be 'inner' or 'left' (fact-preserving); dim-preserving
+    joins would need the reverse construction."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    f = fact.withColumn(
+        "__salt", (F.rand(seed=7) * n_salts).cast("int")
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+    return f.join(d, [key, "__salt"], how).drop("__salt")

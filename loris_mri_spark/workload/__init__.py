@@ -79,6 +79,8 @@ PRIORITY_ORDER: list[str] = [
     "dq_constraint_report",
     "er_fuzzy_name_pairs",
     "text_lm_quality",
+    "j12_salted_skew_join",
+    "t10_incremental_mv",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

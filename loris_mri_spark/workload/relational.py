@@ -1626,3 +1626,41 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m", 6).alias("metric"),
         (F.col("m") == 1.0).alias("passed"),
     )
+
+
+@query(
+    "j12_salted_skew_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statically salted fact-to-dim join (operators/salt.py:salted_join)
+    — the manual skew fix for when a hot fact key would cap a stage at
+    one task and the dim side is too big to broadcast. The fact side is
+    salted per row, the dim side replicated n_salts times, the join key
+    becomes (key, salt): row-identical to the plain join (that IS the
+    oracle), but each hot key now spreads over n_salts tasks. Completes
+    the engine's skew toolkit: AQE skew-join (runtime, sort-merge),
+    salted_agg (skewed aggregations), salted_join (statically skewed
+    fact joins)."""
+    from loris_mri_spark.operators.salt import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, "l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

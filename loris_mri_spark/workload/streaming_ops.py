@@ -258,3 +258,89 @@ def t8_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, staged, "fingerprint", "doc_id", "t8"
     )
     return out.select("doc_id", "fingerprint")
+
+
+@query(
+    "t10_incremental_mv",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT))
+                AS BIGINT) AS total_micros
+    FROM events GROUP BY user_id
+    """,
+)
+def t10_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: incremental MATERIALIZED-VIEW maintenance — the per-key
+    aggregate kept current as data lands, without ever re-scanning
+    history (the delta-log pattern):
+
+    1. each micro-batch writes its PARTIAL aggregate (count + exact
+       integer micro-unit sum — both algebraic, so partials merge
+       losslessly) to a ``bid=<batch_id>`` delta directory; overwrite-
+       by-batch-id makes the at-least-once foreachBatch retry replace
+       its own partial instead of double-counting (the T4 idempotence
+       pattern applied to aggregation state);
+    2. the MV read = merge of the deltas (one vocabulary-of-keys-sized
+       agg over partials, never the event history);
+    3. compaction folds the deltas into an immutable versioned snapshot
+       (catalog.write_versioned) — the time-travel store S12b pins —
+       which at production scale runs periodically so the delta list
+       stays short.
+
+    Drained with availableNow over a 4-file landing directory (4 real
+    micro-batches), the compacted MV must equal the batch GROUP BY."""
+    from loris_mri_spark.catalog import (
+        load_table,
+        load_versioned,
+        write_versioned,
+    )
+    from loris_mri_spark.streaming.incremental import scratch_dir
+
+    # Re-land the table as 4 files so the availableNow drain really runs
+    # multiple micro-batches (maxFilesPerTrigger=1).
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value").cast("decimal(14,4)") * 10000)
+        .cast("long")
+        .alias("micros"),
+    )
+    landing = scratch_dir("t10-landing")
+    base.repartition(4).write.mode("overwrite").parquet(landing)
+
+    sdf = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    partials = scratch_dir("t10-partials")
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        p = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("micros").alias("total_micros"),
+        )
+        p.write.mode("overwrite").parquet(f"{partials}/bid={batch_id}")
+
+    from loris_mri_spark.streaming.incremental import (
+        _scoped_stream_partitions,
+        _checkpoint,
+    )
+
+    with _scoped_stream_partitions(spark):
+        q = (
+            sdf.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", _checkpoint("t10"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    deltas = spark.read.parquet(partials)
+    mv = deltas.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_micros").alias("total_micros"),
+    )
+    store = scratch_dir("t10-mv")
+    v = write_versioned(mv, store)
+    return load_versioned(spark, store, v)

@@ -23,6 +23,7 @@ _SENSITIVE = [
     "corpus_global_shuffle",
     "a8_salted_skew_rollup",
     "er_fuzzy_name_pairs",
+    "j12_salted_skew_join",
 ]
 
 
