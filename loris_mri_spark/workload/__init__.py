@@ -81,6 +81,8 @@ PRIORITY_ORDER: list[str] = [
     "text_lm_quality",
     "j12_salted_skew_join",
     "t10_incremental_mv",
+    "s12c_merge_upsert",
+    "scd2_state_history",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

@@ -1664,3 +1664,141 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "s12c_merge_upsert",
+    oracle="""
+    WITH tgt AS (SELECT c_custkey, c_acctbal FROM customer
+                 WHERE c_custkey % 3 <> 0),
+    src AS (SELECT o_custkey AS c_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS spend
+            FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           ROUND(COALESCE(t.c_acctbal, 0) + COALESCE(s.spend, 0), 2)
+             AS balance,
+           CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+                THEN 'updated'
+                WHEN t.c_custkey IS NULL THEN 'inserted'
+                ELSE 'unchanged' END AS merge_status
+    FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    """,
+)
+def s12c_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD1 upsert) via operators/merge.py: a CDC-style
+    source (per-customer spend from orders) merged into a target missing
+    every third customer, so all three branches fire — WHEN MATCHED
+    updates the balance, WHEN NOT MATCHED inserts the new customer, and
+    untouched rows pass through. One full-outer join; at scale the
+    merged image lands via dynamic partition overwrite or a versioned
+    snapshot (see the operator docstring)."""
+    from loris_mri_spark.operators.merge import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_acctbal"
+    )
+    source = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    merged = merge_upsert(
+        target,
+        source,
+        key="c_custkey",
+        when_matched={
+            "balance": F.col("t.c_acctbal") + F.col("s.spend")
+        },
+        when_not_matched={"balance": F.col("s.spend")},
+        when_not_matched_by_source={"balance": F.col("t.c_acctbal")},
+        status_col="merge_status",
+    )
+    return merged.select(
+        "c_custkey",
+        F.round("balance", 2).alias("balance"),
+        "merge_status",
+    )
+
+
+@query(
+    "scd2_state_history",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type,
+                       epoch_us(ts) AS ts_us, event_id
+                FROM events),
+    marked AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    seg AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked),
+    hist AS (
+      SELECT user_id, event_type, CAST(version AS BIGINT) AS version,
+             MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      FROM seg GROUP BY user_id, event_type, version)
+    SELECT user_id, version, event_type, valid_from_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current,
+           n_events
+    FROM hist
+    """,
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 history build: each user's event-type stream collapsed
+    into validity-interval versions — consecutive identical states merge
+    into one row with valid_from/valid_to (µs epochs) and an is_current
+    flag on the open interval. The dimension-history maintenance every
+    warehouse runs, as two windows + one agg, all partitioned by the
+    natural key (never a global sort): change-detection via LAG, version
+    numbering via running SUM of change marks (gaps-and-islands), then
+    LEAD over the per-version starts for the interval close."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w_ord).eqNullSafe(
+                F.col("event_type")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = marked.withColumn("version", F.sum("chg").over(w_run))
+    hist = seg.groupBy(
+        "user_id", "event_type", F.col("version").cast("long").alias("version")
+    ).agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    w_ver = Window.partitionBy("user_id").orderBy("version")
+    return hist.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_ver).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w_ver).isNull().alias("is_current"),
+        "n_events",
+    )
