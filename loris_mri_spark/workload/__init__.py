@@ -83,6 +83,8 @@ PRIORITY_ORDER: list[str] = [
     "t10_incremental_mv",
     "s12c_merge_upsert",
     "scd2_state_history",
+    "ann_recall_at_k",
+    "profile_histogram",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

@@ -1802,3 +1802,52 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w_ver).isNull().alias("is_current"),
         "n_events",
     )
+
+
+@query(
+    "profile_histogram",
+    oracle="""
+    WITH mm AS (SELECT MIN(l_extendedprice) AS lo,
+                       MAX(l_extendedprice) AS hi
+                FROM lineitem),
+    b AS (SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) * 20.0
+                                  / (hi - lo)), 19) AS BIGINT) AS bucket,
+                 l_extendedprice
+          FROM lineitem, mm)
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 2) AS lo_r,
+           ROUND(MAX(l_extendedprice), 2) AS hi_r
+    FROM b GROUP BY bucket
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram profile (20 buckets over the global
+    [min, max]) — the distribution sketch every profiler draws. Two
+    passes: a 1-row min/max agg broadcast into the bucketing expression,
+    then one hash-agg by bucket. The bucket formula is pure IEEE
+    arithmetic ((x-lo)*20/(hi-lo), no libm), so both engines compute
+    bit-identical bucket ids and the oracle hash-matches without any
+    tolerance."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    b = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                * 20.0
+                / (F.col("hi") - F.col("lo"))
+            ),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bucket"),
+        "l_extendedprice",
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo_r"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi_r"),
+    )

@@ -438,3 +438,86 @@ def vec_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     output ⊆ brute force and recall >= 0.9."""
     out = _lsh_pairs(spark, sf_dir)
     return out.select("i", "j", F.round("cos", 6).alias("cos_r"))
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH {_V_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    ex_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM ex_scored),
+    ex_top AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= 5),
+    centroids AS ({_dec_centroid_sql("v", "label")}),
+    cell_ranked AS (
+      SELECT q.query_id, q.qv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_SQL_COS.format(a='q.qv', b='c.cv')} DESC,
+                                         c.cell ASC) AS crank
+      FROM q CROSS JOIN centroids c),
+    probed AS (SELECT query_id, qv, cell FROM cell_ranked WHERE crank <= 2),
+    iv_scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='p.qv', b='c.emb')} AS cos
+      FROM probed p JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id),
+    iv_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM iv_scored),
+    iv_top AS (SELECT query_id, neighbor_id FROM iv_ranked WHERE rank <= 5),
+    hits AS (
+      SELECT i.query_id, COUNT(*) AS n_hits
+      FROM iv_top i JOIN ex_top e
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY i.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_r
+    FROM (SELECT DISTINCT query_id FROM ex_top) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ANN EVALUATION computed in-engine: recall@5 of the IVF
+    index against exact brute force, per query — the metric an ML
+    platform recomputes after every index rebuild, expressed as one
+    plan so it runs at corpus scale instead of in a notebook. The two
+    retrievals share the corpus scan; the hit count is a semi-join-
+    shaped equi-join on (query, neighbor); zero-hit queries are kept by
+    the left join (a recall metric that silently drops them
+    overstates quality)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(
+        qset, e, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(
+        qset,
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+        cell_col="label",
+        k=5,
+        nprobe=2,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias(
+            "recall_r"
+        ),
+    )
