@@ -85,6 +85,8 @@ PRIORITY_ORDER: list[str] = [
     "scd2_state_history",
     "ann_recall_at_k",
     "profile_histogram",
+    "c7b_variant_json",
+    "x3b_udtf_tar_members",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

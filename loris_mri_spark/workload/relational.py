@@ -1851,3 +1851,39 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("lo_r"),
         F.round(F.max("l_extendedprice"), 2).alias("hi_r"),
     )
+
+
+@query(
+    "c7b_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           COUNT(json_extract_string(props, '$.missing')) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def c7b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured profiling through the VARIANT type (Spark 4):
+    `parse_json` once into a binary-encoded variant, then typed
+    `try_variant_get` extraction — the 100 TB answer to JSON columns
+    (parse once, store shredded/columnar, no per-query string
+    re-parsing the way get_json_object does). try_variant_get on an
+    absent path yields NULL, counted by the n_missing probe."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get("v", "$.k", "long")
+    missing = F.try_variant_get("v", "$.missing", "long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_missing"),
+    )
