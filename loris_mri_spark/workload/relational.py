@@ -1578,34 +1578,40 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def frac(cond) -> F.Column:
         return F.avg(F.when(cond, 1.0).otherwise(0.0))
 
+    # One metrics pass per table; the row counts the FK ratios need ride
+    # along in the same pass (no extra COUNT(*) scans).
     om = o.agg(
         frac(F.col("o_orderdate").isNotNull()).alias("m1"),
         (F.countDistinct("o_orderkey") / F.count("*")).alias("m2"),
         frac(F.col("o_orderstatus").isin("O", "F", "P")).alias("m3"),
         frac(F.col("o_totalprice") > 0).alias("m4"),
         frac(F.col("o_totalprice") <= 400000).alias("m5"),
+        F.count("*").alias("n_orders"),
     )
     lm = li.agg(
         frac(F.col("l_discount").between(0, 0.1)).alias("m6"),
         frac(F.col("l_quantity") > 0).alias("m7"),
+        F.count("*").alias("n_li"),
     )
     # FK satisfaction via left-anti counts: the anti join ships only the
     # key columns; at scale AQE turns the dim side into a broadcast.
     fk1 = (
         li.select("l_orderkey")
         .join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
-        .agg(F.count("*").alias("orph"))
-        .crossJoin(li.agg(F.count("*").alias("tot")))
-        .select((1.0 - F.col("orph") / F.col("tot")).alias("m8"))
+        .agg(F.count("*").alias("orph1"))
     )
     fk2 = (
         o.select("o_custkey")
         .join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left_anti")
-        .agg(F.count("*").alias("orph"))
-        .crossJoin(o.agg(F.count("*").alias("tot")))
-        .select((1.0 - F.col("orph") / F.col("tot")).alias("m9"))
+        .agg(F.count("*").alias("orph2"))
     )
-    m = om.crossJoin(lm).crossJoin(fk1).crossJoin(fk2)
+    m = (
+        om.crossJoin(lm)
+        .crossJoin(fk1)
+        .crossJoin(fk2)
+        .withColumn("m8", 1.0 - F.col("orph1") / F.col("n_li"))
+        .withColumn("m9", 1.0 - F.col("orph2") / F.col("n_orders"))
+    )
     labels = [
         ("m1", "completeness(o_orderdate)"),
         ("m2", "uniqueness(o_orderkey)"),
