@@ -87,6 +87,8 @@ PRIORITY_ORDER: list[str] = [
     "profile_histogram",
     "c7b_variant_json",
     "x3b_udtf_tar_members",
+    "f11_null_semantics",
+    "t11_late_data_drop",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

@@ -1893,3 +1893,53 @@ def c7b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(missing).alias("n_missing"),
     )
+
+
+@query(
+    "f11_null_semantics",
+    oracle="""
+    SELECT
+      COUNT(CASE WHEN o_orderstatus IN ('O', 'F', NULL) THEN 1 END)
+        AS n_in_with_null,
+      COUNT(CASE WHEN o_orderstatus NOT IN ('X', NULL) THEN 1 END)
+        AS n_not_in_with_null,
+      COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+                 THEN 1 END) AS n_nullsafe_eq_null,
+      COUNT(CASE WHEN NULLIF(o_orderstatus, 'O') = NULL THEN 1 END)
+        AS n_plain_eq_null,
+      COUNT(NULLIF(o_orderstatus, 'O')) AS n_count_col,
+      COUNT(*) AS n_count_star,
+      CAST(SUM(CASE WHEN COALESCE(NULLIF(o_orderstatus, 'O'), 'fallback')
+                         = 'fallback' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_coalesced
+    FROM orders
+    """,
+)
+def f11_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity probe: the NULL corners engines
+    disagree on most, pinned against the oracle in one scan —
+    `x IN (..., NULL)` (TRUE or NULL, never FALSE), `x NOT IN (..,
+    NULL)` (never TRUE: the classic silent-empty-result bug),
+    null-safe `<=>` vs plain `=` against NULL, COUNT(col) vs COUNT(*),
+    and COALESCE fallback. The filter-predicate F-family (F2/F3/F7)
+    relies on exactly these semantics; this query makes the contract
+    itself a driver-checked row."""
+    o = load_table(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    nl = F.nullif(st, F.lit("O"))
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731 — count TRUE only
+    return o.agg(
+        cnt(st.isin("O", "F", None)).alias("n_in_with_null"),
+        cnt(~st.isin("X", None)).alias("n_not_in_with_null"),
+        cnt(nl.eqNullSafe(F.lit(None))).alias("n_nullsafe_eq_null"),
+        cnt(nl == F.lit(None)).alias("n_plain_eq_null"),
+        F.count(nl).alias("n_count_col"),
+        F.count("*").alias("n_count_star"),
+        F.sum(
+            F.when(
+                F.coalesce(nl, F.lit("fallback")) == "fallback", 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_coalesced"),
+    )

@@ -344,3 +344,109 @@ def t10_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = scratch_dir("t10-mv")
     v = write_versioned(mv, store)
     return load_versioned(spark, store, v)
+
+
+_T11_D = 86_400_000_000  # one day in µs
+
+_T11_SQL = f"""
+    WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+    bounds AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM e),
+    cls AS (
+      SELECT event_type, ts_us,
+             ts_us // {_T11_D} * {_T11_D} AS wstart,
+             CASE WHEN ts_us >= lo + 25 * {_T11_D}
+                       AND ts_us < lo + 27 * {_T11_D} THEN 'b'
+                  WHEN ts_us >= lo + 28 * {_T11_D} THEN 'c'
+                  ELSE 'a' END AS cls
+      FROM e, bounds),
+    wm AS (SELECT MAX(ts_us) - {_T11_D} AS wm_drop FROM cls WHERE cls = 'a'),
+    fin AS (SELECT hi - {_T11_D} AS wm_final FROM bounds),
+    kept AS (SELECT cls.* FROM cls, wm
+             WHERE NOT (cls = 'b' AND wstart + {_T11_D} <= wm_drop)),
+    agg AS (SELECT wstart AS wstart_us, event_type, COUNT(*) AS n
+            FROM kept GROUP BY wstart, event_type)
+    SELECT wstart_us, event_type, n
+    FROM agg, fin WHERE wstart_us + {_T11_D} <= wm_final
+"""
+
+
+@query("t11_late_data_drop", oracle=_T11_SQL)
+def t11_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: the WATERMARK actually dropping late data — the semantic
+    t3/t5 never exercise (their drains deliver everything in order).
+    The events table is re-staged as four arrival files: the bulk (with
+    the mid-stream maximum), a small filler batch (a watermark update
+    takes effect one micro-batch after the maximum that produced it —
+    pinned here), a LATE file (days 25-27 arriving after day 28's data),
+    and the newest tail. Under `withWatermark(ts, '1 day')` + 1-day
+    tumbling append aggregation the drain must:
+
+    - DROP late rows whose window end <= the in-effect watermark
+      (max event time seen - 1 day) while still accepting the late
+      window that is within the threshold, and
+    - emit at the final flush exactly the windows whose end <= the
+      final watermark (newer windows stay open and are never output).
+
+    The oracle replays both rules relationally in integer µs."""
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.streaming.incremental import (
+        run_to_memory as _rtm,
+        scratch_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    b_lo, b_hi, c_lo = (
+        lo + 25 * _T11_D,
+        lo + 27 * _T11_D,
+        lo + 28 * _T11_D,
+    )
+    is_b = (F.col("ts_us") >= b_lo) & (F.col("ts_us") < b_hi)
+    is_c = F.col("ts_us") >= c_lo
+    a = ev.filter(~is_b & ~is_c)
+    # filler = a's first two days: guaranteed non-empty and free of a's
+    # maximum, so the watermark set by the bulk file is in effect when
+    # the late file arrives.
+    filler_cut = lo + 2 * _T11_D
+    arrivals = [
+        a.filter(F.col("ts_us") >= filler_cut),
+        a.filter(F.col("ts_us") < filler_cut),
+        ev.filter(is_b),
+        ev.filter(is_c),
+    ]
+    staged = scratch_dir("t11-staged")
+    now = os.stat(staged).st_mtime
+    for i, part_df in enumerate(arrivals):
+        wdir = f"{staged}/_w{i}"
+        part_df.select("event_type", "ts").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(wdir)
+        (part,) = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        dst = os.path.join(staged, f"arrival-{i:03d}.parquet")
+        os.replace(os.path.join(wdir, part), dst)
+        os.utime(dst, (now - 100 + i, now - 100 + i))
+        import shutil
+
+        shutil.rmtree(wdir, ignore_errors=True)
+
+    schema = spark.read.parquet(staged).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+    )
+    agg = (
+        sdf.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .count()
+    )
+    res = _rtm(agg, "append", "t11")
+    return res.select(
+        (F.col("window.start").cast("long") * 1_000_000).alias(
+            "wstart_us"
+        ),
+        "event_type",
+        F.col("count").alias("n"),
+    )
