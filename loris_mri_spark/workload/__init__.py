@@ -89,6 +89,7 @@ PRIORITY_ORDER: list[str] = [
     "x3b_udtf_tar_members",
     "f11_null_semantics",
     "t11_late_data_drop",
+    "t12_checkpoint_restart",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",

@@ -450,3 +450,81 @@ def t11_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("count").alias("n"),
     )
+
+
+def _t12_run(spark: SparkSession, sf_dir: str):
+    """Two drains of the same checkpointed query with a file landing
+    between them; returns (final DataFrame, rows processed by run 2)."""
+    import uuid
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.streaming.incremental import (
+        _scoped_stream_partitions,
+        scratch_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    cut = lo + (hi - lo) * 9 // 10
+    landing = scratch_dir("t12-landing")
+    ck = scratch_dir("t12-ckpt")
+
+    def land(df, name: str) -> None:
+        wdir = f"{landing}/_w{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(wdir)
+        (part,) = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+        os.replace(
+            os.path.join(wdir, part),
+            os.path.join(landing, f"{name}.parquet"),
+        )
+        import shutil
+
+        shutil.rmtree(wdir, ignore_errors=True)
+
+    def drain():
+        name = f"mem_t12_{uuid.uuid4().hex[:8]}"
+        sdf = (
+            spark.readStream.schema("event_type string, ts_us long")
+            .parquet(landing)
+        )
+        agg = sdf.groupBy("event_type").count()
+        with _scoped_stream_partitions(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        n_in = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        return spark.table(name), n_in
+
+    land(ev.filter(F.col("ts_us") < cut), "drop-000")
+    _first, _ = drain()
+    _first.collect()  # materialize run 1's view of the world
+    land(ev.filter(F.col("ts_us") >= cut), "drop-001")
+    final, n_run2 = drain()
+    return final.select("event_type", F.col("count").alias("n")), n_run2
+
+
+@query(
+    "t12_checkpoint_restart",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def t12_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: exactly-once across ENGINE RESTARTS — the checkpoint contract
+    every incremental pipeline stands on (the reference restarts its cron
+    loader constantly; imaging_upload_file_cronjob.pl re-entrance). The
+    same aggregation query is started TWICE against one checkpoint: run 1
+    drains the initial landing, run 2 — a fresh query object, as after a
+    process restart — recovers source offsets AND aggregation state from
+    the checkpoint, processes only the newly landed file, and its
+    complete-mode output equals the batch answer over everything
+    (tests/test_streaming_restart.py additionally pins that run 2 read
+    ONLY the delta rows)."""
+    final, _ = _t12_run(spark, sf_dir)
+    return final
