@@ -90,6 +90,15 @@ PRIORITY_ORDER: list[str] = [
     "f11_null_semantics",
     "t11_late_data_drop",
     "t12_checkpoint_restart",
+    # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
+    #    exactly these five, so they outrank the refresh blocks below --
+    "mm_audio_wav_meta",
+    "profile_percentiles_distributed",
+    "c5_blake2b_hash",
+    "vec_cosine_pairs_lsh",
+    "f5_visit_window_validation",
+    "s1_dicom_implicit_vr",
+    "s5b_minc2_headers",
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",
@@ -121,19 +130,12 @@ PRIORITY_ORDER: list[str] = [
     "sample_stratified_deterministic",
     "pack_token_budget_shards",
     "contamination_eval_overlap",
-    "s1_dicom_implicit_vr",
-    "s5b_minc2_headers",
     "s6b_ecat_matlab_sidecar",
     "s15b_ortho_preview",
-    "f5_visit_window_validation",
     "dedup_winnow_coverage",
-    "c5_blake2b_hash",
-    "vec_cosine_pairs_lsh",
     "vec_cosine_clusters",
     "w5_rolling_event_stats",
     # -- code or oracle changed in r5: need a fresh green row --
-    "profile_percentiles_distributed",  # rewritten (cost-based buckets)
-    "mm_audio_wav_meta",  # WAV fmt-consistency check + numpy RMS
     "x4_hed_parse",  # branch-wise string + oracle null guards
     "x4b_hed_ancestors",
     "mm_decode_png_roundtrip",  # framing-formula oracle + empty-doc guard
@@ -165,7 +167,6 @@ PRIORITY_ORDER: list[str] = [
     "text_language_id",
     "text_quality_score",
     "text_tfidf_top_terms",
-    "text_fingerprint_winnow",
     "text_bpe_token_count",
     "s7_eeglab_channels",
     "f_predicate_gauntlet",
