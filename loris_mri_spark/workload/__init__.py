@@ -90,6 +90,7 @@ PRIORITY_ORDER: list[str] = [
     "f11_null_semantics",
     "t11_late_data_drop",
     "t12_checkpoint_restart",
+    "t5d_dynamic_session_window",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

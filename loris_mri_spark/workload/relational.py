@@ -1943,3 +1943,80 @@ def f11_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_coalesced"),
     )
+
+
+# --------------------------------------------------------------------------
+# T5d — DYNAMIC-GAP session windows: each event type proposes its own
+# inactivity timeout (purchases hold sessions open longer than clicks).
+# Spark semantics: event e contributes interval [ts, ts+gap(e)); a later
+# event merges into the session iff its ts lands before the running
+# session end (max of contributed ends). The oracle replays that with a
+# running-max gaps-and-islands in integer µs.
+# --------------------------------------------------------------------------
+_T5D_GAP_SQL = """CASE event_type WHEN 'purchase' THEN 3600000000
+                     WHEN 'click' THEN 900000000
+                     ELSE 1800000000 END"""
+
+
+@query(
+    "t5d_dynamic_session_window",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                      CAST(value AS DECIMAL(14,4)) AS v,
+                      {_T5D_GAP_SQL} AS gap_us
+               FROM events),
+    run AS (
+      SELECT user_id, ts_us, v,
+             MAX(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM e),
+    flagged AS (
+      SELECT user_id, ts_us, v,
+             CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                  THEN 1 ELSE 0 END AS new_session
+      FROM run),
+    islands AS (
+      SELECT user_id, ts_us, v,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM islands GROUP BY user_id, sid
+    """,
+)
+def t5d_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC gap (`session_window(ts, expr)`):
+    the inactivity timeout is per-event (purchase 60 min, click 15 min,
+    else 30 min) — the sessionization real clickstream pipelines need,
+    where a conversion should hold the session open longer than a
+    passive click. The oracle replays the merge rule (running max of
+    per-event proposed ends) relationally in integer µs."""
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", "60 minutes")
+        .when(F.col("event_type") == "click", "15 minutes")
+        .otherwise("30 minutes")
+    )
+    return (
+        e.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
