@@ -91,6 +91,8 @@ PRIORITY_ORDER: list[str] = [
     "t11_late_data_drop",
     "t12_checkpoint_restart",
     "t5d_dynamic_session_window",
+    "funnel_conversion",
+    "cohort_retention",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",
@@ -183,6 +185,7 @@ def load_all() -> None:
     reorder ``QUERIES`` so the driver's 50-entry correctness window covers
     the queries that most need an external green row (see PRIORITY_ORDER)."""
     from loris_mri_spark.workload import (  # noqa: F401
+        analytics,
         corpusops,
         dedup,
         ingest,

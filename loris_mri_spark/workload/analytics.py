@@ -1,0 +1,157 @@
+"""Clickstream analytics workload — funnel conversion and cohort
+retention, the two canonical event-sequence queries every product
+analytics engine must answer (the reference's closest analogue is the
+violations/QC reporting over candidate event sequences,
+`python/lib/database_lib/*`; these generalize it to ordered behavioral
+funnels).
+
+Both are pure window/aggregation plans partitioned by user — no joins
+that grow with the event count, no collects; at 100 TB the per-user
+partitions are what shuffle, and the outputs are report-sized."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loris_mri_spark.catalog import load_table
+from loris_mri_spark.workload import query
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(ts_us) AS t2
+           FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(ts_us) AS t3
+           FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+           GROUP BY e.user_id),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM e)
+    SELECT n_users,
+           (SELECT COUNT(*) FROM s1) AS n_step1_view,
+           (SELECT COUNT(*) FROM s2) AS n_step2_click,
+           (SELECT COUNT(*) FROM s3) AS n_step3_purchase,
+           ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                 / (SELECT COUNT(*) FROM s1), 4) AS conversion_r
+    FROM u
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user converts a
+    step only with an event STRICTLY AFTER their previous step's first
+    completion — the order-sensitive definition (a purchase before the
+    first view does not count). One pass: per-user conditional-min
+    cascade computed with three window functions over the same
+    user-partitioned sort, then a single global rollup. No self-joins:
+    the cascade lives in expressions, so the event table is scanned
+    once however many steps the funnel has."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    with_t1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t1").alias("n_step1_view"),
+        F.count("t2").alias("n_step2_click"),
+        F.count("t3").alias("n_step3_purchase"),
+        F.round(F.count("t3") / F.count("t1"), 4).alias("conversion_r"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) // {_DAY_US} AS day
+               FROM events),
+    first_seen AS (SELECT user_id, MIN(day) AS cohort_day FROM e
+                   GROUP BY user_id),
+    activity AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                        CAST((e.day - f.cohort_day) // 7 AS BIGINT)
+                          AS week_offset
+                 FROM e JOIN first_seen f ON e.user_id = f.user_id),
+    cohorts AS (SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_size
+                FROM first_seen GROUP BY cohort_day)
+    SELECT a.cohort_day, a.week_offset,
+           COUNT(*) AS n_active,
+           ROUND(COUNT(*) * 1.0 / c.cohort_size, 4) AS retention_r
+    FROM activity a JOIN cohorts c ON a.cohort_day = c.cohort_day
+    GROUP BY a.cohort_day, a.week_offset, c.cohort_size
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day (epoch-day
+    integer), activity bucketed into week offsets from their cohort
+    day, retention = active users / cohort size. The cohort assignment
+    is one groupBy(user), broadcast back onto the (distinct) activity
+    days; everything shuffles by user or by the report-sized cohort
+    key — never by raw event."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(ts_ns div 1000) div {_DAY_US}").alias("day"),
+    )
+    first_seen = e.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.expr("(day - cohort_day) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    cohorts = first_seen.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohorts), "cohort_day")
+        .select(
+            "cohort_day",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention_r"
+            ),
+        )
+    )
