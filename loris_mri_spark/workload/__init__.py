@@ -93,6 +93,11 @@ PRIORITY_ORDER: list[str] = [
     "t5d_dynamic_session_window",
     "funnel_conversion",
     "cohort_retention",
+    "w6_rank_variants",
+    "u4_intersect_except_all",
+    "sql_exists_correlated",
+    "sql_pivot_unpivot",
+    "c3b_calendar_functions",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

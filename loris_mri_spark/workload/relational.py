@@ -2020,3 +2020,206 @@ def t5d_dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "w6_rank_variants",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey < 200)
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def w6_rank_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family breadth: dense_rank / percent_rank / cume_dist / ntile
+    over one per-customer window — the full ranking-function surface
+    beyond W1-W3's row_number/top-1, on identical ANSI definitions both
+    engines implement (total order via the orderkey tie-break keeps
+    ntile deterministic)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "u4_intersect_except_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    x AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, COUNT(*) AS n,
+           COUNT(DISTINCT k) AS n_distinct FROM i
+    UNION ALL
+    SELECT 'except_all', COUNT(*), COUNT(DISTINCT k) FROM x
+    """,
+)
+def u4_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family breadth: INTERSECT ALL and EXCEPT ALL — the
+    multiplicity-preserving set operations (bag semantics: min/
+    difference of per-key counts), beyond U1-U3's union/distinct/map
+    difference. Catalyst plans both as aggregate+join under the hood;
+    the report is count + distinct-count per operation."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    i = a.intersectAll(b).agg(
+        F.count("*").alias("n"), F.countDistinct("k").alias("n_distinct")
+    ).select(F.lit("intersect_all").alias("op"), "n", "n_distinct")
+    x = a.exceptAll(b).agg(
+        F.count("*").alias("n"), F.countDistinct("k").alias("n_distinct")
+    ).select(F.lit("except_all").alias("op"), "n", "n_distinct")
+    return i.unionByName(x)
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           COUNT(CASE WHEN EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 300000)
+                 THEN 1 END) AS n_big_spenders,
+           COUNT(CASE WHEN NOT EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey)
+                 THEN 1 END) AS n_no_orders
+    FROM customer c GROUP BY c_mktsegment
+    """,
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface breadth: correlated EXISTS / NOT EXISTS subqueries in
+    a conditional aggregation — Catalyst decorrelates them into
+    semi/anti joins (visible in the plan), the declarative form of
+    J5/J6. Runs through spark.sql over the registered views, proving
+    the engine's SQL text surface handles correlation, not just the
+    DataFrame API."""
+    from loris_mri_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               COUNT(CASE WHEN EXISTS (
+                       SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+                     THEN 1 END) AS n_big_spenders,
+               COUNT(CASE WHEN NOT EXISTS (
+                       SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey)
+                     THEN 1 END) AS n_no_orders
+        FROM customer c GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "sql_pivot_unpivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface breadth: the native PIVOT clause (wide-format counts
+    of line status per return flag) — the declarative sibling of the
+    EAV pivot operator (J2), planned by Catalyst as a single aggregate
+    with pivot-column projection; the oracle states the equivalent
+    conditional aggregation."""
+    from loris_mri_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, n_f, n_o FROM (
+          SELECT l_returnflag, l_linestatus FROM lineitem
+        ) PIVOT (
+          COUNT(*) FOR l_linestatus IN ('F' AS n_f, 'O' AS n_o)
+        )
+        """
+    )
+
+
+@query(
+    "c3b_calendar_functions",
+    oracle="""
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders),
+    f AS (SELECT od,
+                 year(od) AS yr, quarter(od) AS q,
+                 dayofweek(od) AS dow0,
+                 CAST(date_trunc('month', od) AS VARCHAR) AS month_start,
+                 CAST(last_day(od) AS VARCHAR) AS month_end,
+                 CAST(CAST(od + INTERVAL 3 MONTH AS DATE) AS VARCHAR)
+                   AS plus3m,
+                 datediff('day', DATE '1990-01-01', od) AS days_since
+          FROM d)
+    SELECT yr, q, COUNT(*) AS n,
+           CAST(SUM(dow0) AS BIGINT) AS sum_dow0,
+           MIN(month_start) AS first_month_start,
+           MAX(month_end) AS last_month_end,
+           MAX(plus3m) AS max_plus3m,
+           CAST(MAX(days_since) AS BIGINT) AS max_days_since
+    FROM f GROUP BY yr, q
+    """,
+)
+def c3b_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 breadth: the calendar-function surface — quarter, day-of-week
+    (normalized to DuckDB's 0=Sunday), month truncation, month-end
+    (last_day's leap-year clamping), add_months' end-of-month clamp,
+    and day arithmetic from an epoch — aggregated per (year, quarter)
+    so every function's value participates in the hash check."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od")
+    )
+    f = o.select(
+        "od",
+        F.year("od").alias("yr"),
+        F.quarter("od").alias("q"),
+        (F.dayofweek("od") - 1).alias("dow0"),
+        F.date_trunc("month", "od").cast("date").cast("string").alias("month_start"),
+        F.last_day("od").cast("string").alias("month_end"),
+        F.add_months("od", 3).cast("string").alias("plus3m"),
+        F.datediff("od", F.lit("1990-01-01").cast("date")).alias(
+            "days_since"
+        ),
+    )
+    return f.groupBy("yr", "q").agg(
+        F.count("*").alias("n"),
+        F.sum("dow0").cast("long").alias("sum_dow0"),
+        F.min("month_start").alias("first_month_start"),
+        F.max("month_end").alias("last_month_end"),
+        F.max("plus3m").alias("max_plus3m"),
+        F.max("days_since").cast("long").alias("max_days_since"),
+    )
