@@ -98,6 +98,8 @@ PRIORITY_ORDER: list[str] = [
     "sql_exists_correlated",
     "sql_pivot_unpivot",
     "c3b_calendar_functions",
+    "profile_hll_union",
+    "c8b_mapinarrow_vector_stats",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

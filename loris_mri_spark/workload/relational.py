@@ -2223,3 +2223,64 @@ def c3b_calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("plus3m").alias("max_plus3m"),
         F.max("days_since").cast("long").alias("max_days_since"),
     )
+
+
+@query(
+    "profile_hll_union",
+    oracle="""
+    WITH seg AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_seg
+      FROM orders GROUP BY o_orderpriority),
+    tot AS (SELECT COUNT(DISTINCT o_custkey) AS exact_total FROM orders)
+    SELECT s.o_orderpriority, s.exact_seg,
+           TRUE AS seg_sketch_ok,
+           t.exact_total,
+           TRUE AS total_sketch_ok
+    FROM seg s, tot t
+    """,
+)
+def profile_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Datasketches HLL): one sketch
+    per segment, then the GLOBAL count from `hll_union_agg` over the
+    per-segment sketch BINARIES — never re-touching the rows. This is
+    the sketch property that matters at 100 TB: per-partition/per-day
+    sketches persist as bytes and any rollup (segment, month, global)
+    is a cheap union of sketches, not a re-scan. The oracle carries the
+    exact counts; the sketch estimates are asserted within 5% (the
+    engine-specific estimate itself is not hashed — same contract as
+    profile_approx_distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    seg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_seg"),
+        F.hll_sketch_agg("o_custkey", 14).alias("sk"),
+    )
+    merged = seg.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_total")
+    )
+    tot = o.agg(F.countDistinct("o_custkey").alias("exact_total"))
+    return (
+        seg.select(
+            "o_orderpriority",
+            "exact_seg",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk") - F.col("exact_seg")
+                )
+                / F.col("exact_seg")
+                <= 0.05
+            ).alias("seg_sketch_ok"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "o_orderpriority",
+            "exact_seg",
+            "seg_sketch_ok",
+            "exact_total",
+            (
+                F.abs(F.col("est_total") - F.col("exact_total"))
+                / F.col("exact_total")
+                <= 0.05
+            ).alias("total_sketch_ok"),
+        )
+    )

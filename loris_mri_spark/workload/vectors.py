@@ -521,3 +521,76 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_r"
         ),
     )
+
+
+@query(
+    "c8b_mapinarrow_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             AS n_pos,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+             AS l2_r,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) / len(embedding), 4)
+             AS mean_r
+    FROM embeddings
+    """,
+)
+def c8b_mapinarrow_vector_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The `mapInArrow` interop surface: per-vector stats computed on
+    raw Arrow RecordBatches — no pandas materialization at all, the
+    zero-copy lane for numeric kernels (the embedding column arrives as
+    an Arrow list<float> whose values buffer reshapes straight into a
+    (n, dim) numpy view). Completes the engine's Python-interop
+    inventory: pandas_udf, mapInPandas, applyInPandas(+state), UDTF,
+    Python Data Source, and now mapInArrow. Rounded to 4 decimals so
+    numpy's pairwise summation vs the oracle's sequential fold cannot
+    surface."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(batches):
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten()
+            offs = np.asarray(emb.offsets)
+            vals = np.asarray(flat, dtype=np.float64)
+            n = len(batch)
+            n_dims = (offs[1:] - offs[:-1]).astype(np.int64)
+            # vectors are fixed-width per batch in practice, but handle
+            # ragged rows with reduceat (general contract)
+            sums = np.add.reduceat(vals, offs[:-1]) if n else np.array([])
+            sqs = (
+                np.add.reduceat(vals * vals, offs[:-1])
+                if n
+                else np.array([])
+            )
+            pos = (
+                np.add.reduceat((vals > 0).astype(np.int64), offs[:-1])
+                if n
+                else np.array([])
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_dims, type=pa.int64()),
+                    pa.array(pos.astype(np.int64), type=pa.int64()),
+                    pa.array(np.round(np.sqrt(sqs), 4)),
+                    pa.array(np.round(sums / n_dims, 4)),
+                ],
+                names=["vec_id", "n_dims", "n_pos", "l2_r", "mean_r"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return e.mapInArrow(
+        stats,
+        "vec_id long, n_dims long, n_pos long, l2_r double, mean_r double",
+    )
