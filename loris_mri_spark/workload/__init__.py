@@ -100,6 +100,8 @@ PRIORITY_ORDER: list[str] = [
     "c3b_calendar_functions",
     "profile_hll_union",
     "c8b_mapinarrow_vector_stats",
+    "split_cluster_safe",
+    "j13_band_join_bucketed",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

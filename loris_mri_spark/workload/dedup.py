@@ -602,3 +602,61 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev") <= 3)
         .select("name_a", "name_b", "lev", "n_rows_a", "n_rows_b")
     )
+
+
+def _cluster_safe_split_oracle() -> str:
+    from loris_mri_spark.workload import ORACLES
+
+    md560 = SQL_MD5_60.format(col="CAST(rep AS VARCHAR)")
+    return f"""
+    WITH clusters AS ({ORACLES["dedup_minhash_clusters"]}),
+    reps AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+    hashed AS (SELECT doc_id, rep, {md560} % 1000000 AS ppm FROM reps)
+    SELECT doc_id, rep,
+           CASE WHEN ppm < 900000 THEN 'train'
+                WHEN ppm < 950000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """
+
+
+@query("split_cluster_safe", oracle=None)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split is assigned by
+    hashing each document's near-dup CLUSTER representative, not the
+    document — so two near-duplicate documents can never land on
+    opposite sides of a train/eval boundary (the contamination mode a
+    doc-level hash split silently allows; cf. the decontamination
+    screen `contamination_eval_overlap`, which this complements at
+    corpus-construction time). 90/5/5 via the oracle-portable md5_60
+    ppm gate on the representative — deterministic, rerunnable, no
+    coordination. Singleton docs are their own representative, so the
+    join adds nothing to the shuffle beyond the (small) clustered
+    subset."""
+    from loris_mri_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = _minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs, "i", "j").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    reps = d.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("rep"),
+    )
+    ppm = md5_60(F.col("rep").cast("string")) % 1_000_000
+    return reps.select(
+        "doc_id",
+        "rep",
+        F.when(ppm < 900_000, "train")
+        .when(ppm < 950_000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+from loris_mri_spark.workload import ORACLES as _OR2  # noqa: E402
+
+_OR2["split_cluster_safe"] = _cluster_safe_split_oracle()

@@ -2284,3 +2284,60 @@ def profile_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_sketch_ok"),
         )
     )
+
+
+@query(
+    "j13_band_join_bucketed",
+    oracle="""
+    WITH p AS (SELECT p_partkey AS k,
+                      CAST(ROUND(p_retailprice * 10) AS BIGINT) AS pd
+               FROM part)
+    SELECT COUNT(*) AS n_pairs,
+           CAST(SUM(ABS(a.pd - b.pd)) AS BIGINT) AS sum_absdiff_deci
+    FROM p a JOIN p b ON a.k < b.k AND ABS(a.pd - b.pd) <= 2
+    """,
+)
+def j13_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAND JOIN without the quadratic plan: |price_a - price_b| <= 0.2
+    over all part pairs. A naive inequality join is a cartesian product
+    (Catalyst can only nested-loop a pure inequality); the scale path
+    BUCKETS both sides by the band width — each left row probes its own
+    and both adjacent buckets (a 3-way explode), the join becomes an
+    EQUI-join on the bucket id, and the exact band predicate filters
+    the O(band-density) candidates. Prices live in exact integer
+    deci-units (round(p*10)) so bucket ids and the band predicate are
+    integer math on both engines; each qualifying pair matches in
+    exactly one probe bucket, so no distinct is needed. The oracle is
+    the plain inequality join — tractable at oracle scale, while the
+    Spark plan stays shuffle-bounded at any scale."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.round(F.col("p_retailprice") * 10).cast("long").alias("pd"),
+    )
+    band = 2  # deci-units == 0.2 currency units
+    a = p.select(
+        F.col("k").alias("ka"),
+        F.col("pd").alias("pda"),
+        F.explode(
+            F.array(
+                (F.col("pd") / band).cast("long") - 1,
+                (F.col("pd") / band).cast("long"),
+                (F.col("pd") / band).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = p.select(
+        F.col("k").alias("kb"),
+        F.col("pd").alias("pdb"),
+        (F.col("pd") / band).cast("long").alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("ka") < F.col("kb"))
+        & (F.abs(F.col("pda") - F.col("pdb")) <= band)
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.abs(F.col("pda") - F.col("pdb")))
+        .cast("long")
+        .alias("sum_absdiff_deci"),
+    )
