@@ -170,6 +170,7 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     codecs, protobuf framing) and mapInPandas/applyInPandas stages."""
     allowed_arrow = {
         "c5_blake2b_hash",
+        "x3b_udtf_tar_members",  # Arrow-optimized Python UDTF (X3 surface)
         "x4_hed_parse",
         "x4b_hed_ancestors",
         "mm_decode_png_roundtrip",
