@@ -102,6 +102,8 @@ PRIORITY_ORDER: list[str] = [
     "c8b_mapinarrow_vector_stats",
     "split_cluster_safe",
     "j13_band_join_bucketed",
+    "s9b_schema_evolution",
+    "s9c_compaction_plan",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

@@ -344,3 +344,122 @@ def s12b_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta"),
         )
     )
+
+
+@query(
+    "s9b_schema_evolution",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR)
+                         AS o_orderpriority
+                FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (SELECT o_orderkey, o_custkey, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1),
+    unified AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           COUNT(*) AS n,
+           COUNT(o_orderpriority) AS n_with_priority
+    FROM unified GROUP BY 1
+    """,
+)
+def s9b_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on the table store: generation 1 of a dataset is
+    written WITHOUT a column, generation 2 adds it; a single
+    `mergeSchema` read unifies both generations, null-filling the
+    pre-evolution rows — the drift every long-lived 100 TB table
+    accumulates (the reference's ALTER-TABLE migrations,
+    `SQL/Archive_Tables.sql` history, handled here at the file layer
+    with zero rewrites of old data). The oracle replays the two
+    generations relationally."""
+    from loris_mri_spark.streaming.incremental import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    store = scratch_dir("s9b-store")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey"
+    ).write.mode("overwrite").parquet(f"{store}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{store}/gen=2")
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        f"{store}/gen=1", f"{store}/gen=2"
+    )
+    return unified.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+    )
+
+
+_COMPACT_D = 86_400_000_000 * 8  # 8-day "era" per staged file
+
+
+@query(
+    "s9c_compaction_plan",
+    oracle=f"""
+    WITH e AS (SELECT (epoch_us(ts) - (SELECT MIN(epoch_us(ts))
+                                       FROM events)) // {_COMPACT_D}
+                 AS era
+               FROM events),
+    files AS (SELECT era, COUNT(*) AS n_rows FROM e GROUP BY era),
+    planned AS (
+      SELECT era, n_rows,
+             (SUM(n_rows) OVER (ORDER BY era
+                                ROWS UNBOUNDED PRECEDING) - n_rows)
+               // 4000 AS bin
+      FROM files)
+    SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(MIN(era) AS BIGINT) AS first_era,
+           CAST(MAX(era) AS BIGINT) AS last_era
+    FROM planned GROUP BY bin
+    """,
+)
+def s9c_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION planning — the table-maintenance pass a
+    100 TB store runs nightly: list the data files (here a staged
+    4-file landing, one file per 8-day era), derive rows per file from
+    the real file listing (`input_file_name` over the scan — no
+    catalog trust), then assign files to target-size output bins by
+    FIRST-FIT over the running row total (bin = floor(cum_before /
+    target)) — deterministic, order-preserving (a bin holds adjacent
+    eras, so compaction preserves time locality), and computable as one
+    window over the file-metadata table, which is what makes it
+    planner-cheap at millions of files. The oracle replays the era
+    split and the packing relationally."""
+    from pyspark.sql.window import Window
+
+    from loris_mri_spark.streaming.incremental import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    lo = ev.agg(F.min("ts_us")).first()[0]
+    store = scratch_dir("s9c-store")
+    eras = ev.select(
+        ((F.col("ts_us") - lo) / _COMPACT_D).cast("long").alias("era")
+    )
+    n_eras = eras.agg(F.max("era")).first()[0] + 1
+    for q in range(n_eras):
+        eras.filter(F.col("era") == q).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{store}/era-{q:03d}")
+    files = (
+        spark.read.parquet(*[f"{store}/era-{q:03d}" for q in range(n_eras)])
+        .select(F.input_file_name().alias("path"), "era")
+        .groupBy("path")
+        .agg(F.count("*").alias("n_rows"), F.min("era").alias("era"))
+    )
+    w = Window.orderBy("era").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "bin",
+        ((F.sum("n_rows").over(w) - F.col("n_rows")) / 4000).cast("long"),
+    )
+    return planned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("era").cast("long").alias("first_era"),
+        F.max("era").cast("long").alias("last_era"),
+    )
