@@ -104,6 +104,7 @@ PRIORITY_ORDER: list[str] = [
     "j13_band_join_bucketed",
     "s9b_schema_evolution",
     "s9c_compaction_plan",
+    "s12d_version_diff",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

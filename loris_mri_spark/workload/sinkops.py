@@ -463,3 +463,73 @@ def s9c_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("era").cast("long").alias("first_era"),
         F.max("era").cast("long").alias("last_era"),
     )
+
+
+@query(
+    "s12d_version_diff",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    v2 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'P' THEN 'F'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM orders WHERE o_orderkey % 97 <> 0),
+    d AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+                 a.o_orderstatus AS s1, b.o_orderstatus AS s2,
+                 CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                      WHEN a.o_orderkey IS NULL THEN 'inserted'
+                      WHEN a.o_orderstatus <> b.o_orderstatus
+                        THEN 'updated'
+                      ELSE 'unchanged' END AS change
+          FROM v1 a FULL OUTER JOIN v2 b
+            ON a.o_orderkey = b.o_orderkey)
+    SELECT change, COUNT(*) AS n,
+           COUNT(DISTINCT s1) AS n_old_states,
+           COUNT(DISTINCT s2) AS n_new_states
+    FROM d GROUP BY change
+    """,
+)
+def s12d_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF — change-data-capture derived from two pinned
+    versions of the S12b time-travel store, no change log required:
+    version 1 is the orders image, version 2 completes every pending
+    order and deletes each 97th row; the diff (one keyed full-outer
+    join of two pinned reads) classifies every key as
+    inserted/deleted/updated/unchanged. This is how a lakehouse
+    backfills downstream consumers that missed the change stream: any
+    two retained versions reproduce the delta exactly."""
+    from loris_mri_spark.catalog import (
+        load_versioned,
+        write_versioned,
+    )
+    from loris_mri_spark.streaming.incremental import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    store = scratch_dir("s12d-store")
+    v1 = write_versioned(o, store)
+    changed = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    v2 = write_versioned(changed, store)
+    a = load_versioned(spark, store, v1).alias("a")
+    b = load_versioned(spark, store, v2).alias("b")
+    d = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    ).select(
+        F.col("a.o_orderstatus").alias("s1"),
+        F.col("b.o_orderstatus").alias("s2"),
+        F.when(F.col("b.o_orderkey").isNull(), "deleted")
+        .when(F.col("a.o_orderkey").isNull(), "inserted")
+        .when(F.col("a.o_orderstatus") != F.col("b.o_orderstatus"), "updated")
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return d.groupBy("change").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("s1").alias("n_old_states"),
+        F.countDistinct("s2").alias("n_new_states"),
+    )
