@@ -236,3 +236,77 @@ def graph_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ranks = power_iteration_rank(fwd.union(rev), n_iter=3)
     return ranks.select("node", "rank")
+
+
+@query(
+    "pipeline_gdpr_erasure",
+    oracle="""
+    WITH erase AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id % 37 = 0),
+    ev AS (SELECT COUNT(*) AS n_before,
+                  COUNT(CASE WHEN user_id % 37 = 0 THEN 1 END)
+                    AS n_erased
+           FROM events),
+    prof AS (SELECT COUNT(DISTINCT user_id) AS n_before,
+                    COUNT(DISTINCT CASE WHEN user_id % 37 = 0
+                                        THEN user_id END) AS n_erased
+             FROM events)
+    SELECT 'events' AS store, n_before,
+           CAST(n_erased AS BIGINT) AS n_erased,
+           CAST(n_before - n_erased AS BIGINT) AS n_after
+    FROM ev
+    UNION ALL
+    SELECT 'user_profiles', n_before,
+           CAST(n_erased AS BIGINT),
+           CAST(n_before - n_erased AS BIGINT)
+    FROM prof
+    """,
+)
+def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE pipeline: given a deletion roster (every 37th
+    user), PHYSICALLY rewrite each affected store without the erased
+    subjects — the event log by anti-join, the derived per-user profile
+    store likewise — as new immutable versions (write_versioned), and
+    report per store (rows before / erased / after) FROM THE REWRITTEN
+    DATA, not from the plan (the report a DPO signs must come from what
+    is actually on disk). The reference's closest flow is the
+    delete-upload cascade (`delete_imaging_upload.py`); this is the
+    cross-store subject-level form at warehouse scale: anti-joins
+    broadcast the roster, version flips are atomic, old versions remain
+    for the legally-mandated audit trail until retention expiry."""
+    from loris_mri_spark.catalog import (
+        load_table,
+        load_versioned,
+        write_versioned,
+    )
+    from loris_mri_spark.streaming.incremental import scratch_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    profiles = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    roster = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 37 == 0)
+    )
+
+    out_rows = []
+    for store_name, df, key in (
+        ("events", ev, "user_id"),
+        ("user_profiles", profiles, "user_id"),
+    ):
+        store = scratch_dir(f"gdpr-{store_name}")
+        v1 = write_versioned(df, store)
+        kept = df.join(F.broadcast(roster), key, "left_anti")
+        v2 = write_versioned(kept, store)
+        n_before = load_versioned(spark, store, v1).count()
+        n_after = load_versioned(spark, store, v2).count()
+        out_rows.append(
+            (store_name, n_before, n_before - n_after, n_after)
+        )
+    return spark.createDataFrame(
+        out_rows, "store string, n_before long, n_erased long, n_after long"
+    )
