@@ -24,6 +24,10 @@ _SENSITIVE = [
     "a8_salted_skew_rollup",
     "er_fuzzy_name_pairs",
     "j12_salted_skew_join",
+    "dedup_substring_hotspans",
+    "j13_band_join_bucketed",
+    "t5d_dynamic_session_window",
+    "split_cluster_safe",
 ]
 
 
