@@ -38,6 +38,7 @@ import os
 from typing import Any, Iterator, Sequence
 
 from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
     DataSource,
     DataSourceReader,
     EqualTo,
@@ -333,8 +334,71 @@ class _ChunksWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class _ChunksStreamWriter(DataSourceStreamWriter):
+    """STREAMING form of the chunk sink: each micro-batch's task files
+    stage under a task-unique name (carried in the commit message), and
+    ``commit(messages, batchId)`` lands them in a ``bid=<batchId>``
+    directory with a per-batch manifest — so an at-least-once retry of
+    a batch REPLACES that batch's directory instead of appending next
+    to it (the T4 idempotence rule enforced inside the connector, where
+    it belongs). ``abort`` deletes only this writer's staged files."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("loris_chunks: option('path', <dir>) required")
+        # FIXED staging dir (not uuid-fresh): the streaming runtime
+        # re-instantiates the writer in a separate commit process, so a
+        # per-instance random dir would differ between the write side
+        # and the commit side. Task files are made unique by attempt
+        # uuid in the FILENAME; commit messages carry the exact names.
+        self.staging = os.path.join(self.path, "_stream-staging")
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"task-{part:05d}-{uuid.uuid4().hex[:8]}.pb"
+        n, total = 0, 0
+        with open(os.path.join(self.staging, fname), "wb") as fh:
+            for row in iterator:
+                msg = _encode_chunk_row(row)
+                fh.write(_pb_varint_local(len(msg)))
+                fh.write(msg)
+                n += 1
+                total += len(msg)
+        return _ChunkCommit(filename=fname, n_records=n, n_bytes=total)
+
+    def commit(self, messages, batchId: int) -> None:
+        bdir = os.path.join(self.path, f"bid={batchId}")
+        if os.path.isdir(bdir):  # retried batch: replace, never append
+            shutil.rmtree(bdir)
+        os.makedirs(bdir)
+        manifest = []
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dst = f"part-{i:05d}.pb"
+            os.replace(
+                os.path.join(self.staging, m.filename),
+                os.path.join(bdir, dst),
+            )
+            manifest.append(
+                {"file": dst, "n_records": m.n_records, "n_bytes": m.n_bytes}
+            )
+        with open(os.path.join(bdir, "_MANIFEST"), "w") as fh:
+            json.dump({"batch": batchId, "files": manifest}, fh, sort_keys=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
 class ChunksDataSource(DataSource):
-    """`loris_chunks`: the FloatChunk protobuf sink as a write format."""
+    """`loris_chunks`: the FloatChunk protobuf sink as a write format —
+    batch (two-phase staging commit + _SUCCESS manifest) AND streaming
+    (batch-id-keyed directories, retry-idempotent)."""
 
     @classmethod
     def name(cls) -> str:
@@ -345,6 +409,9 @@ class ChunksDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return _ChunksWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _ChunksStreamWriter(dict(self.options))
 
 
 def decode_chunk_stream(data: bytes) -> list[dict]:

@@ -528,3 +528,83 @@ def t12_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY the delta rows)."""
     final, _ = _t12_run(spark, sf_dir)
     return final
+
+
+@query(
+    "t13_stream_custom_sink",
+    oracle="""
+    SELECT COUNT(*) AS n_chunks,
+           CAST(SUM(event_id) AS BIGINT) AS sum_index,
+           COUNT(*) AS n_floats,
+           CAST(4 AS BIGINT) AS n_batches
+    FROM events
+    """,
+)
+def t13_stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: STREAMING WRITE through the registered Python Data Source —
+    the last quadrant of the custom-connector matrix (loris_headers
+    batch+stream read, loris_chunks batch write all exist). Events
+    stream from a 4-file landing (4 real micro-batches) into
+    `writeStream.format("loris_chunks")`; the connector's
+    DataSourceStreamWriter lands each batch in a bid=<id> directory
+    with a manifest, retry-replaced, never appended (idempotence
+    enforced INSIDE the sink). Verification decodes every landed
+    protobuf chunk back with the independent pure-python reader and
+    must reproduce the batch totals."""
+    import glob as _glob
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.sources.pyds import (
+        decode_chunk_stream,
+        register_chunks,
+    )
+    from loris_mri_spark.streaming.incremental import (
+        _checkpoint,
+        _scoped_stream_partitions,
+        scratch_dir,
+    )
+
+    register_chunks(spark)
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("float").alias("v")
+    )
+    landing = scratch_dir("t13-landing")
+    base.repartition(4).write.mode("overwrite").parquet(landing)
+    sink = scratch_dir("t13-sink")
+
+    sdf = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .select(
+            F.col("event_id").alias("index"),
+            F.lit(1).cast("long").alias("downsampling"),
+            F.lit(0).cast("long").alias("cutoff"),
+            F.array("v").alias("samples"),
+        )
+    )
+    with _scoped_stream_partitions(spark):
+        q = (
+            sdf.writeStream.format("loris_chunks")
+            .option("path", sink)
+            .option("checkpointLocation", _checkpoint("t13"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    bids = sorted(
+        d for d in os.listdir(sink) if d.startswith("bid=")
+    )
+    n_chunks = sum_index = n_floats = 0
+    for bd in bids:
+        for pb in _glob.glob(os.path.join(sink, bd, "*.pb")):
+            with open(pb, "rb") as fh:
+                for rec in decode_chunk_stream(fh.read()):
+                    n_chunks += 1
+                    sum_index += rec["index"]
+                    n_floats += len(rec["samples"])
+    return spark.createDataFrame(
+        [(n_chunks, sum_index, n_floats, len(bids))],
+        "n_chunks long, sum_index long, n_floats long, n_batches long",
+    )
