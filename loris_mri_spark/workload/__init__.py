@@ -107,6 +107,7 @@ PRIORITY_ORDER: list[str] = [
     "s12d_version_diff",
     "pipeline_gdpr_erasure",
     "t13_stream_custom_sink",
+    "t14_stream_static_join",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

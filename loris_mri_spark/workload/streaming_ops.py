@@ -608,3 +608,41 @@ def t13_stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_chunks, sum_index, n_floats, len(bids))],
         "n_chunks long, sum_index long, n_floats long, n_batches long",
     )
+
+
+@query(
+    "t14_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def t14_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: STREAM-STATIC join — the enrichment shape running in every
+    production stream (events x a slowly-changing dimension): the
+    static side is a plain batch table joined into each micro-batch
+    (Catalyst broadcasts it per batch; no state store involved, unlike
+    the stream-stream T7), followed by a streaming aggregation. Drained
+    with availableNow it must equal the batch join."""
+    from loris_mri_spark.catalog import load_table
+
+    sdf = stream_events(spark, sf_dir, tag="t14-incoming")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = sdf.join(F.broadcast(dim), "user_id")
+    # exact distinct per group inside a streaming agg: count_distinct is
+    # unsupported in streaming aggregations, so aggregate (segment, user)
+    # pairs in the stream (exactly-once via the agg state) and finish the
+    # distinct count on the drained result.
+    pairs = (
+        joined.groupBy("c_mktsegment", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    drained = run_to_memory(pairs, "complete", "t14")
+    return drained.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n_events"),
+        F.count("*").alias("n_users"),
+    )
