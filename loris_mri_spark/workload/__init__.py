@@ -108,6 +108,7 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_gdpr_erasure",
     "t13_stream_custom_sink",
     "t14_stream_static_join",
+    "a10_statistical_aggregates",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

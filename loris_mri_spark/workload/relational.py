@@ -2341,3 +2341,67 @@ def j13_band_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_absdiff_deci"),
     )
+
+
+@query(
+    "a10_statistical_aggregates",
+    oracle="""
+    WITH m AS (SELECT l_returnflag, AVG(l_quantity) AS mu,
+                      COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag),
+    c AS (SELECT l.l_returnflag,
+                 AVG(POW(l.l_quantity - m.mu, 2)) AS m2,
+                 AVG(POW(l.l_quantity - m.mu, 3)) AS m3,
+                 AVG(POW(l.l_quantity - m.mu, 4)) AS m4
+          FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+          GROUP BY l.l_returnflag),
+    s AS (SELECT l_returnflag,
+                 regr_slope(l_extendedprice, l_quantity) AS slope,
+                 regr_intercept(l_extendedprice, l_quantity) AS icept,
+                 regr_r2(l_extendedprice, l_quantity) AS r2,
+                 corr(l_extendedprice, l_quantity) AS rho,
+                 covar_samp(l_extendedprice, l_quantity) AS cov,
+                 stddev_samp(l_quantity) AS sd,
+                 median(l_quantity) AS med
+          FROM lineitem GROUP BY l_returnflag)
+    SELECT s.l_returnflag,
+           ROUND(slope, 6) AS slope_r, ROUND(icept, 4) AS icept_r,
+           ROUND(r2, 6) AS r2_r, ROUND(rho, 6) AS corr_r,
+           ROUND(cov, 4) AS covar_r, ROUND(sd, 6) AS stddev_r,
+           ROUND(c.m3 / POW(c.m2, 1.5), 6) AS skew_pop_r,
+           ROUND(c.m4 / POW(c.m2, 2) - 3, 6) AS kurt_pop_r,
+           ROUND(med, 4) AS median_r
+    FROM s JOIN c ON s.l_returnflag = c.l_returnflag
+    """,
+)
+def a10_statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family breadth: the statistical aggregate surface — OLS
+    regression (slope/intercept/r2: the 'many models' per-group fit as
+    pure aggregation, no ML library), correlation, sample covariance
+    and stddev, population skewness/kurtosis, and median, per return
+    flag. Spark's skewness/kurtosis are POPULATION moments while
+    DuckDB's are sample-corrected, so the oracle derives the population
+    values from CENTERED moments (computed against the group mean — raw
+    power sums would cancel catastrophically at price magnitudes)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope_r"
+        ),
+        F.round(
+            F.regr_intercept("l_extendedprice", "l_quantity"), 4
+        ).alias("icept_r"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+            "r2_r"
+        ),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias(
+            "corr_r"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "covar_r"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("stddev_r"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_pop_r"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_pop_r"),
+        F.round(F.median("l_quantity"), 4).alias("median_r"),
+    )
