@@ -109,6 +109,9 @@ PRIORITY_ORDER: list[str] = [
     "t13_stream_custom_sink",
     "t14_stream_static_join",
     "a10_statistical_aggregates",
+    "graph_triangle_count",
+    "profile_countmin_topk",
+    "text_posting_lists",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
     #    exactly these five, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",

@@ -310,3 +310,84 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "store string, n_before long, n_erased long, n_after long"
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey),
+    nodes AS (SELECT DISTINCT n FROM (SELECT u AS n FROM e
+                                      UNION ALL SELECT v FROM e))
+    SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*) FROM e e1
+              JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIANGLE COUNTING on the co-purchase graph (parts sharing an
+    order) — the canonical bounded multi-way self-join. Scale design:
+    edges are ORIENTED BY DEGREE RANK (lower-degree endpoint first,
+    ties by id) before the wedge join, the standard trick that caps
+    per-vertex wedge fan-out at O(sqrt(m)) arboricity instead of
+    O(max_degree^2) — a hub with degree 10^5 contributes wedges only
+    from its (few) lower-ranked neighbors. Each triangle is counted
+    exactly once at its lowest-ranked vertex; the oracle's id-oriented
+    formulation also counts each exactly once, so the totals match by
+    construction."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    # rank = (degree, id): a total order; orient every edge low -> high
+    ranked = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("x"), F.col("v").alias("y")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("x"), F.col("u").alias("y"))
+            )
+            .alias("s")
+        )
+        .select("s.x", "s.y")
+    )
+    ranked = ranked.localCheckpoint(eager=False)  # three consumers below
+    w1 = ranked.select(F.col("x"), F.col("y").alias("y1"))
+    w2 = ranked.select(F.col("x"), F.col("y").alias("y2"))
+    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
+    # closing edge between y1,y2 exists in SOME orientation
+    closing = ranked.select(
+        F.least("x", "y").alias("y1"), F.greatest("x", "y").alias("y2")
+    )
+    tri = wedges.join(closing, ["y1", "y2"], "left_semi")
+    # left_semi would collapse duplicate wedges; wedge pairs are unique
+    # by construction ((x,y1,y2) distinct), so a plain count is exact.
+    n_tri = tri.count()
+    n_edges = e.count()
+    n_nodes = deg.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)],
+        "n_nodes long, n_edges long, n_triangles long",
+    )

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from loris_mri_spark.catalog import load_table
-from loris_mri_spark.functions.texthash import SQL_NORM, norm_text, tokens
+from loris_mri_spark.functions.texthash import (
+    SQL_MD5_60,
+    SQL_NORM,
+    norm_text,
+    tokens,
+)
 from loris_mri_spark.workload import query
 
 _NORM = SQL_NORM.format(col="text")
@@ -706,4 +711,122 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.select(
         "doc_id", "n_tok", F.round("alp", 4).alias("avg_logprob")
+    )
+
+
+_CMS_W = 256  # buckets per hash row
+_CMS_SEEDS = ("s0|", "s1|", "s2|")
+
+
+def _cms_bucket_sql(seed: str) -> str:
+    h = SQL_MD5_60.format(col=f"'{seed}' || tok")
+    return f"({h} % {_CMS_W})"
+
+
+_CMS_SQL = f"""
+    WITH toks AS (SELECT unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    rows0 AS (SELECT 0 AS seed, {_cms_bucket_sql("s0|")} AS bucket, n FROM vocab
+              UNION ALL
+              SELECT 1, {_cms_bucket_sql("s1|")}, n FROM vocab
+              UNION ALL
+              SELECT 2, {_cms_bucket_sql("s2|")}, n FROM vocab),
+    sketch AS (SELECT seed, bucket, SUM(n) AS bn FROM rows0
+               GROUP BY seed, bucket),
+    top10 AS (SELECT tok, n FROM vocab
+              ORDER BY n DESC, tok ASC LIMIT 10),
+    est AS (
+      SELECT t.tok, t.n,
+             MIN(s.bn) AS est_n
+      FROM top10 t
+      JOIN sketch s
+        ON (s.seed = 0 AND s.bucket = {_cms_bucket_sql("s0|").replace("tok", "t.tok")})
+        OR (s.seed = 1 AND s.bucket = {_cms_bucket_sql("s1|").replace("tok", "t.tok")})
+        OR (s.seed = 2 AND s.bucket = {_cms_bucket_sql("s2|").replace("tok", "t.tok")})
+      GROUP BY t.tok, t.n)
+    SELECT tok, CAST(n AS BIGINT) AS exact_n, CAST(est_n AS BIGINT) AS est_n,
+           est_n >= n AS never_undercounts
+    FROM est
+"""
+
+
+@query("profile_countmin_topk", oracle=_CMS_SQL)
+def profile_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters, fully relational: a 3x256
+    sketch built as one hash-aggregation over the vocabulary (CMS is
+    linear, so summing per-token counts into buckets equals streaming
+    row-level updates), estimates = min over the three rows — and
+    because the hashes are the oracle-portable md5_60, the ESTIMATES
+    themselves are deterministic and hash-checked, not just bounded
+    (`never_undercounts` pins the one-sided CMS guarantee). The sketch
+    is mergeable (bucket sums add), making it the fixed-memory
+    frequency profile for 100 TB streams where exact vocabulary counts
+    cannot fit."""
+    from loris_mri_spark.functions.texthash import md5_60
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+
+    def bucket(seed: str) -> F.Column:
+        return md5_60(F.concat(F.lit(seed), F.col("tok"))) % _CMS_W
+
+    rows0 = None
+    for i, seed in enumerate(_CMS_SEEDS):
+        part = vocab.select(
+            F.lit(i).alias("seed"), bucket(seed).alias("bucket"), "n"
+        )
+        rows0 = part if rows0 is None else rows0.unionAll(part)
+    sketch = rows0.groupBy("seed", "bucket").agg(F.sum("n").alias("bn"))
+
+    top10 = vocab.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(10)
+    probes = None
+    for i, seed in enumerate(_CMS_SEEDS):
+        part = top10.select(
+            "tok", "n", F.lit(i).alias("seed"), bucket(seed).alias("bucket")
+        )
+        probes = part if probes is None else probes.unionAll(part)
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("bn").alias("est_n"))
+    )
+    return est.select(
+        "tok",
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") >= F.col("n")).alias("never_undercounts"),
+    )
+
+
+_POSTING_SQL = f"""
+    WITH toks AS (SELECT DISTINCT doc_id,
+                         unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents)
+    SELECT tok, COUNT(*) AS doc_freq,
+           md5(array_to_string(list(doc_id ORDER BY doc_id), ','))
+             AS postings_md5
+    FROM toks GROUP BY tok
+"""
+
+
+@query("text_posting_lists", oracle=_POSTING_SQL)
+def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERTED INDEX construction — the search-index build: per term,
+    the sorted posting list of containing documents, emitted as its md5
+    so the full posting CONTENT is hash-pinned while the result row
+    stays fixed-width however hot the term (at 100 TB a hot posting is
+    delta-encoded and sharded, never carried as one row — the hash
+    keeps the verification without violating that). One distinct pass,
+    one aggregation; postings sort inside the array, not globally."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).distinct()
+    return toks.groupBy("tok").agg(
+        F.count("*").alias("doc_freq"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("postings_md5"),
     )
