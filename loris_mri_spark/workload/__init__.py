@@ -109,6 +109,7 @@ PRIORITY_ORDER: list[str] = [
     "t13_stream_custom_sink",
     "t14_stream_static_join",
     "a10_statistical_aggregates",
+    "pipeline_pretraining_data",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

@@ -391,3 +391,71 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_nodes, n_edges, n_tri)],
         "n_nodes long, n_edges long, n_triangles long",
     )
+
+
+def _pretraining_oracle() -> str:
+    from loris_mri_spark.workload import ORACLES
+    from loris_mri_spark.workload import dedup as _dedup  # noqa: F401
+    from loris_mri_spark.workload import text as _text  # noqa: F401
+
+    return f"""
+    WITH sel AS ({ORACLES["pipeline_corpus_select"]}),
+    lm AS ({ORACLES["text_lm_quality"]}),
+    spans AS ({ORACLES["dedup_substring_spans"]}),
+    split AS ({ORACLES["split_cluster_safe"]}),
+    kept AS (
+      SELECT s.doc_id, s.n_tokens
+      FROM sel s
+      JOIN lm ON lm.doc_id = s.doc_id
+      LEFT JOIN spans sp ON sp.doc_id = s.doc_id
+      WHERE lm.avg_logprob >= -3.45
+        AND COALESCE(sp.dup_frac, 0) <= 0.8)
+    SELECT sp.split, COUNT(*) AS n_docs,
+           CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+    FROM kept k JOIN split sp ON sp.doc_id = k.doc_id
+    GROUP BY sp.split
+    """
+
+
+@query("pipeline_pretraining_data", oracle=_pretraining_oracle())
+def pipeline_pretraining_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-data capstone: corpus selection
+    (language ∘ stopword-quality ∘ near-dup removal) ∘ LM-quality gate
+    (corpus-unigram mean logprob, the CCNet stage) ∘ boilerplate gate
+    (drop documents whose duplicated-span fraction exceeds 0.8 — the
+    substring-level complement to whole-doc dedup) ∘ LEAKAGE-SAFE
+    train/val/test split (assigned on near-dup cluster
+    representatives), reported as per-split document and token budgets
+    — the sheet a pretraining run is provisioned from. Every stage is
+    an already-driver-verified component composed by joins into one
+    Catalyst plan; the oracle is composed verbatim from the same
+    components' oracles, so pipeline and verification can never
+    drift."""
+    from loris_mri_spark.workload import QUERIES
+
+    sel = QUERIES["pipeline_corpus_select"](spark, sf_dir).select(
+        "doc_id", "n_tokens"
+    )
+    lm = QUERIES["text_lm_quality"](spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    )
+    spans = QUERIES["dedup_substring_spans"](spark, sf_dir).select(
+        "doc_id", "dup_frac"
+    )
+    split = QUERIES["split_cluster_safe"](spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    kept = (
+        sel.join(lm, "doc_id")
+        .filter(F.col("avg_logprob") >= -3.45)
+        .join(spans, "doc_id", "left")
+        .filter(F.coalesce("dup_frac", F.lit(0.0)) <= 0.8)
+    )
+    return (
+        kept.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
