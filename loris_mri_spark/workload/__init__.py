@@ -110,6 +110,7 @@ PRIORITY_ORDER: list[str] = [
     "t14_stream_static_join",
     "a10_statistical_aggregates",
     "pipeline_pretraining_data",
+    "funnel_sessionized",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

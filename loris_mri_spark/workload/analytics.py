@@ -155,3 +155,105 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "funnel_sessionized",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+               FROM events),
+    flagged AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    t1 AS (SELECT user_id, sid, MIN(ts_us) AS t1 FROM sess
+           WHERE event_type = 'view' GROUP BY user_id, sid),
+    t2 AS (SELECT s.user_id, s.sid, MIN(s.ts_us) AS t2
+           FROM sess s JOIN t1 ON t1.user_id = s.user_id AND t1.sid = s.sid
+           WHERE s.event_type = 'click' AND s.ts_us > t1.t1
+           GROUP BY s.user_id, s.sid),
+    t3 AS (SELECT s.user_id, s.sid, MIN(s.ts_us) AS t3
+           FROM sess s JOIN t2 ON t2.user_id = s.user_id AND t2.sid = s.sid
+           WHERE s.event_type = 'purchase' AND s.ts_us > t2.t2
+           GROUP BY s.user_id, s.sid),
+    n AS (SELECT COUNT(DISTINCT (user_id, sid)) AS n_sessions FROM sess)
+    SELECT n_sessions,
+           (SELECT COUNT(*) FROM t1) AS n_reached_view,
+           (SELECT COUNT(*) FROM t2) AS n_reached_click,
+           (SELECT COUNT(*) FROM t3) AS n_converted,
+           ROUND((SELECT COUNT(*) FROM t3) * 1.0
+                 / (SELECT COUNT(*) FROM t1), 4) AS session_conversion_r
+    FROM n
+    """,
+)
+def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAME-SESSION funnel: view -> click -> purchase completed WITHIN
+    one 30-minute-gap session — the product metric that distinguishes
+    'converted eventually' (funnel_conversion) from 'converted in the
+    visit'. Sessionization (gaps-and-islands per user) and the ordered
+    conditional-min cascade both run in windows partitioned by
+    (user, session); no join ever carries more than the per-key stream.
+    """
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_us").over(w_ord).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w_ord) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("new_s").over(w_run))
+
+    w_s = Window.partitionBy("user_id", "sid")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w_s)
+    s1 = sess.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+            F.col("ts_us"),
+        )
+    ).over(w_s)
+    s2 = s1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2")),
+            F.col("ts_us"),
+        )
+    ).over(w_s)
+    per_session = (
+        s2.withColumn("t3", t3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t1").alias("n_reached_view"),
+        F.count("t2").alias("n_reached_click"),
+        F.count("t3").alias("n_converted"),
+        F.round(F.count("t3") / F.count("t1"), 4).alias(
+            "session_conversion_r"
+        ),
+    )
