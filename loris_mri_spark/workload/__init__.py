@@ -111,6 +111,7 @@ PRIORITY_ORDER: list[str] = [
     "a10_statistical_aggregates",
     "pipeline_pretraining_data",
     "funnel_sessionized",
+    "w7_forward_fill",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

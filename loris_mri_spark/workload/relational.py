@@ -2405,3 +2405,51 @@ def a10_statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kurtosis("l_quantity"), 6).alias("kurt_pop_r"),
         F.round(F.median("l_quantity"), 4).alias("median_r"),
     )
+
+
+@query(
+    "w7_forward_fill",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                      CASE WHEN event_type = 'purchase'
+                           THEN ROUND(CAST(value AS DECIMAL(14,4)), 4)
+                      END AS sparse_v
+               FROM events)
+    SELECT user_id, event_id,
+           CAST(last_value(sparse_v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_v
+    FROM e
+    """,
+)
+def w7_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD FILL (last-observation-carried-forward): a measurement
+    that exists only on purchase events is propagated to every later
+    event of the same user — the gap-filling every sparse sensor /
+    price series needs, as one `last(..., ignorenulls)` running window
+    per key (no self-join, no explode of the timeline). Rows before a
+    user's first observation stay NULL — fills never cross the
+    partition boundary."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value").cast("decimal(14,4)"), 4),
+        ).alias("sparse_v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.last("sparse_v", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("filled_v"),
+    )
