@@ -93,6 +93,25 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(spark, ("minhash_pairs", sf_dir), build)
 
 
+def _minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) from the MinHash-LSH pair graph — one
+    connected-components run feeds the cluster listing, the keep-best
+    collapse, the leakage-safe split, and the corpus-select capstone
+    (shared under spark.loris.sharedCache like the pair pass itself)."""
+
+    def build() -> DataFrame:
+        from loris_mri_spark.operators.components import (
+            connected_components,
+        )
+
+        pairs = _minhash_pairs(spark, sf_dir)
+        return connected_components(pairs, "i", "j").select(
+            F.col("node").alias("doc_id"), "component"
+        )
+
+    return _shared(spark, ("minhash_components", sf_dir), build)
+
+
 def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp) winnow-fingerprint arrays — consumed by the pair
     query, the coverage guard, and text_fingerprint_winnow.
@@ -246,11 +265,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (operators/components.py) — the step that turns a pair
     list into keep/remove sets (keep = min doc_id per component). Oracle:
     recursive-CTE reachability over the brute-force pair graph."""
-    from loris_mri_spark.operators.components import connected_components
-
-    pairs = _minhash_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "i", "j")
-    return comp.select(F.col("node").alias("doc_id"), "component")
+    return _minhash_components(spark, sf_dir)
 
 
 # Candidate rule: share >= 1 fingerprint with document frequency <= 50.
@@ -372,12 +387,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc token weight; one window over the (tiny) clustered subset."""
     from pyspark.sql.window import Window
 
-    from loris_mri_spark.operators.components import connected_components
-
-    pairs = _minhash_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "i", "j").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = _minhash_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     w = d.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
@@ -635,13 +645,8 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordination. Singleton docs are their own representative, so the
     join adds nothing to the shuffle beyond the (small) clustered
     subset."""
-    from loris_mri_spark.operators.components import connected_components
-
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = _minhash_pairs(spark, sf_dir)
-    comp = connected_components(pairs, "i", "j").select(
-        F.col("node").alias("doc_id"), "component"
-    )
+    comp = _minhash_components(spark, sf_dir)
     reps = d.join(F.broadcast(comp), "doc_id", "left").select(
         "doc_id",
         F.coalesce("component", "doc_id").alias("rep"),

@@ -315,10 +315,12 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_triangle_count",
     oracle="""
-    WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-               FROM lineitem a JOIN lineitem b
-                 ON a.l_orderkey = b.l_orderkey
-                AND a.l_partkey < b.l_partkey),
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+                WHERE l_orderkey % 4 = 0),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey),
     nodes AS (SELECT DISTINCT n FROM (SELECT u AS n FROM e
                                       UNION ALL SELECT v FROM e))
     SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
@@ -339,9 +341,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once at its lowest-ranked vertex; the oracle's id-oriented
     formulation also counts each exactly once, so the totals match by
     construction."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    # Deterministic 1/4-of-orders graph: the co-purchase graph densifies
+    # quadratically with order count, and triangle cost grows with the
+    # wedge count (degree^2) — the contract samples ORDERS (not edges:
+    # edge sampling biases triangle counts), identically in the oracle.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("v"))
     e = (
