@@ -349,3 +349,111 @@ def hyperplane_lsh_pairs(
         .filter(F.col("cos") >= threshold)
         .select("i", "j", "cos")
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential left-fold (oracle-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN with asymmetric distance computation
+    (ADC): vectors are split into ``n_sub`` subspaces, each encoded as
+    its nearest codeword id — 64 float32 dims become 8 small codes
+    (32x compression) — and a query scores a vector by summing its
+    per-subspace lookup-table distances, never touching the raw vector.
+
+    The scale story is the point: after the one-time encode, the ANN
+    scan reads only the code table (n x n_sub tiny ints); the query's
+    distance TABLES (n_queries x n_sub x n_codes rows) broadcast, and
+    ADC is a narrow equi-join + sum. The codebook here is the
+    seed-sample (sub-slices of the first ``n_codes`` vectors by id) —
+    production trains it offline with exactly the kmeans_cells loop
+    (ann_ivf_kmeans_topk pins that machinery); encode/ADC are identical
+    either way.
+
+    Determinism contract: per-subspace distances are quantized to
+    BIGINT NANO-UNITS (floor(d * 1e9 + 0.5)) before summing — the
+    operators/rank.py trick — so ADC totals are exact integers and the
+    (adist, id) ranking can never flip on a last-ulp difference
+    between engines. Returns (query_id, neighbor_id, rank,
+    adist_nanos)."""
+    NANO = 1_000_000_000
+
+    def subspaces(df: DataFrame, out_id: str) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(out_id), as_double(vec_col).alias("__cv")
+        )
+        return v.select(
+            out_id,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(
+                                "__cv", s * sub_dim + 1, sub_dim
+                            ).alias("sv"),
+                        )
+                        for s in range(n_sub)
+                    ]
+                )
+            ).alias("__sub"),
+        ).select(out_id, "__sub.s", "__sub.sv")
+
+    corp_sub = subspaces(corpus, "__id")
+    codebook = subspaces(
+        corpus.filter(F.col(id_col) < n_codes), "__code"
+    ).select("__code", "s", F.col("sv").alias("cw"))
+
+    dist_n = F.floor(l2sq(F.col("sv"), F.col("cw")) * NANO + 0.5).cast(
+        "long"
+    )
+    codes = (
+        corp_sub.join(F.broadcast(codebook), "s")
+        .select("__id", "s", "__code", dist_n.alias("dn"))
+        .groupBy("__id", "s")
+        .agg(
+            F.min_by("__code", F.struct("dn", "__code")).alias("code")
+        )
+    )
+    tables = (
+        subspaces(queries, "query_id")
+        .join(F.broadcast(codebook), "s")
+        .select("query_id", "s", "__code", dist_n.alias("dn"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(tables),
+            (codes["s"] == tables["s"]) & (codes["code"] == tables["__code"]),
+        )
+        .filter(F.col("__id") != F.col("query_id"))
+        .groupBy("query_id", "__id")
+        .agg(F.sum("dn").alias("adist_nanos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_nanos").asc(), F.col("__id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            "rank",
+            "adist_nanos",
+        )
+    )

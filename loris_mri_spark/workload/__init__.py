@@ -112,6 +112,7 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_pretraining_data",
     "funnel_sessionized",
     "w7_forward_fill",
+    "ann_pq_adc_topk",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

@@ -594,3 +594,63 @@ def c8b_mapinarrow_vector_stats(
         stats,
         "vec_id long, n_dims long, n_pos long, l2_r double, mean_r double",
     )
+
+
+def _pq_oracle(n_sub: int = 8, sub_dim: int = 8, n_codes: int = 16, k: int = 5) -> str:
+    l2 = (
+        f"list_sum(list_transform(range(1, {sub_dim + 1}), "
+        "i -> (x.sv[i] - c.cw[i]) * (x.sv[i] - c.cw[i])))"
+    )
+    l2q = l2.replace("x.sv", "q.sv")
+    return f"""
+    WITH {_V_CTE},
+    sub AS (SELECT vec_id, CAST(r.s AS INT) AS s,
+                   emb[r.s * {sub_dim} + 1 : r.s * {sub_dim} + {sub_dim}]
+                     AS sv
+            FROM v, range(0, {n_sub}) r(s)),
+    cb AS (SELECT s, vec_id AS code_id, sv AS cw FROM sub
+           WHERE vec_id < {n_codes}),
+    enc AS (SELECT vec_id, s, code_id AS code FROM (
+              SELECT x.vec_id, x.s, c.code_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY x.vec_id, x.s
+                       ORDER BY CAST(FLOOR({l2} * 1000000000 + 0.5)
+                                     AS BIGINT) ASC, c.code_id ASC) AS rn
+              FROM sub x JOIN cb c ON c.s = x.s)
+            WHERE rn = 1),
+    qt AS (SELECT q.vec_id AS query_id, c.s, c.code_id,
+                  CAST(FLOOR({l2q} * 1000000000 + 0.5) AS BIGINT) AS dn
+           FROM sub q JOIN cb c ON c.s = q.s WHERE q.vec_id < 10),
+    adc AS (SELECT t.query_id, e.vec_id AS neighbor_id,
+                   CAST(SUM(t.dn) AS BIGINT) AS adist_nanos
+            FROM enc e JOIN qt t ON t.s = e.s AND t.code_id = e.code
+            WHERE e.vec_id <> t.query_id
+            GROUP BY t.query_id, e.vec_id),
+    ranked AS (SELECT query_id, neighbor_id, adist_nanos,
+                      CAST(ROW_NUMBER() OVER (
+                        PARTITION BY query_id
+                        ORDER BY adist_nanos ASC, neighbor_id ASC)
+                        AS BIGINT) AS rank
+               FROM adc)
+    SELECT query_id, neighbor_id, rank, adist_nanos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/vectors.py:pq_topk): 8x8
+    subspace codes + asymmetric-distance lookup tables — after the
+    encode, retrieval reads ONLY the 8-byte code rows, the 32x-
+    compressed scan PQ exists for. Distances ride in exact bigint
+    nano-units so the ranking is engine-portable; recall vs exact
+    cosine is pinned in tests/test_vectors.py."""
+    from loris_mri_spark.operators.vectors import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        e.filter(F.col("vec_id") < 10),
+        e,
+        id_col="vec_id",
+        vec_col="embedding",
+    )

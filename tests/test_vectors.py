@@ -70,3 +70,51 @@ def test_ivf_kmeans_recall_beats_label_cells(spark, sf_dir):
         for r in workload.QUERIES["ann_ivf_kmeans_topk"](spark, sf_dir).collect()
     }
     assert len(km & exact) / len(exact) >= 0.6
+
+
+def test_pq_recall_and_codebook_scaling(spark, sf_dir):
+    """PQ with the seed-sample codebook on RANDOM embeddings — PQ's
+    worst case (no cluster structure to exploit) — must still beat
+    chance (random top-5 of 500: E[recall] = 1%) and must improve as
+    the codebook grows; the trained-codebook lift is pinned separately
+    by ann_ivf_kmeans_topk's recall test."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.operators.vectors import as_double, l2sq, pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    a = q.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+    )
+    exact = (
+        a.crossJoin(b)
+        .filter("query_id != neighbor_id")
+        .withColumn("d", l2sq(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("d").asc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter("rn <= 5")
+        .select("query_id", "neighbor_id")
+    )
+
+    def recall(n_codes: int) -> float:
+        pq = pq_topk(
+            q, e, id_col="vec_id", vec_col="embedding", n_codes=n_codes
+        ).select("query_id", "neighbor_id")
+        return pq.join(exact, ["query_id", "neighbor_id"]).count() / 50
+
+    r16, r64 = recall(16), recall(64)
+    assert r16 >= 0.10, r16          # >= 10x chance
+    assert r64 > r16, (r16, r64)     # codebook size buys recall
