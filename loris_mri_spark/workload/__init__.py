@@ -113,6 +113,7 @@ PRIORITY_ORDER: list[str] = [
     "funnel_sessionized",
     "w7_forward_fill",
     "ann_pq_adc_topk",
+    "profile_skew_report",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

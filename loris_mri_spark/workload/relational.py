@@ -2453,3 +2453,56 @@ def w7_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("filled_v"),
     )
+
+
+@query(
+    "profile_skew_report",
+    oracle="""
+    WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem
+               GROUP BY l_suppkey),
+    s AS (SELECT COUNT(*) AS n_keys,
+                 CAST(SUM(n) AS BIGINT) AS n_rows,
+                 CAST(MAX(n) AS BIGINT) AS max_key_rows,
+                 CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_key_rows,
+                 AVG(n) AS mean_key_rows
+          FROM k)
+    SELECT n_keys, n_rows, max_key_rows, p99_key_rows,
+           ROUND(max_key_rows / mean_key_rows, 4) AS max_over_mean_r,
+           ROUND(max_key_rows * 1.0 / n_rows, 6) AS top_key_share_r
+    FROM s
+    """,
+)
+def profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW DIAGNOSIS — the report run BEFORE choosing a join/agg
+    strategy: per-key row counts of the prospective shuffle key
+    (l_suppkey), reduced to the ratios that drive the decision —
+    max/mean (how unbalanced the biggest task is; > ~5 means AQE skew
+    splitting or salting) and top-key share (what fraction of all rows
+    one task would own). One partial-agg pass over the key column plus
+    a key-cardinality-sized reduction; `percentile_disc`-style p99 is
+    exact on the (small) per-key count table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_key_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p99_key_rows"),
+        F.avg("n").alias("mean_key_rows"),
+    )
+    return s.select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "p99_key_rows",
+        F.round(F.col("max_key_rows") / F.col("mean_key_rows"), 4).alias(
+            "max_over_mean_r"
+        ),
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias(
+            "top_key_share_r"
+        ),
+    )
