@@ -358,6 +358,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
+        # three consumers (degrees, orientation, edge count): materialize
+        # the distinct-edge build once instead of re-running the self-join
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("u").alias("n"))
