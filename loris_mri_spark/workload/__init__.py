@@ -116,6 +116,7 @@ PRIORITY_ORDER: list[str] = [
     "w7_forward_fill",
     "ann_pq_adc_topk",
     "profile_skew_report",
+    "ann_matryoshka_recall",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

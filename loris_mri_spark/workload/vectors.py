@@ -654,3 +654,82 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         vec_col="embedding",
     )
+
+
+_SQL_COS16 = (
+    "(list_sum(list_transform(range(1, 17), k -> {a}[k] * {b}[k]))"
+    " / sqrt(list_sum(list_transform(range(1, 17), k -> {a}[k] * {a}[k])))"
+    " / sqrt(list_sum(list_transform(range(1, 17), k -> {b}[k] * {b}[k]))))"
+)
+
+
+@query(
+    "ann_matryoshka_recall",
+    oracle=f"""
+    WITH {_V_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    full_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    full_top AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM full_scored) WHERE rn <= 5),
+    trunc_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS16.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    trunc_top AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rn
+        FROM trunc_scored) WHERE rn <= 5),
+    hits AS (SELECT t.query_id, COUNT(*) AS n_hits
+             FROM trunc_top t JOIN full_top f
+               ON f.query_id = t.query_id
+              AND f.neighbor_id = t.neighbor_id
+             GROUP BY t.query_id)
+    SELECT q2.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_r
+    FROM (SELECT DISTINCT query_id FROM full_top) q2
+    LEFT JOIN hits h ON h.query_id = q2.query_id
+    """,
+)
+def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA-truncation retrieval eval: recall@5 of cosine search
+    over the FIRST 16 dimensions against the full 64-dim ground truth —
+    the measurement behind prefix-truncatable (MRL) embeddings, where
+    serving cost drops 4x if the recall holds. Computed in-engine like
+    ann_recall_at_k: both retrievals share the corpus scan; the
+    truncated side is the same JVM fold over `slice(vec, 1, 16)`
+    (re-normalized — prefix norms differ from full norms). Zero-hit
+    queries are kept by the left join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 10)
+    full = cosine_topk(
+        qset, e, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+
+    trunc = e.select(
+        "vec_id", F.slice(as_double("embedding"), 1, 16).alias("v16")
+    )
+    qtrunc = trunc.filter(F.col("vec_id") < 10)
+    t_top = cosine_topk(
+        qtrunc, trunc, id_col="vec_id", vec_col="v16", k=5
+    ).select("query_id", "neighbor_id")
+
+    hits = (
+        t_top.join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = full.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias(
+            "recall_r"
+        ),
+    )
