@@ -117,6 +117,7 @@ PRIORITY_ORDER: list[str] = [
     "ann_pq_adc_topk",
     "profile_skew_report",
     "ann_matryoshka_recall",
+    "j14_interval_overlap_join",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

@@ -2506,3 +2506,115 @@ def profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_key_share_r"
         ),
     )
+
+
+_J14_GRID = 6 * 3600 * 1_000_000  # 6-hour grid in µs
+
+
+@query(
+    "j14_interval_overlap_join",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+               FROM events),
+    lo AS (SELECT MIN(ts_us) AS lo, MAX(ts_us) AS hi FROM e),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                       OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid,
+             ts_us
+      FROM flagged),
+    intervals AS (SELECT user_id, sid, MIN(ts_us) AS s_start,
+                         MAX(ts_us) AS s_end
+                  FROM sess GROUP BY user_id, sid),
+    win AS (SELECT CAST(i AS BIGINT) AS window_idx,
+                   lo + i * {_J14_GRID} AS w_start,
+                   lo + (i + 1) * {_J14_GRID} AS w_end
+            FROM (SELECT lo, hi, unnest(range(0, 10000)) AS i FROM lo)
+            WHERE i <= (hi - lo) // {_J14_GRID}),
+    ovl AS (
+      SELECT w.window_idx, i.user_id, i.sid
+      FROM win w JOIN intervals i
+        ON i.s_start < w.w_end AND w.w_start <= i.s_end)
+    SELECT w.window_idx,
+           CAST(COUNT(o.user_id) AS BIGINT) AS n_sessions
+    FROM win w LEFT JOIN ovl o ON o.window_idx = w.window_idx
+    GROUP BY w.window_idx
+    """,
+)
+def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN of two interval SETS — user sessions
+    (30-min-gap islands) against a 6-hour maintenance-window grid —
+    the genomics/calendar join a naive plan turns into a cartesian
+    nested loop. Scale shape: each session EXPLODES into the grid
+    cells it covers (sessions are short, so the fan-out is 1-2 cells),
+    the join becomes an EQUI-join on the cell id, and the exact
+    overlap predicate is just a sanity re-check (a grid cell of width
+    = window width makes cell membership exactly overlap — each pair
+    matches in exactly one... multiple cells for spanning sessions, so
+    a DISTINCT collapses them). Zero-overlap windows are kept by the
+    left join. The oracle is the plain inequality join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    )
+    lo, hi = e.agg(F.min("ts_us"), F.max("ts_us")).first()
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = (
+        e.withColumn(
+            "new_s",
+            F.when(
+                F.lag("ts_us").over(w_ord).isNull()
+                | (F.col("ts_us") - F.lag("ts_us").over(w_ord) > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(w_run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end")
+        )
+    )
+    n_win = (hi - lo) // _J14_GRID + 1
+    win = spark.range(n_win).select(
+        F.col("id").alias("window_idx"),
+        (F.lit(lo) + F.col("id") * _J14_GRID).alias("w_start"),
+        (F.lit(lo) + (F.col("id") + 1) * _J14_GRID).alias("w_end"),
+    )
+    cells = sess.select(
+        "user_id",
+        "sid",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"(s_start - {lo}L) div {_J14_GRID}L"),
+                F.expr(f"(s_end - {lo}L) div {_J14_GRID}L"),
+            )
+        ).alias("window_idx"),
+    )
+    overlaps = (
+        cells.join(F.broadcast(win), "window_idx")
+        .filter(
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("w_start") <= F.col("s_end"))
+        )
+        .select("window_idx", "user_id", "sid")
+        .distinct()
+    )
+    counts = overlaps.groupBy("window_idx").agg(
+        F.count("*").alias("n")
+    )
+    return win.join(counts, "window_idx", "left").select(
+        "window_idx",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_sessions"),
+    )
