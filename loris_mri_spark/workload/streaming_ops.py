@@ -551,8 +551,6 @@ def t13_stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforced INSIDE the sink). Verification decodes every landed
     protobuf chunk back with the independent pure-python reader and
     must reproduce the batch totals."""
-    import glob as _glob
-
     from loris_mri_spark.catalog import load_table
     from loris_mri_spark.sources.pyds import (
         decode_chunk_stream,
@@ -596,16 +594,48 @@ def t13_stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     bids = sorted(
         d for d in os.listdir(sink) if d.startswith("bid=")
     )
-    n_chunks = sum_index = n_floats = 0
-    for bd in bids:
-        for pb in _glob.glob(os.path.join(sink, bd, "*.pb")):
-            with open(pb, "rb") as fh:
-                for rec in decode_chunk_stream(fh.read()):
-                    n_chunks += 1
-                    sum_index += rec["index"]
-                    n_floats += len(rec["samples"])
+    # Distributed read-back verification: decode the landed protobufs on
+    # the EXECUTORS (binaryFile scan + per-file pure-python decode), not
+    # in a driver loop — at 100 TB the audit pass is itself a job.
+    import pandas as pd  # noqa: F401
+
+    def decode_files(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                n = si = nf = 0
+                for rec in decode_chunk_stream(bytes(blob)):
+                    n += 1
+                    si += rec["index"]
+                    nf += len(rec["samples"])
+                rows.append((n, si, nf))
+            yield pd.DataFrame(
+                rows, columns=["n_chunks", "sum_index", "n_floats"]
+            )
+
+    landed = (
+        spark.read.format("binaryFile")
+        .load([os.path.join(sink, bd, "*.pb") for bd in bids])
+        .select("content")
+        .mapInPandas(
+            decode_files, "n_chunks long, sum_index long, n_floats long"
+        )
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("sum_index").alias("sum_index"),
+            F.sum("n_floats").alias("n_floats"),
+        )
+        .first()
+    )
     return spark.createDataFrame(
-        [(n_chunks, sum_index, n_floats, len(bids))],
+        [
+            (
+                landed["n_chunks"],
+                landed["sum_index"],
+                landed["n_floats"],
+                len(bids),
+            )
+        ],
         "n_chunks long, sum_index long, n_floats long, n_batches long",
     )
 
