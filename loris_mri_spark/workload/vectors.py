@@ -523,6 +523,42 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _ragged_stats_kernel(batches):
+    """Arrow RecordBatch kernel for c8b: per-row list stats via offsets +
+    reduceat — correct for RAGGED rows (pinned in tests/test_pyds.py),
+    zero-copy for the fixed-width case."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        ids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        flat = emb.flatten()
+        offs = np.asarray(emb.offsets)
+        vals = np.asarray(flat, dtype=np.float64)
+        n = len(batch)
+        n_dims = (offs[1:] - offs[:-1]).astype(np.int64)
+        sums = np.add.reduceat(vals, offs[:-1]) if n else np.array([])
+        sqs = np.add.reduceat(vals * vals, offs[:-1]) if n else np.array([])
+        pos = (
+            np.add.reduceat((vals > 0).astype(np.int64), offs[:-1])
+            if n
+            else np.array([])
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(n_dims, type=pa.int64()),
+                pa.array(pos.astype(np.int64), type=pa.int64()),
+                pa.array(np.round(np.sqrt(sqs), 4)),
+                pa.array(np.round(sums / n_dims, 4)),
+            ],
+            names=["vec_id", "n_dims", "n_pos", "l2_r", "mean_r"],
+        )
+
+
 @query(
     "c8b_mapinarrow_vector_stats",
     oracle="""
@@ -551,47 +587,11 @@ def c8b_mapinarrow_vector_stats(
     Python Data Source, and now mapInArrow. Rounded to 4 decimals so
     numpy's pairwise summation vs the oracle's sequential fold cannot
     surface."""
-    import numpy as np
-    import pyarrow as pa
-
-    def stats(batches):
-        for batch in batches:
-            ids = batch.column("vec_id")
-            emb = batch.column("embedding")
-            flat = emb.flatten()
-            offs = np.asarray(emb.offsets)
-            vals = np.asarray(flat, dtype=np.float64)
-            n = len(batch)
-            n_dims = (offs[1:] - offs[:-1]).astype(np.int64)
-            # vectors are fixed-width per batch in practice, but handle
-            # ragged rows with reduceat (general contract)
-            sums = np.add.reduceat(vals, offs[:-1]) if n else np.array([])
-            sqs = (
-                np.add.reduceat(vals * vals, offs[:-1])
-                if n
-                else np.array([])
-            )
-            pos = (
-                np.add.reduceat((vals > 0).astype(np.int64), offs[:-1])
-                if n
-                else np.array([])
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    ids,
-                    pa.array(n_dims, type=pa.int64()),
-                    pa.array(pos.astype(np.int64), type=pa.int64()),
-                    pa.array(np.round(np.sqrt(sqs), 4)),
-                    pa.array(np.round(sums / n_dims, 4)),
-                ],
-                names=["vec_id", "n_dims", "n_pos", "l2_r", "mean_r"],
-            )
-
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     return e.mapInArrow(
-        stats,
+        _ragged_stats_kernel,
         "vec_id long, n_dims long, n_pos long, l2_r double, mean_r double",
     )
 

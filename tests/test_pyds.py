@@ -206,3 +206,76 @@ def test_chunks_writer_overwrite_replaces(registered, tmp_path):
                 open(os.path.join(out, f), "rb").read()
             )
     assert [m["index"] for m in got] == [2]
+
+
+def test_stream_writer_commit_is_retry_idempotent(tmp_path):
+    """A retried micro-batch must REPLACE its bid directory, never append
+    beside its first attempt (the at-least-once contract the connector
+    enforces internally)."""
+    import json
+    import os
+
+    from loris_mri_spark.sources.pyds import (
+        _ChunkCommit,
+        _ChunksStreamWriter,
+        decode_chunk_stream,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    w = _ChunksStreamWriter({"path": sink})
+
+    def stage(payload: bytes, name: str) -> _ChunkCommit:
+        os.makedirs(w.staging, exist_ok=True)
+        with open(os.path.join(w.staging, name), "wb") as fh:
+            fh.write(payload)
+        return _ChunkCommit(filename=name, n_records=1, n_bytes=len(payload))
+
+    # attempt 1 of batch 7
+    m1 = stage(b"\x02\x08\x01", "task-a.pb")  # varint len + {index:1}
+    w.commit([m1], 7)
+    # retry of batch 7 (different task file contents)
+    m2 = stage(b"\x02\x08\x02", "task-b.pb")
+    w.commit([m2], 7)
+
+    bdir = os.path.join(sink, "bid=7")
+    pbs = [f for f in os.listdir(bdir) if f.endswith(".pb")]
+    assert pbs == ["part-00000.pb"], pbs  # replaced, not appended
+    with open(os.path.join(bdir, pbs[0]), "rb") as fh:
+        recs = decode_chunk_stream(fh.read())
+    assert [r["index"] for r in recs] == [2]  # the RETRY's content won
+    manifest = json.load(open(os.path.join(bdir, "_MANIFEST")))
+    assert manifest["batch"] == 7 and len(manifest["files"]) == 1
+
+
+def test_mapinarrow_kernel_handles_ragged_rows(spark):
+    """c8b's Arrow kernel must be correct for ragged list rows (the
+    general contract), not just the fixed-width embeddings table."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.workload.vectors import (  # noqa: F401
+        c8b_mapinarrow_vector_stats,
+    )
+    from loris_mri_spark import workload
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 2.0]), (2, [3.0]), (3, [0.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+
+    def stats_via_kernel(e):
+        # reuse the registered query's kernel through mapInArrow directly
+        from loris_mri_spark.workload.vectors import _ragged_stats_kernel
+
+        return e.mapInArrow(
+            _ragged_stats_kernel,
+            "vec_id long, n_dims long, n_pos long, l2_r double, mean_r double",
+        )
+
+    got = {
+        r.vec_id: (r.n_dims, r.n_pos, r.l2_r, r.mean_r)
+        for r in stats_via_kernel(df).collect()
+    }
+    assert got[1] == (3, 2, 3.0, round(1.0 / 3, 4))
+    assert got[2] == (1, 1, 3.0, 3.0)
+    assert got[3] == (2, 1, 4.0, 2.0)
