@@ -118,6 +118,8 @@ PRIORITY_ORDER: list[str] = [
     "profile_skew_report",
     "ann_matryoshka_recall",
     "j14_interval_overlap_join",
+    "profile_columns",
+    "a11_grouping_sets",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

@@ -2618,3 +2618,102 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_idx",
         F.coalesce("n", F.lit(0)).cast("long").alias("n_sessions"),
     )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    WITH m AS (SELECT
+        COUNT(*) AS n_rows,
+        COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS mn1,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+        COUNT(o_orderstatus) AS nn2, COUNT(DISTINCT o_orderstatus) AS nd2,
+        MIN(o_orderstatus) AS mn2, MAX(o_orderstatus) AS mx2,
+        COUNT(o_totalprice) AS nn3, COUNT(DISTINCT o_totalprice) AS nd3,
+        CAST(MIN(o_totalprice) AS VARCHAR) AS mn3,
+        CAST(MAX(o_totalprice) AS VARCHAR) AS mx3,
+        COUNT(o_orderpriority) AS nn4,
+        COUNT(DISTINCT o_orderpriority) AS nd4,
+        MIN(o_orderpriority) AS mn4, MAX(o_orderpriority) AS mx4
+      FROM orders)
+    SELECT 'o_orderkey' AS col_name, n_rows - nn1 AS n_nulls,
+           nd1 AS n_distinct, mn1 AS min_str, mx1 AS max_str FROM m
+    UNION ALL SELECT 'o_orderstatus', n_rows - nn2, nd2, mn2, mx2 FROM m
+    UNION ALL SELECT 'o_totalprice', n_rows - nn3, nd3, mn3, mx3 FROM m
+    UNION ALL SELECT 'o_orderpriority', n_rows - nn4, nd4, mn4, mx4 FROM m
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILER (the ANALYZE-style sweep): null count, exact
+    distinct count, min and max for a column LIST, computed as ONE
+    aggregation pass over the table and unpivoted into the per-column
+    report — the profiler contract that keeps a 50-column audit at one
+    scan (plus the per-column distinct aggregates, which Spark plans
+    with Expand; for the sketch-budget variant swap in
+    approx_count_distinct and the pass is single-stage). min/max are
+    stringified so heterogeneous column types share one report schema."""
+    cols = [
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(c).alias(f"nn{i}"),
+            F.countDistinct(c).alias(f"nd{i}"),
+            F.min(c).cast("string").alias(f"mn{i}"),
+            F.max(c).cast("string").alias(f"mx{i}"),
+        ]
+    m = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_rows - nn{i}, nd{i}, mn{i}, mx{i}"
+        for i, c in enumerate(cols)
+    )
+    return m.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+@query(
+    "a11_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — including the (priority-only) set a
+    ROLLUP hierarchy cannot express (profile_rollup_revenue covers the
+    hierarchical case); GROUPING() bits disambiguate genuine NULL keys
+    from subtotal rows. One Expand-based aggregate, the same single
+    scan however many sets are requested."""
+    from loris_mri_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, '<all>') AS status,
+               COALESCE(o_orderpriority, '<all>') AS priority,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )
