@@ -120,6 +120,7 @@ PRIORITY_ORDER: list[str] = [
     "j14_interval_overlap_join",
     "profile_columns",
     "a11_grouping_sets",
+    "anomaly_daily_zscore",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

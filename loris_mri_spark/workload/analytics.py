@@ -257,3 +257,45 @@ def funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_conversion_r"
         ),
     )
+
+
+@query(
+    "anomaly_daily_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, AVG(n) AS mu, stddev_samp(n) AS sd
+      FROM daily GROUP BY event_type)
+    SELECT d.event_type, d.day, d.n,
+           ROUND((d.n - s.mu) / s.sd, 4) AS z_r,
+           ABS((d.n - s.mu) / s.sd) > 2.0 AS is_anomaly
+    FROM daily d JOIN stats s ON s.event_type = d.event_type
+    """,
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME ANOMALY detection — the monitoring query every ingest
+    pipeline runs on itself: daily event counts per type scored as
+    z-scores against that type's own mean/stddev, |z| > 2 flagged. Two
+    aggregations (day roll-up, then per-type moments broadcast back);
+    at scale the daily table is report-sized so the join is a
+    broadcast. The same shape serves row-count drift between pipeline
+    runs (the DQ report's temporal complement)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(ts_ns div 1000) div {_DAY_US}").alias("day"),
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 4).alias("z_r"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
