@@ -121,6 +121,7 @@ PRIORITY_ORDER: list[str] = [
     "profile_columns",
     "a11_grouping_sets",
     "anomaly_daily_zscore",
+    "vec_drift_monitor",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

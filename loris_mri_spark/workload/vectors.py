@@ -733,3 +733,58 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_r"
         ),
     )
+
+
+@query(
+    "vec_drift_monitor",
+    oracle=f"""
+    WITH {_V_CTE},
+    ref AS (SELECT label, vec_id, emb FROM v WHERE vec_id % 2 = 0),
+    cur AS (SELECT label, vec_id, emb FROM v WHERE vec_id % 2 = 1),
+    refc AS ({_dec_centroid_sql("ref", "label")}),
+    curc AS ({_dec_centroid_sql("cur", "label")})
+    SELECT r.cell AS label,
+           ROUND({_SQL_COS.format(a='r.cv', b='c.cv')}, 6) AS centroid_cos_r,
+           {_SQL_COS.format(a='r.cv', b='c.cv')} < 0.95 AS drifted
+    FROM refc r JOIN curc c ON c.cell = r.cell
+    """,
+)
+def vec_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING DRIFT monitor — the ML-ops check run whenever an
+    encoder is retrained or a corpus refreshes: per label, the cosine
+    between the REFERENCE cohort's centroid (even vec_ids, standing in
+    for the pinned snapshot a versioned store would supply) and the
+    CURRENT cohort's (odd vec_ids); a centroid that swung below the
+    0.95 threshold flags the class for re-indexing. Centroids are the
+    decimal-exact means (cell_centroids), so the comparison is
+    engine-portable; both centroid tables are |labels| rows — the whole
+    monitor is two partial-agg passes and a tiny join."""
+    from loris_mri_spark.operators.vectors import (
+        as_double,
+        cell_centroids,
+        cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", as_double("embedding").alias("__cv")
+    )
+    refc = cell_centroids(
+        e.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("label").alias("__cell"), "__cv"
+        )
+    )
+    curc = cell_centroids(
+        e.filter(F.col("vec_id") % 2 == 1).select(
+            F.col("label").alias("__cell"), "__cv"
+        )
+    )
+    cos = cosine(F.col("r.__centroid"), F.col("c.__centroid"))
+    return (
+        refc.alias("r")
+        .join(curc.alias("c"), F.col("r.__cell") == F.col("c.__cell"))
+        .select(
+            F.col("r.__cell").alias("label"),
+            F.round(cos, 6).alias("centroid_cos_r"),
+            (cos < 0.95).alias("drifted"),
+        )
+    )
