@@ -294,8 +294,6 @@ def hyperplane_lsh_pairs(
         )
     planes = _hyperplanes(n_planes, dim)
 
-    from loris_mri_spark.functions.texthash import let
-
     v = df.select(F.col(id_col).alias("i"), as_double(vec_col).alias("__v"))
 
     # Signature computation is a dense matrix product (n x dim @ dim x
