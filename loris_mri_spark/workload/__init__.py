@@ -122,6 +122,7 @@ PRIORITY_ORDER: list[str] = [
     "a11_grouping_sets",
     "anomaly_daily_zscore",
     "vec_drift_monitor",
+    "j15_asof_scd2_lookup",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

@@ -2717,3 +2717,77 @@ def a11_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query(
+    "j15_asof_scd2_lookup",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+                FROM events),
+    marked AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    seg AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM marked),
+    looked AS (
+      SELECT event_id, user_id, event_type,
+             COALESCE(LAG(event_type) OVER w2, '<none>') AS prev_state,
+             COALESCE(LAG(version) OVER w2, -1) AS prev_version
+      FROM seg
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+    SELECT event_id, user_id, prev_state AS state_at_purchase,
+           CAST(prev_version AS BIGINT) AS version
+    FROM looked WHERE event_type = 'purchase'
+    """,
+)
+def j15_asof_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL LOOKUP: each purchase joined to the SCD2 state
+    version that was CURRENT at its transaction time — the
+    dimension-at-transaction-time join every warehouse fact load runs
+    against its history tables. No per-fact interval scan: the history
+    and the facts UNION into one per-user timeline, a running
+    `last(..., ignorenulls)` carries the in-effect version forward
+    (the operators/asof_join.py single-shuffle pattern), and facts read
+    it off their own row. The oracle states the declarative form
+    (latest valid_from <= fact time)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    seg = ev.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type")
+            .over(w_ord)
+            .eqNullSafe(F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn("version", F.sum("chg").over(w_run).cast("long"))
+    # the state IN EFFECT when the purchase landed = the PREVIOUS
+    # event's segment (segments are contiguous, so the lag row carries
+    # both the state and its SCD2 version) — the as-of lookup read off
+    # the same ordered pass, no second shuffle (operators/asof_join.py
+    # pattern); a user's first-ever event looks up '<none>'.
+    looked = seg.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.lag("event_type").over(w_ord), F.lit("<none>")).alias(
+            "state_at_purchase"
+        ),
+        F.coalesce(F.lag("version").over(w_ord), F.lit(-1))
+        .cast("long")
+        .alias("version"),
+    ).filter(F.col("event_type") == "purchase")
+    return looked.select(
+        "event_id", "user_id", "state_at_purchase", "version"
+    )
