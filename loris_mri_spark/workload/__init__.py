@@ -123,6 +123,7 @@ PRIORITY_ORDER: list[str] = [
     "anomaly_daily_zscore",
     "vec_drift_monitor",
     "j15_asof_scd2_lookup",
+    "ann_mrr_ndcg",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

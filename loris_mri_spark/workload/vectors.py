@@ -788,3 +788,127 @@ def vec_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cos < 0.95).alias("drifted"),
         )
     )
+
+
+@query(
+    "ann_mrr_ndcg",
+    oracle=f"""
+    WITH {_V_CTE},
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    ex_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS erank
+      FROM ex_scored),
+    centroids AS ({_dec_centroid_sql("v", "label")}),
+    cell_ranked AS (
+      SELECT q.query_id, q.qv, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                ORDER BY {_SQL_COS.format(a='q.qv', b='c.cv')} DESC,
+                                         c.cell ASC) AS crank
+      FROM q CROSS JOIN centroids c),
+    probed AS (SELECT query_id, qv, cell FROM cell_ranked WHERE crank <= 2),
+    iv_scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='p.qv', b='c.emb')} AS cos
+      FROM probed p JOIN v c ON c.label = p.cell AND c.vec_id <> p.query_id),
+    iv_rank AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS irank
+      FROM iv_scored),
+    iv_top AS (SELECT query_id, neighbor_id, irank FROM iv_rank
+               WHERE irank <= 5),
+    judged AS (
+      SELECT t.query_id, t.irank,
+             CASE WHEN e.erank = 1 THEN 1 ELSE 0 END AS is_first,
+             CASE WHEN e.erank <= 5
+                  THEN 1.0 / log2(t.irank + 1) ELSE 0 END AS gain
+      FROM iv_top t
+      LEFT JOIN ex_rank e ON e.query_id = t.query_id
+                         AND e.neighbor_id = t.neighbor_id),
+    ideal AS (SELECT SUM(1.0 / log2(r + 1)) AS idcg
+              FROM range(1, 6) t(r)),
+    perq AS (
+      SELECT query_id,
+             MAX(CASE WHEN is_first = 1 THEN 1.0 / irank ELSE 0 END)
+               AS rr,
+             SUM(gain) AS dcg
+      FROM judged GROUP BY query_id)
+    SELECT p.query_id,
+           ROUND(p.rr, 4) AS rr_r,
+           ROUND(p.dcg / i.idcg, 4) AS ndcg5_r
+    FROM perq p, ideal i
+    """,
+)
+def ann_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the IVF index, in-engine: per query,
+    the RECIPROCAL RANK of the true nearest neighbor (does the index
+    surface the #1 answer, and how high) and NDCG@5 with binary gains
+    over the exact top-5 (position-discounted overlap — recall@k's
+    order-aware refinement). Same shared-scan shape as ann_recall_at_k;
+    the metric arithmetic is 5 fixed-order terms, rounded to 4."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qset = e.filter(F.col("vec_id") < 10)
+    # exact ranks over the whole corpus (erank 1 = the true NN);
+    # built directly (cosine_topk caps at k, and the metric needs
+    # every candidate's exact rank up to 5)
+    from loris_mri_spark.operators.vectors import as_double, cosine
+
+    a = qset.select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cv"),
+    )
+    ex_rank = (
+        a.crossJoin(b)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "erank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .select("query_id", "neighbor_id", "erank")
+    )
+    iv_top = ivf_topk(
+        qset, e, id_col="vec_id", vec_col="embedding",
+        cell_col="label", k=5, nprobe=2,
+    ).select("query_id", "neighbor_id", F.col("rank").alias("irank"))
+    judged = iv_top.join(
+        ex_rank, ["query_id", "neighbor_id"], "left"
+    ).select(
+        "query_id",
+        "irank",
+        F.when(F.col("erank") == 1, 1).otherwise(0).alias("is_first"),
+        F.when(
+            F.col("erank") <= 5, 1.0 / F.log2(F.col("irank") + 1)
+        )
+        .otherwise(0.0)
+        .alias("gain"),
+    )
+    idcg = sum(1.0 / __import__("math").log2(r + 1) for r in range(1, 6))
+    perq = judged.groupBy("query_id").agg(
+        F.max(
+            F.when(F.col("is_first") == 1, 1.0 / F.col("irank")).otherwise(
+                0.0
+            )
+        ).alias("rr"),
+        F.sum("gain").alias("dcg"),
+    )
+    return perq.select(
+        "query_id",
+        F.round("rr", 4).alias("rr_r"),
+        F.round(F.col("dcg") / F.lit(idcg), 4).alias("ndcg5_r"),
+    )
