@@ -136,6 +136,8 @@ PRIORITY_ORDER: list[str] = [
     "vec_drift_monitor",
     "j15_asof_scd2_lookup",
     "ann_mrr_ndcg",
+    "text_entropy",
+    "t3b_dedup_within_watermark_api",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

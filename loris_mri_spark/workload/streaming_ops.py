@@ -676,3 +676,30 @@ def t14_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.count("*").alias("n_users"),
     )
+
+
+@query(
+    "t3b_dedup_within_watermark_api",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def t3b_dedup_within_watermark_api(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T3's modern sibling: `dropDuplicatesWithinWatermark` (Spark 3.5+)
+    — unlike plain dropDuplicates-under-a-watermark (T3), the key's
+    state expires once the watermark passes its FIRST sighting plus the
+    delay, so state is bounded by the duplicate-arrival window rather
+    than growing with the keyspace until eviction — the API an
+    unbounded-keyspace dedup (every upload ever) actually needs. Same
+    exactly-once contract: the self-unioned stream (every row a
+    duplicate) drains to the batch answer."""
+    sdf = stream_events(spark, sf_dir, tag="t3b-incoming")
+    doubled = sdf.unionByName(sdf)
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(deduped, "append", "t3b")

@@ -830,3 +830,53 @@ def text_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
         ).alias("postings_md5"),
     )
+
+
+_ENTROPY_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks
+           GROUP BY doc_id, tok),
+    n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(-SUM((tf.c * 1.0 / n.n) * ln(tf.c * 1.0 / n.n)), 4)
+             AS entropy_r,
+           ROUND(COUNT(*) * 1.0 / n.n, 4) AS ttr_r
+    FROM tf JOIN n ON n.doc_id = tf.doc_id
+    GROUP BY tf.doc_id, n.n
+"""
+
+
+@query("text_entropy", oracle=_ENTROPY_SQL)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution SHANNON ENTROPY and type-token ratio per
+    document — the diversity half of quality filtering (low entropy =
+    repetitive boilerplate even when length and stopword ratios look
+    fine; pairs with text_repetition_stats' exact-run rules). Two
+    hash-aggregations, all JVM expressions; rounded to 4 so the
+    per-term ln() summation order cannot surface across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_r"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            "entropy_r",
+            F.round(F.col("n_types") / F.col("n"), 4).alias("ttr_r"),
+        )
+    )
