@@ -138,6 +138,7 @@ PRIORITY_ORDER: list[str] = [
     "ann_mrr_ndcg",
     "text_entropy",
     "t3b_dedup_within_watermark_api",
+    "c12_bitwise_functions",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

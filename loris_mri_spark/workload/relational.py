@@ -2791,3 +2791,40 @@ def j15_asof_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return looked.select(
         "event_id", "user_id", "state_at_purchase", "version"
     )
+
+
+@query(
+    "c12_bitwise_functions",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS and_k,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS or_k,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS xor_k,
+           CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS popcount_sum,
+           CAST(SUM((o_orderkey << 2) % 1024) AS BIGINT) AS shl_sum,
+           CAST(SUM(o_orderkey >> 3) AS BIGINT) AS shr_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def c12_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-family breadth: the bitwise surface — AND/OR/XOR aggregates
+    (the flag-mask folds the reference's permission/QC bitfields need),
+    population count, and shifts, per status group. XOR-aggregate
+    doubles as an order-independent checksum (the cheap content-set
+    fingerprint for partition-level reconciliation). All integer-exact
+    on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").cast("long").alias("and_k"),
+        F.bit_or("o_orderkey").cast("long").alias("or_k"),
+        F.bit_xor("o_orderkey").cast("long").alias("xor_k"),
+        F.sum(F.bit_count("o_orderkey")).cast("long").alias(
+            "popcount_sum"
+        ),
+        F.sum(F.shiftleft(F.col("o_orderkey"), 2) % 1024)
+        .cast("long")
+        .alias("shl_sum"),
+        F.sum(F.shiftright(F.col("o_orderkey"), 3))
+        .cast("long")
+        .alias("shr_sum"),
+    )
