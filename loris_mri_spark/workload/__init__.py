@@ -139,6 +139,7 @@ PRIORITY_ORDER: list[str] = [
     "text_entropy",
     "t3b_dedup_within_watermark_api",
     "c12_bitwise_functions",
+    "w8_percent_of_total",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

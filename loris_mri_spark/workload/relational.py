@@ -2828,3 +2828,54 @@ def c12_bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shr_sum"),
     )
+
+
+@query(
+    "w8_percent_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share_r,
+           CAST(RANK() OVER (ORDER BY revenue DESC, nation ASC) AS BIGINT)
+             AS rev_rank
+    FROM rev
+    """,
+)
+def w8_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report) — the share-of-whole window
+    every revenue report ends with: per-nation revenue against the
+    unpartitioned total, plus the rank. The empty-OVER window is a
+    single-partition exchange — safe ONLY because it runs on the
+    aggregated report (|nations| rows), never the fact table; the
+    decimal-exact revenue sums make the shares engine-portable at
+    round(6)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("revenue").desc(), F.col("nation").asc())
+    return rev.select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share_r"
+        ),
+        F.rank().over(w_rank).cast("long").alias("rev_rank"),
+    )
