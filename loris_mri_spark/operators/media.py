@@ -306,6 +306,58 @@ def parse_wav_bytes(content: bytes) -> dict | None:
     }
 
 
+def wav_signal_features(content: bytes) -> "dict | None":
+    """Signal features over the decoded PCM stream (exact integers):
+    zero-crossing count (strict sign flips, zeros excluded — the
+    voicing/noisiness heuristic) and peak amplitude. Same classify-
+    don't-fail contract as parse_wav_bytes; vectorized numpy over the
+    interleaved int16 samples."""
+    meta = parse_wav_bytes(content)
+    if meta is None:
+        return None
+    # re-locate the data chunk (parse_wav_bytes validated the layout)
+    pos, data = 12, b""
+    while pos + 8 <= len(content):
+        tag = content[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        if tag == b"data":
+            data = content[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size % 2)
+    n_samples = meta["n_frames"] * meta["channels"]
+    vals = np.frombuffer(data, dtype="<i2", count=n_samples).astype(
+        np.int64
+    )
+    zc = int(np.sum(vals[:-1] * vals[1:] < 0)) if n_samples > 1 else 0
+    peak = int(np.max(np.abs(vals))) if n_samples else 0
+    return {**meta, "zero_crossings": zc, "peak": peak}
+
+
+WAV_FEATURES_SCHEMA = (
+    "path string, is_wav boolean, channels int, sample_rate int, "
+    "bits int, n_frames long, duration_ms long, rms double, "
+    "zero_crossings long, peak long"
+)
+
+
+def read_wav_features(df: DataFrame) -> DataFrame:
+    """binaryFile rows (path, content) -> WAV metadata + signal features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [c.split(" ")[0] for c in WAV_FEATURES_SCHEMA.split(", ")]
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = wav_signal_features(bytes(content))
+                if meta is None:
+                    rows.append({"path": path, "is_wav": False})
+                else:
+                    rows.append({"path": path, "is_wav": True, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=WAV_FEATURES_SCHEMA)
+
+
 def read_wav_meta(df: DataFrame) -> DataFrame:
     """binaryFile rows (path, content) -> WAV metadata + PCM stats."""
 

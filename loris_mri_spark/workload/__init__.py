@@ -140,6 +140,7 @@ PRIORITY_ORDER: list[str] = [
     "t3b_dedup_within_watermark_api",
     "c12_bitwise_functions",
     "w8_percent_of_total",
+    "mm_audio_features",
     "graph_triangle_count",
     "profile_countmin_topk",
     "text_posting_lists",

@@ -463,3 +463,44 @@ def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(run, schema=schema)
+
+
+@query(
+    "mm_audio_features",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('sub-01_audio.wav', CAST(19 AS BIGINT), CAST(1000 AS BIGINT),
+       CAST(1600 AS BIGINT)),
+      ('sub-02_audio.wav', CAST(11 AS BIGINT), CAST(1000 AS BIGINT),
+       CAST(800 AS BIGINT)))
+      AS t(file, zero_crossings, peak, n_samples)
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio SIGNAL FEATURES beyond the RMS meta: zero-crossing count
+    (the classic voicing/noisiness heuristic — a pure tone crosses at
+    ~2x its frequency x duration, noise far more) and peak amplitude,
+    both exact integers over the decoded int16 stream
+    (operators/media.py:wav_signal_features, vectorized numpy inside
+    the same Arrow-batched scan). Golden oracle pins the committed
+    fixtures' independently computed values."""
+    import os
+
+    from loris_mri_spark.operators.media import read_wav_features
+
+    fixtures = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "fixtures", "audio",
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(fixtures)
+        .select("path", "content")
+    )
+    return read_wav_features(files).filter(F.col("is_wav")).select(
+        F.element_at(F.split("path", "/"), -1).alias("file"),
+        "zero_crossings",
+        "peak",
+        (F.col("n_frames") * F.col("channels")).alias("n_samples"),
+    )

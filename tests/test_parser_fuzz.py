@@ -15,6 +15,7 @@ from loris_mri_spark.operators.media import (
     decode_png_bytes,
     parse_avi_mjpeg,
     parse_wav_bytes,
+    wav_signal_features,
 )
 from loris_mri_spark.sources.dicom import (
     decode_rle_frame,
@@ -47,6 +48,7 @@ PARSERS = [
     decode_jpeg_baseline,
     parse_avi_mjpeg,
     parse_wav_bytes,
+    wav_signal_features,
     parse_dicom_bytes,
     parse_encapsulated_frames,
     decode_rle_frame,
