@@ -46,7 +46,7 @@ _SAMPLE_SQL = f"""
       WHERE g < COALESCE(ppm, {_DEFAULT_PPM}))
     SELECT c_mktsegment, COUNT(*) AS n_kept,
            MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
-           SUM(c_custkey) AS key_sum
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
     FROM kept GROUP BY c_mktsegment
 """
 
@@ -82,12 +82,12 @@ _SHARDS_SQL = f"""
       FROM documents),
     packed AS (
       SELECT doc_id, w,
-             COALESCE(SUM(w) OVER (ORDER BY doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND 1 PRECEDING), 0) // {_TOKEN_BUDGET}
-               AS shard_id
+             CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) // {_TOKEN_BUDGET}
+                  AS BIGINT) AS shard_id
       FROM toks)
-    SELECT shard_id, COUNT(*) AS n_docs, SUM(w) AS total_tokens,
+    SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM packed GROUP BY shard_id
 """

@@ -446,7 +446,7 @@ _SPAN_STATS_SQL = f"""
     merged AS (SELECT doc_id, g, MIN(start) AS s, MAX("end") AS e
                FROM grp GROUP BY doc_id, g),
     agg AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
-                   SUM(e - s + 1) AS dup_tokens
+                   CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
             FROM merged GROUP BY doc_id)
     SELECT a.doc_id, n.n_tokens, a.n_dup_spans, a.dup_tokens,
            ROUND(a.dup_tokens * 1.0 / n.n_tokens, 4) AS dup_frac

@@ -2646,13 +2646,16 @@ def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLUMN PROFILER (the ANALYZE-style sweep): null count, exact
-    distinct count, min and max for a column LIST, computed as ONE
-    aggregation pass over the table and unpivoted into the per-column
-    report — the profiler contract that keeps a 50-column audit at one
-    scan (plus the per-column distinct aggregates, which Spark plans
-    with Expand; for the sketch-budget variant swap in
-    approx_count_distinct and the pass is single-stage). min/max are
-    stringified so heterogeneous column types share one report schema."""
+    distinct count, min and max for a column LIST, unpivoted into the
+    per-column report. Each column gets its OWN single-distinct 1-row
+    aggregate, assembled by 1-row crossJoins — the profile_approx_distinct
+    pattern. N distinct aggregates in one agg make Catalyst plan an
+    Expand (row multiplication x N: a 50-column profile would multiply
+    the scan output 50x before the shuffle); single-distinct aggs instead
+    partial-dedup map-side, and each per-column scan prunes to that one
+    column, so total I/O equals the single wide scan. min/max computed on
+    the native type, stringified only at the edge so heterogeneous
+    columns share one report schema. No-Expand pinned in test_plans."""
     cols = [
         "o_orderkey",
         "o_orderstatus",
@@ -2660,17 +2663,21 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ]
     o = load_table(spark, sf_dir, "orders")
-    aggs = [F.count("*").alias("n_rows")]
-    for i, c in enumerate(cols):
-        aggs += [
+
+    def col_agg(c: str, i: int) -> DataFrame:
+        return o.agg(
+            F.count("*").alias(f"nr{i}"),
             F.count(c).alias(f"nn{i}"),
             F.countDistinct(c).alias(f"nd{i}"),
             F.min(c).cast("string").alias(f"mn{i}"),
             F.max(c).cast("string").alias(f"mx{i}"),
-        ]
-    m = o.agg(*aggs)
+        )
+
+    m = col_agg(cols[0], 0)
+    for i, c in enumerate(cols[1:], start=1):
+        m = m.crossJoin(col_agg(c, i))
     stack = ", ".join(
-        f"'{c}', n_rows - nn{i}, nd{i}, mn{i}, mx{i}"
+        f"'{c}', nr{i} - nn{i}, nd{i}, mn{i}, mx{i}"
         for i, c in enumerate(cols)
     )
     return m.selectExpr(

@@ -27,6 +27,30 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_no_hugeint_oracle_output_columns(sf_dir):
+    """DuckDB widens un-cast SUM(BIGINT) to HUGEINT (int128), which the
+    external driver's strict value-hasher serializes differently from
+    Spark's int64 even when every value is identical (the r5
+    dedup_substring_spans red). Guard: no oracle may emit HUGEINT —
+    final-output integer aggregates must CAST(... AS BIGINT)."""
+    import duckdb
+
+    from loris_mri_spark.catalog import TESTDATA_TABLES, table_path
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    offenders = []
+    for name, sql in workload.ORACLES.items():
+        rel = con.sql(sql)
+        for c, t in zip(rel.columns, rel.types):
+            if str(t) in ("HUGEINT", "UHUGEINT"):
+                offenders.append((name, c))
+    assert offenders == [], offenders
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as se
 

@@ -162,6 +162,17 @@ def test_zorder_stats_no_join_one_agg_exchange(spark, sf_dir):
     assert plan.count("Exchange") <= 1
 
 
+def test_profile_columns_no_expand(spark, sf_dir):
+    """profile_columns must plan per-column single-distinct aggregates,
+    never the Expand multi-distinct rewrite (row multiplication x the
+    number of profiled columns — a 50-column audit would multiply the
+    scan output 50x at 100 TB)."""
+    plan = _plan(workload.QUERIES["profile_columns"](spark, sf_dir))
+    assert "Expand" not in plan
+    # each per-column scan prunes to its own column
+    assert plan.count("Scan parquet") == 4
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     """BatchEvalPython (row-at-a-time Python UDF) is the 10-100x-slower
     path and must never appear in ANY registered query plan. Python is
