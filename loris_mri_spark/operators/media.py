@@ -315,16 +315,19 @@ def wav_signal_features(content: bytes) -> "dict | None":
     meta = parse_wav_bytes(content)
     if meta is None:
         return None
-    # re-locate the data chunk (parse_wav_bytes validated the layout)
+    # re-locate the data chunk: mirror parse_wav_bytes EXACTLY (keep the
+    # LAST data chunk, no early break) — meta["n_frames"] was sized from
+    # that chunk, so stopping at an earlier one could overrun frombuffer
     pos, data = 12, b""
     while pos + 8 <= len(content):
         tag = content[pos : pos + 4]
         (size,) = struct.unpack_from("<I", content, pos + 4)
         if tag == b"data":
             data = content[pos + 8 : pos + 8 + size]
-            break
         pos += 8 + size + (size % 2)
     n_samples = meta["n_frames"] * meta["channels"]
+    if len(data) < n_samples * 2:
+        return None  # classify, don't fail (fuzz-reachable multi-chunk)
     vals = np.frombuffer(data, dtype="<i2", count=n_samples).astype(
         np.int64
     )

@@ -38,6 +38,12 @@ def merge_upsert(
     the same name if one exists, else NULL). Expressions see the joined
     row (target columns as `t.*`, source columns as `s.*`).
 
+    The output carries EVERY target column: columns not named in any
+    expression map pass through unchanged on matched/target-only rows and
+    take the same-named source column (or NULL) on inserts — a MERGE
+    never silently drops target columns. Columns named only in the maps
+    (computed columns absent from the target) are appended.
+
     ``status_col``: optionally emit 'updated' / 'inserted' / 'unchanged'
     per row, the audit column a CDC pipeline logs."""
     t = target.alias("t")
@@ -50,10 +56,15 @@ def merge_upsert(
     out_cols = [
         F.coalesce(F.col(f"t.{key}"), F.col(f"s.{key}")).alias(key)
     ]
-    names = set(when_matched) | set(when_not_matched) | set(by_source)
-    for name in sorted(names):
+    mapped = set(when_matched) | set(when_not_matched) | set(by_source)
+    names = [c for c in target.columns if c != key] + sorted(
+        n for n in mapped if n not in target.columns
+    )
+    for name in names:
         upd = when_matched.get(name)
         ins = when_not_matched.get(name)
+        if ins is None and name in source.columns:
+            ins = F.col(f"s.{name}")  # INSERT-image default: same-named col
         passthrough = by_source.get(
             name,
             F.col(f"t.{name}")

@@ -413,8 +413,11 @@ def pq_topk(
         ).select(out_id, "__sub.s", "__sub.sv")
 
     corp_sub = subspaces(corpus, "__id")
+    # seed-sample = the first n_codes vectors in id order (TakeOrdered,
+    # not `id < n_codes`: sparse/offset/non-numeric ids would silently
+    # under-fill the codebook); identical for dense 0-based ids
     codebook = subspaces(
-        corpus.filter(F.col(id_col) < n_codes), "__code"
+        corpus.orderBy(id_col).limit(n_codes), "__code"
     ).select("__code", "s", F.col("sv").alias("cw"))
 
     dist_n = F.floor(l2sq(F.col("sv"), F.col("cw")) * NANO + 0.5).cast(

@@ -390,9 +390,26 @@ class _ChunksStreamWriter(DataSourceStreamWriter):
             )
         with open(os.path.join(bdir, "_MANIFEST"), "w") as fh:
             json.dump({"batch": batchId, "files": manifest}, fh, sort_keys=True)
+        # sweep leftovers from failed/speculative attempts of THIS batch's
+        # tasks: anything still staged was superseded by a committed
+        # attempt (commit messages carried the winning filenames), so the
+        # staging dir never grows unboundedly across batches
+        try:
+            for leftover in os.listdir(self.staging):
+                os.unlink(os.path.join(self.staging, leftover))
+        except OSError:
+            pass
 
     def abort(self, messages, batchId: int) -> None:
-        shutil.rmtree(self.staging, ignore_errors=True)
+        # delete ONLY this batch's staged task files (the filenames its
+        # commit messages carry) — the staging dir is SHARED, so an
+        # rmtree could destroy a concurrent writer's staged work
+        for m in messages or []:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.staging, m.filename))
+                except OSError:
+                    pass
 
 
 class ChunksDataSource(DataSource):

@@ -772,6 +772,58 @@ def write_ctf_meg4(path: str, n_trials: int, n_channels: int,
         f.write(b"MEG41CP\x00" + struct.pack(f">{len(vals)}i", *vals))
 
 
+def write_dtiprep_protocol(path: str) -> None:
+    """DTIPrep protocol XML (DTI.pm:232-291 documents the shape XML::Simple
+    reads: nested <entry parameter=...> with repeated <value> children)."""
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<ProtocolSettings>\n"
+        '  <entry parameter="QC_QCOutputDirectory"/>\n'
+        '  <entry parameter="QC_QCedDWIFileNameSuffix">'
+        "<value>_QCed.nrrd</value></entry>\n"
+        '  <entry parameter="QC_reportFileNameSuffix">'
+        "<value>_QCReport.txt</value></entry>\n"
+        '  <entry parameter="QC_badGradientPercentageTolerance">'
+        "<value>0.2</value></entry>\n"
+        '  <entry parameter="IMAGE_bCheck">\n'
+        "    <value>Yes</value>\n"
+        '    <entry parameter="IMAGE_size">'
+        "<value>96</value><value>96</value><value>65</value></entry>\n"
+        '    <entry parameter="IMAGE_reportFileMode"><value>1</value></entry>\n'
+        "  </entry>\n"
+        '  <entry parameter="DIFFUSION_bCheck"><value>Yes</value></entry>\n'
+        '  <entry parameter="DTI_bCompute"><value>Yes</value></entry>\n'
+        "</ProtocolSettings>\n"
+    )
+    with open(path, "w", newline="") as f:
+        f.write(xml)
+
+
+def write_dtiprep_qc_xml(path: str, statuses: list[str]) -> None:
+    """DTIPrep *_XMLQCResult.xml QC report: a "DWI Check" entry holding one
+    gradient_NNNN entry per direction with its <processing> status
+    (DTI.pm:1165-1193 counts EXCLUDE_* statuses from exactly this shape)."""
+    grads = "".join(
+        f'    <entry parameter="gradient_{i:04d}">'
+        f"<processing>{s}</processing></entry>\n"
+        for i, s in enumerate(statuses)
+    )
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        "<QCResultSettings>\n"
+        '  <entry parameter="ImageInformation">\n'
+        '    <entry parameter="IMAGE_size">'
+        "<value>96</value><value>96</value><value>65</value></entry>\n"
+        "  </entry>\n"
+        '  <entry parameter="DWI Check">\n'
+        f"{grads}"
+        "  </entry>\n"
+        "</QCResultSettings>\n"
+    )
+    with open(path, "w", newline="") as f:
+        f.write(xml)
+
+
 def main() -> None:
     # --- DICOM study: 2 series x 3 instances + 1 non-dicom stray file
     ddir = _mkdir(os.path.join(HERE, "dicom"))
@@ -1027,11 +1079,24 @@ def main() -> None:
             "this line has no assignment\n"
         )
 
+    # --- DTIPrep protocol + QC report XML (S18)
+    xdir = _mkdir(os.path.join(HERE, "dtiprep"))
+    write_dtiprep_protocol(os.path.join(xdir, "DTIPrepProtocol.xml"))
+    write_dtiprep_qc_xml(
+        os.path.join(xdir, "sub-01_dti_XMLQCResult.xml"),
+        ["INCLUDE"] * 9
+        + ["EXCLUDE_SLICECHECK", "EXCLUDE_GRADIENTCHECK",
+           "EXCLUDE_GRADIENTCHECK"],
+    )
+    write_dtiprep_qc_xml(
+        os.path.join(xdir, "sub-02_dti_XMLQCResult.xml"),
+        ["INCLUDE"] * 7 + ["EXCLUDE_INTERLACECHECK"] + ["INCLUDE"] * 2,
+    )
+    with open(os.path.join(xdir, "broken.xml"), "w", newline="") as f:
+        f.write("<QCResultSettings><entry parameter='oops'>")
+
     print("fixtures written under", HERE)
 
-
-if __name__ == "__main__":
-    main()
 
 
 def _btag(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
@@ -1497,3 +1562,5 @@ def write_jpeg_420_flat(path: str, inst: int, mw: int = 2, mh: int = 2) -> None:
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     with open(path, "wb") as f:
         f.write(b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ from loris_mri_spark.sources.minc_ecat import (
     parse_minc1_bytes,
     parse_minc2_bytes,
 )
+from loris_mri_spark.sources.dtiprep import parse_dtiprep_xml_bytes
 from loris_mri_spark.sources.nifti import parse_nifti_bytes
 
 FIXTURES = Path(__file__).resolve().parent / "fixtures"
@@ -66,6 +67,7 @@ PARSERS = [
     parse_minc1_bytes,
     parse_minc2_bytes,
     parse_nifti_bytes,
+    parse_dtiprep_xml_bytes,
 ]
 
 VALID = [
@@ -94,6 +96,8 @@ VALID = [
     (FIXTURES / "minc" / "sub-01_t1w.mnc").read_bytes(),
     (FIXTURES / "minc2" / "sub-03_t2w.mnc").read_bytes(),
     (FIXTURES / "nifti" / "sub-01_T1w.nii").read_bytes(),
+    (FIXTURES / "dtiprep" / "DTIPrepProtocol.xml").read_bytes(),
+    (FIXTURES / "dtiprep" / "sub-01_dti_XMLQCResult.xml").read_bytes(),
 ]
 
 
@@ -165,6 +169,29 @@ def test_wav_inconsistent_channels_classifies_none():
     raw = bytearray(VALID[0])
     raw[22] = 2
     assert parse_wav_bytes(bytes(raw)) is None
+
+
+def test_wav_multi_data_chunk_features_match_parse():
+    """Two 'data' chunks (fuzz-reachable via a flipped chunk tag):
+    parse_wav_bytes keeps the LAST, so wav_signal_features must locate
+    the same chunk — stopping at the first would size
+    np.frombuffer(count=n_samples) past the buffer and raise."""
+    import struct as _struct
+
+    fmt = _struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    small = _struct.pack("<4h", 5, -5, 5, -5)
+    big = _struct.pack("<8h", 100, -100, 100, -100, 100, -100, 100, -100)
+    body = (
+        b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(small)) + small
+        + b"data" + _struct.pack("<I", len(big)) + big
+    )
+    raw = b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    meta = parse_wav_bytes(raw)
+    assert meta is not None and meta["n_frames"] == 8
+    feats = wav_signal_features(raw)
+    assert feats is not None
+    assert feats["peak"] == 100 and feats["zero_crossings"] == 7
 
 
 def test_meg4_truncation_drops_partial_trial():

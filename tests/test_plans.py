@@ -9,6 +9,8 @@ stay correct.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from loris_mri_spark import workload
 
 workload.load_all()
@@ -160,6 +162,27 @@ def test_zorder_stats_no_join_one_agg_exchange(spark, sf_dir):
     assert "Join" not in plan
     assert "Python" not in plan
     assert plan.count("Exchange") <= 1
+
+
+def test_salted_join_row_equality(spark, sf_dir):
+    """salted_join must return exactly the rows of the unsalted join —
+    every fact row carries one salt, every dim row is replicated across
+    all salts, so (key, salt) matches iff key matches (the equality
+    guarantee the salt.py docstring promises)."""
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.operators.salt import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("inner", "left"):
+        salted = salted_join(o, c, "o_custkey", n_salts=4, how=how)
+        plain = o.join(c, "o_custkey", how)
+        assert salted.exceptAll(plain).isEmpty()
+        assert plain.exceptAll(salted).isEmpty()
 
 
 def test_profile_columns_no_expand(spark, sf_dir):

@@ -118,3 +118,31 @@ def test_pq_recall_and_codebook_scaling(spark, sf_dir):
     r16, r64 = recall(16), recall(64)
     assert r16 >= 0.10, r16          # >= 10x chance
     assert r64 > r16, (r16, r64)     # codebook size buys recall
+
+
+def test_pq_codebook_robust_to_offset_ids(spark, sf_dir):
+    """The codebook seed-sample is the first n_codes vectors in id ORDER
+    (row-selection), not `id < n_codes` (value comparison) — with
+    offset ids the latter silently yields an empty codebook and zero
+    results. Shifting every id by 1e6 must not change the neighbors."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.operators.vectors import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    base = pq_topk(q, e, id_col="vec_id", vec_col="embedding", n_codes=16)
+    OFF = 1_000_000
+    e2 = e.withColumn("vec_id", F.col("vec_id") + OFF)
+    q2 = q.withColumn("vec_id", F.col("vec_id") + OFF)
+    shifted = pq_topk(
+        q2, e2, id_col="vec_id", vec_col="embedding", n_codes=16
+    ).select(
+        (F.col("query_id") - OFF).alias("query_id"),
+        (F.col("neighbor_id") - OFF).alias("neighbor_id"),
+        "rank",
+        "adist_nanos",
+    )
+    assert base.exceptAll(shifted).isEmpty()
+    assert shifted.exceptAll(base).isEmpty()
