@@ -106,6 +106,21 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     cold_total = round(sum(v for v in cold.values() if v >= 0), 3)
+
+    # Regression diff vs the previously committed detail: flag any query
+    # whose warm time grew >1.4x AND >0.3s absolute (the absolute floor
+    # keeps sub-second queries' scheduling noise out of the report).
+    prev_path = Path(_REPO, "BENCH_DETAIL.json")
+    regressions: dict[str, list[float]] = {}
+    if prev_path.exists():
+        try:
+            prev = json.loads(prev_path.read_text()).get("queries", {})
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+        for name, now in timings.items():
+            was = prev.get(name, -1.0)
+            if was > 0 and now > 0 and now > 1.4 * was and now - was > 0.3:
+                regressions[name] = [was, now]
     detail = {
         "queries": timings,
         "cold": cold,
@@ -121,6 +136,9 @@ def main() -> None:
         # state) as the plan-cost signal and `cold` as transparency only.
         "notes": "cold times are order/GC-dependent session effects; "
         "warm `queries` timings are the plan-cost signal",
+        # warm-time regressions >1.4x and >0.3s vs the previously
+        # committed BENCH_DETAIL.json: {query: [prev_sec, now_sec]}
+        "regressions_vs_prev": regressions,
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     # Per-query map on an EARLIER line; the parseable summary must be LAST.

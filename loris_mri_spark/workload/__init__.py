@@ -64,20 +64,78 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The external driver's correctness gate evaluates only the FIRST 50 entries
 # of QUERIES in iteration order.  Each round this list rotates the window.
-# r05 layout: positions 0-6 are the seven queries the r04 review demanded
-# fresh green rows for (pinned at the front so later additions can never
-# displace them), 7-49 are the oldest 43 of this round's 51 new queries
-# (every one pre-verified locally against the exact driver procedure on a
-# vanilla session). Everything after position 49 — the 8 newest r5
-# additions, the earlier-session r5 additions, the shared-pass refactor
-# block, and the stale-green refresh queues — waits for the r06 window;
-# all are green in the local full-contract sweep. Queries not named here
-# keep registration order after the priority block — nothing is ever
-# dropped. (r04 greened 50/50, see CORRECTNESS_r04.json.)
-PRIORITY_ORDER: list[str] = [
-    # -- VERDICT r4 'Done =' items FIRST: the judge asked for r05 green
-    #    rows on exactly these seven; they must never fall past the
-    #    50-entry window however many new queries land above them --
+# r06 layout (tests/test_oracle_parity.py pins it): position 0 is the r5
+# red query re-greened after its one-line oracle cast fix; positions 1-43
+# are ALL 43 queries that had never been driver-checked through r5 (the
+# union of CORRECTNESS_r01..r05 keys vs the registry — after this round
+# every registered query has a driver-green row at least once); positions
+# 44-49 are this round's new queries (S18 DTIPrep XML x2, the two new
+# pipeline compositions) plus the two whose code changed this round
+# (profile_columns de-Expand, pq_topk codebook seed). Everything else is
+# already driver-green at its current code and keeps registration order
+# after the priority block — nothing is ever dropped. (r05 greened 49/50;
+# the one red is position 0 here.)
+R6_WINDOW: list[str] = [
+    # -- the r5 red (oracle HUGEINT cast), pinned first for its re-green --
+    "dedup_substring_spans",
+    # -- the 43 never-driver-checked queries (union of r1-r5 CORRECTNESS
+    #    keys vs the registry), corpus-prep + native-decoder families
+    #    included; all green in the local full-contract sweep --
+    "a11_grouping_sets",
+    "anomaly_daily_zscore",
+    "vec_drift_monitor",
+    "j15_asof_scd2_lookup",
+    "ann_mrr_ndcg",
+    "text_entropy",
+    "t3b_dedup_within_watermark_api",
+    "c12_bitwise_functions",
+    "w8_percent_of_total",
+    "mm_audio_features",
+    "graph_triangle_count",
+    "profile_countmin_topk",
+    "text_posting_lists",
+    "text_repetition_stats",
+    "text_pii_redact",
+    "corpus_global_shuffle",
+    "s1_headers_datasource",
+    "layout_zorder_stats",
+    "dedup_keep_best",
+    "corpus_mixture_interleave",
+    "s7_bdf_channels",
+    "s7_brainvision_channels",
+    "s7_brainvision_markers",
+    "s7_edf_annotations",
+    "s1_dicom_transfer_syntaxes",
+    "t8_incremental_store_dedup",
+    "graph_authority_rank",
+    "s1_dicom_encapsulated_frames",
+    "s1_dicom_rle_decode",
+    "text_quality_classifier",
+    "s12b_versioned_time_travel",
+    "mm_decode_jpeg_baseline",
+    "mm_video_mjpeg_frames",
+    "mm_decode_jpeg_color",
+    "corpus_ingest_jsonl",
+    "sample_stratified_deterministic",
+    "pack_token_budget_shards",
+    "contamination_eval_overlap",
+    "s6b_ecat_matlab_sidecar",
+    "s15b_ortho_preview",
+    "dedup_winnow_coverage",
+    "vec_cosine_clusters",
+    "w5_rolling_event_stats",
+    # -- new this round --
+    "s18_dtiprep_protocol",
+    "s18b_dtiprep_qc_gradients",
+    "pipeline_processed_registration",
+    "pipeline_deface_batch",
+    # -- code changed this round: re-green --
+    "profile_columns",
+    "ann_pq_adc_topk",
+]
+
+PRIORITY_ORDER: list[str] = R6_WINDOW + [
+    # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",
     "c5_blake2b_hash",
@@ -85,10 +143,6 @@ PRIORITY_ORDER: list[str] = [
     "f5_visit_window_validation",
     "s1_dicom_implicit_vr",
     "s5b_minc2_headers",
-    # -- never driver-checked r5 additions, newest coverage first; the
-    #    window holds the first 43 of these, the rest wait for r06 (all
-    #    are green in the local full-contract sweep) --
-    "dedup_substring_spans",
     "dedup_substring_hotspans",
     "dq_constraint_report",
     "er_fuzzy_name_pairs",
@@ -126,59 +180,14 @@ PRIORITY_ORDER: list[str] = [
     "pipeline_pretraining_data",
     "funnel_sessionized",
     "w7_forward_fill",
-    "ann_pq_adc_topk",
     "profile_skew_report",
     "ann_matryoshka_recall",
     "j14_interval_overlap_join",
-    "profile_columns",
-    "a11_grouping_sets",
-    "anomaly_daily_zscore",
-    "vec_drift_monitor",
-    "j15_asof_scd2_lookup",
-    "ann_mrr_ndcg",
-    "text_entropy",
-    "t3b_dedup_within_watermark_api",
-    "c12_bitwise_functions",
-    "w8_percent_of_total",
-    "mm_audio_features",
-    "graph_triangle_count",
-    "profile_countmin_topk",
-    "text_posting_lists",
-    "text_repetition_stats",
-    "text_pii_redact",
-    "corpus_global_shuffle",
-    "s1_headers_datasource",
-    "layout_zorder_stats",
-    "dedup_keep_best",
-    "corpus_mixture_interleave",
-    "s7_bdf_channels",
-    "s7_brainvision_channels",
-    "s7_brainvision_markers",
-    "s7_edf_annotations",
-    "s1_dicom_transfer_syntaxes",
-    "t8_incremental_store_dedup",
-    "graph_authority_rank",
-    "s1_dicom_encapsulated_frames",
-    "s1_dicom_rle_decode",
-    "text_quality_classifier",
-    "s12b_versioned_time_travel",
-    "mm_decode_jpeg_baseline",
-    "mm_video_mjpeg_frames",
-    "mm_decode_jpeg_color",
-    "corpus_ingest_jsonl",
     "text_fingerprint_winnow",
     "dedup_winnow_pairs",
     "dedup_minhash_lsh_pairs",
     "dedup_minhash_clusters",
     "pipeline_corpus_select",
-    "sample_stratified_deterministic",
-    "pack_token_budget_shards",
-    "contamination_eval_overlap",
-    "s6b_ecat_matlab_sidecar",
-    "s15b_ortho_preview",
-    "dedup_winnow_coverage",
-    "vec_cosine_clusters",
-    "w5_rolling_event_stats",
     "x4_hed_parse",
     "x4b_hed_ancestors",
     "mm_decode_png_roundtrip",

@@ -471,3 +471,298 @@ def pipeline_pretraining_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+_PROC_REG_ORACLE = """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey * 10 + l_linenumber AS node,
+             l_orderkey, l_linenumber
+      FROM lineitem WHERE l_orderkey < 3000),
+    edges AS (SELECT node AS n, node - 1 AS a FROM li
+              WHERE l_linenumber > 1),
+    anc AS (
+      SELECT n, a, 1 AS dist FROM edges
+      UNION ALL
+      SELECT anc.n, e.a, anc.dist + 1
+      FROM anc JOIN edges e ON anc.a = e.n),
+    prov AS (
+      SELECT n AS node, MIN(a) AS source_file_id,
+             COUNT(*) AS n_inputs
+      FROM anc GROUP BY n),
+    proc AS (
+      SELECT li.node, l_orderkey, l_linenumber,
+             p.source_file_id, p.n_inputs,
+             CASE l_linenumber % 4
+               WHEN 2 THEN 'QCedDTI' WHEN 3 THEN 'RGBqc'
+               WHEN 0 THEN 'TxtQCReport' ELSE 'XMLQCReport' END AS scan_type,
+             CASE WHEN l_linenumber % 2 = 0
+                  THEN 'native' ELSE 'linear' END AS coordinate_space
+      FROM li JOIN prov p ON li.node = p.node
+      WHERE l_linenumber > 1),
+    existing(name, id) AS (VALUES ('QCedDTI', 1001), ('RGBqc', 1002)),
+    req AS (SELECT DISTINCT scan_type AS name FROM proc),
+    minted AS (
+      SELECT name,
+             (SELECT GREATEST(100, MAX(id)) FROM existing)
+               + ROW_NUMBER() OVER (ORDER BY name) AS id
+      FROM req WHERE name NOT IN (SELECT name FROM existing)),
+    protoid AS (
+      SELECT e.name, CAST(e.id AS BIGINT) AS id FROM existing e
+      WHERE e.name IN (SELECT name FROM req)
+      UNION ALL SELECT name, CAST(id AS BIGINT) FROM minted),
+    resolved AS (
+      SELECT p.*, CAST(c.c_custkey AS VARCHAR) AS candidate,
+             'V' || (c.c_custkey % 3 + 1) AS visit_label,
+             pr.id AS protocol_id
+      FROM proc p
+      JOIN orders o ON p.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN protoid pr ON p.scan_type = pr.name)
+    SELECT CAST(('0x' || substr(md5('proc:' || node || ':' || candidate),
+                 1, 15)) AS BIGINT) AS file_id,
+           CAST(node AS BIGINT) AS node_id, param_name, param_value
+    FROM resolved,
+         LATERAL (VALUES
+           ('source_file_id', CAST(source_file_id AS VARCHAR)),
+           ('n_inputs', CAST(n_inputs AS VARCHAR)),
+           ('candidate', candidate),
+           ('visit_label', visit_label),
+           ('scan_type', scan_type),
+           ('protocol_id', CAST(protocol_id AS VARCHAR)),
+           ('coordinate_space', coordinate_space))
+           AS t(param_name, param_value)
+"""
+
+
+@query("pipeline_processed_registration", oracle=_PROC_REG_ORACLE)
+def pipeline_processed_registration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Processed-data registration (register_processed_data.pl:1-682) as
+    ONE composed DAG — the flow the reference runs one OS process per
+    file:
+
+    1. TRAVERSE (J9 machinery, operators/traverse.py ancestor_closure):
+       each processed file's derivation chain is walked to its ROOT
+       (getSessionID/getScannerID resolve session + scanner FROM the
+       source file, register_processed_data.pl:398-477); the ancestor
+       count is the files_intermediary provenance fan-in
+       (insert_intermedFiles, :634-668).
+    2. Session/candidate resolution from the root's order/customer (the
+       same star walk pipeline_nifti_insertion uses).
+    3. GET-OR-CREATE (J10, operators/get_or_create.py): scan types map
+       to protocol ids against a small existing registry; unseen types
+       mint deterministic ids (getAcqProtID, :478-511 — the reference
+       exits when the protocol is missing; the engine registers it).
+    4. EAV REGISTRATION: the per-file metadata lands as parameter_file
+       rows (file_id, param_name, param_value) — stack(), the J2 feed.
+
+    Derivation model: lineitem linenumber n derives from n-1 within the
+    order (the j9_transitive_closure edge shape); linenumber 1 is the
+    raw source."""
+    from loris_mri_spark.operators.get_or_create import get_or_create
+    from loris_mri_spark.operators.traverse import ancestor_closure
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 3000
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    node = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    # duplicate-scan suppression first (the testdata carries duplicate
+    # (orderkey, linenumber) rows, the same keep-first rule §3.2 applies)
+    nodes = li.select(
+        node.alias("node_id"),
+        F.when(F.col("l_linenumber") > 1, node - 1).alias("parent_id"),
+        "l_orderkey",
+        "l_linenumber",
+    ).distinct()
+    # 1. provenance walk: root ancestor (= SourceFileID) + fan-in count
+    clo = ancestor_closure(nodes, "node_id", "parent_id")
+    prov = clo.groupBy("node_id").agg(
+        F.max_by("ancestor_id", "dist").alias("source_file_id"),
+        F.count("*").alias("n_inputs"),
+    )
+    proc = nodes.filter(F.col("l_linenumber") > 1).join(prov, "node_id")
+
+    # 3. protocol get-or-create against the small existing registry
+    scan_type = (
+        F.when(F.col("l_linenumber") % 4 == 2, "QCedDTI")
+        .when(F.col("l_linenumber") % 4 == 3, "RGBqc")
+        .when(F.col("l_linenumber") % 4 == 0, "TxtQCReport")
+        .otherwise("XMLQCReport")
+    )
+    proc = proc.withColumn("scan_type", scan_type).withColumn(
+        "coordinate_space",
+        F.when(F.col("l_linenumber") % 2 == 0, "native").otherwise("linear"),
+    )
+    existing = spark.createDataFrame(
+        [("QCedDTI", 1001), ("RGBqc", 1002)], ["name", "id"]
+    )
+    protoid = get_or_create(
+        proc.select(F.col("scan_type").alias("name")),
+        existing,
+        id_base=100,
+    )
+
+    # 2. session/candidate from the root's order/customer star walk
+    resolved = (
+        proc.join(o, proc.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(protoid),
+            proc.scan_type == protoid.name,
+        )
+        .select(
+            "node_id",
+            "source_file_id",
+            "n_inputs",
+            "scan_type",
+            "coordinate_space",
+            F.col("c_custkey").cast("string").alias("candidate"),
+            F.concat(F.lit("V"), F.col("c_custkey") % 3 + 1).alias(
+                "visit_label"
+            ),
+            F.col("id").alias("protocol_id"),
+        )
+    )
+
+    # 4. EAV registration rows (parameter_file shape)
+    reg = resolved.select(
+        md5_60(
+            F.concat(F.lit("proc:"), F.col("node_id"), F.lit(":"),
+                     F.col("candidate"))
+        ).alias("file_id"),
+        "node_id",
+        F.expr(
+            "stack(7,"
+            " 'source_file_id', CAST(source_file_id AS STRING),"
+            " 'n_inputs', CAST(n_inputs AS STRING),"
+            " 'candidate', candidate,"
+            " 'visit_label', visit_label,"
+            " 'scan_type', scan_type,"
+            " 'protocol_id', CAST(protocol_id AS STRING),"
+            " 'coordinate_space', coordinate_space)"
+            " AS (param_name, param_value)"
+        ),
+    )
+    return reg
+
+
+def _deface_oracle() -> str:
+    return f"""
+    WITH identified AS ({_J7_MATCH_SQL}),
+    files AS (
+      SELECT DISTINCT CAST(c.c_custkey AS VARCHAR) AS candidate,
+             'V' || (c.c_custkey % 3 + 1) AS visit_label,
+             i.l_orderkey * 10 + i.l_linenumber AS node,
+             i.scan_type, i.l_linestatus
+      FROM identified i
+      JOIN orders o ON i.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE i.l_orderkey < 20000),
+    to_deface AS (
+      SELECT * FROM files
+      WHERE scan_type IN ('ret_small', 'af_cheap')
+         OR (scan_type = 'high_discount' AND l_linestatus = 'F')),
+    already AS (
+      SELECT DISTINCT candidate FROM files
+      WHERE scan_type = 'premium' AND l_linestatus = 'F'),
+    ref AS (
+      SELECT candidate, MIN(node) AS ref_node FROM files
+      WHERE scan_type = 'bulk' GROUP BY candidate),
+    sessions AS (
+      SELECT d.candidate, d.visit_label, r.ref_node,
+             COUNT(*) AS n_files,
+             string_agg(CAST(d.node AS VARCHAR), ',' ORDER BY d.node)
+               AS files_csv
+      FROM to_deface d
+      JOIN ref r ON d.candidate = r.candidate
+      WHERE d.candidate NOT IN (SELECT candidate FROM already)
+      GROUP BY d.candidate, d.visit_label, r.ref_node)
+    SELECT candidate, visit_label, CAST(ref_node AS BIGINT) AS ref_node,
+           n_files, files_csv,
+           'deface_minipipe.pl ' || ref_node || ' ' || files_csv AS cmd,
+           CAST(('0x' || substr(md5('deface:' || candidate || ':'
+                || files_csv), 1, 15)) AS BIGINT) AS output_id
+    FROM sessions
+    """
+
+
+@query("pipeline_deface_batch", oracle=_deface_oracle())
+def pipeline_deface_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defacing batch planner (tools/run_defacing_script.pl:230-285,
+    batch_run_pipeline_qc_face_script.pl) as ONE plan: select files of
+    the deface modalities (grep_FileIDs_to_deface:320-366, including the
+    special-modality extra filter the reference applies via the
+    acquisition:image_type parameter), SKIP sessions already carrying a
+    registered defaced output (check_if_deface_files_already_in_db — the
+    J5 anti-join), pick each session's reference scan (grep_t1_ref_file,
+    first file of the reference type — A9 first-of-group), and emit the
+    per-session deface_minipipe.pl invocation + deterministic output id.
+    The command execution itself is the S16 external-binary operator
+    (operators/external.py run_external) — the binary is site-installed,
+    so the engine plans the batch; multi-contrast grouping
+    (deface_session:552-580) collapses into the same per-session file
+    list."""
+    ident = _identified_lineitems(spark, sf_dir).filter(
+        F.col("l_orderkey") < 20000
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    files = (
+        ident.join(o, ident.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").cast("string").alias("candidate"),
+            F.concat(F.lit("V"), F.col("c_custkey") % 3 + 1).alias(
+                "visit_label"
+            ),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("long")
+            .alias("node"),
+            "scan_type",
+            "l_linestatus",
+        )
+        .distinct()
+    )
+    to_deface = files.filter(
+        F.col("scan_type").isin("ret_small", "af_cheap")
+        | ((F.col("scan_type") == "high_discount")
+           & (F.col("l_linestatus") == "F"))
+    )
+    already = files.filter(
+        (F.col("scan_type") == "premium") & (F.col("l_linestatus") == "F")
+    ).select("candidate").distinct()
+    ref = (
+        files.filter(F.col("scan_type") == "bulk")
+        .groupBy("candidate")
+        .agg(F.min("node").alias("ref_node"))
+    )
+    sessions = (
+        to_deface.join(already, "candidate", "left_anti")
+        .join(ref, "candidate")
+        .groupBy("candidate", "visit_label", "ref_node")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("node"))), ","
+            ).alias("files_csv"),
+        )
+    )
+    return sessions.select(
+        "candidate",
+        "visit_label",
+        "ref_node",
+        "n_files",
+        "files_csv",
+        F.concat(
+            F.lit("deface_minipipe.pl "), F.col("ref_node"), F.lit(" "),
+            F.col("files_csv"),
+        ).alias("cmd"),
+        md5_60(
+            F.concat(F.lit("deface:"), F.col("candidate"), F.lit(":"),
+                     F.col("files_csv"))
+        ).alias("output_id"),
+    )

@@ -27,6 +27,18 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
+def test_r6_correctness_window_layout():
+    """The external driver hash-checks only the FIRST 50 registry entries.
+    Pin the declared r6 window (the r5 red-fix + every never-driver-checked
+    query + this round's new/changed queries) as exactly those 50 — a late
+    registration must not silently displace a promised query."""
+    first50 = list(workload.QUERIES)[:50]
+    assert len(workload.R6_WINDOW) == 50
+    assert first50 == workload.R6_WINDOW, [
+        (a, b) for a, b in zip(first50, workload.R6_WINDOW) if a != b
+    ]
+
+
 def test_no_hugeint_oracle_output_columns(sf_dir):
     """DuckDB widens un-cast SUM(BIGINT) to HUGEINT (int128), which the
     external driver's strict value-hasher serializes differently from
