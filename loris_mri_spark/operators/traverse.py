@@ -75,6 +75,7 @@ def ancestor_closure(
     id_col: str = "node_id",
     parent_col: str = "parent_id",
     max_iterations: int = 20,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """(node, ancestor, dist) pairs for a self-referencing parent-pointer
     table — the `hed_schema_node` shape
@@ -87,10 +88,19 @@ def ancestor_closure(
     metadata-sized (HED ~1-2k nodes), so each iteration joins tiny frames;
     the loop runs O(tree depth) rounds and raises on cap exhaustion like
     transitive_closure (a truncated closure would silently drop ancestors).
+
+    ``broadcast_edges``: when the parent-pointer table is metadata-sized
+    (ontologies, a registration batch's provenance) the per-round join
+    should broadcast the edge side — every iteration becomes a map-side
+    hash join with NO shuffle exchange, so the only per-round cost is the
+    frontier materialization. Leave False for edge tables too big to
+    broadcast (the generic shuffle join).
     """
     edges = nodes.select(
         F.col(id_col).alias("__n"), F.col(parent_col).alias("__a")
     ).filter(F.col("__a").isNotNull())
+    if broadcast_edges:
+        edges = F.broadcast(edges.localCheckpoint())
     out = edges.withColumn("dist", F.lit(1)).localCheckpoint()
     frontier = out
     for _ in range(max_iterations):
@@ -119,4 +129,71 @@ def ancestor_closure(
         F.col("__n").alias(id_col),
         F.col("__a").alias("ancestor_id"),
         "dist",
+    )
+
+
+def pointer_doubling_roots(
+    nodes: DataFrame,
+    id_col: str = "node_id",
+    parent_col: str = "parent_id",
+    doublings: int = 5,
+) -> DataFrame:
+    """(node, root, depth) for a parent-pointer table by POINTER DOUBLING:
+    after k self-joins every node's pointer has advanced up to 2**k hops
+    (saturating at its root), so ceil(log2(max_depth)) joins replace the
+    per-round frontier loop — ONE Catalyst plan, log-depth shuffles, no
+    driver-side iteration, no broadcast requirement. This is the scale
+    shape for resolving `files.SourceFileID` provenance roots when the
+    node table is corpus-sized (delete_imaging_upload.pl:1009-1030 walks
+    the same pointers row-at-a-time).
+
+    ``depth`` = number of strict ancestors (0 for roots). Chains deeper
+    than 2**doublings raise (a silently truncated root would mis-assign
+    provenance) — the one materialization doubles as the saturation
+    check.
+    """
+    state = nodes.select(
+        F.col(id_col).alias("__n"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("__a"),
+        F.when(F.col(parent_col).isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("__d"),
+    )
+    for _ in range(doublings):
+        nxt = state.select(
+            F.col("__n").alias("__m"),
+            F.col("__a").alias("__ma"),
+            F.col("__d").alias("__md"),
+        )
+        # LEFT join: a pointer may target a node absent from `nodes` (a
+        # phantom parent — e.g. a source row not in this batch); such a
+        # pointer is terminal and keeps its current (ancestor, distance)
+        state = state.join(nxt, state["__a"] == nxt["__m"], "left").select(
+            "__n",
+            F.coalesce("__ma", "__a").alias("__a"),
+            (F.col("__d") + F.coalesce("__md", F.lit(0))).alias("__d"),
+        )
+    final = state.localCheckpoint()
+    # saturation: a saturated node's pointer lands on a root (whose own
+    # advance distance is 0); any remaining positive-distance pointer
+    # means the chain is deeper than 2**doublings
+    probe = final.select(
+        F.col("__n").alias("__m"), F.col("__d").alias("__md")
+    )
+    unsat = (
+        final.join(probe, final["__a"] == probe["__m"])
+        .filter(F.col("__md") > 0)
+        .limit(1)
+        .count()
+    )
+    if unsat:
+        raise RuntimeError(
+            f"pointer_doubling_roots: chains deeper than 2**{doublings}; "
+            "raise `doublings`"
+        )
+    return final.select(
+        F.col("__n").alias(id_col),
+        F.col("__a").alias("root_id"),
+        F.col("__d").alias("depth"),
     )

@@ -542,11 +542,12 @@ def pipeline_processed_registration(
     ONE composed DAG — the flow the reference runs one OS process per
     file:
 
-    1. TRAVERSE (J9 machinery, operators/traverse.py ancestor_closure):
-       each processed file's derivation chain is walked to its ROOT
+    1. TRAVERSE (J9 machinery, operators/traverse.py
+       pointer_doubling_roots — log-depth self-joins in one plan): each
+       processed file's derivation chain is walked to its ROOT
        (getSessionID/getScannerID resolve session + scanner FROM the
-       source file, register_processed_data.pl:398-477); the ancestor
-       count is the files_intermediary provenance fan-in
+       source file, register_processed_data.pl:398-477); the chain
+       depth is the files_intermediary provenance fan-in
        (insert_intermedFiles, :634-668).
     2. Session/candidate resolution from the root's order/customer (the
        same star walk pipeline_nifti_insertion uses).
@@ -561,7 +562,7 @@ def pipeline_processed_registration(
     order (the j9_transitive_closure edge shape); linenumber 1 is the
     raw source."""
     from loris_mri_spark.operators.get_or_create import get_or_create
-    from loris_mri_spark.operators.traverse import ancestor_closure
+    from loris_mri_spark.operators.traverse import pointer_doubling_roots
 
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") < 3000
@@ -579,10 +580,13 @@ def pipeline_processed_registration(
         "l_linenumber",
     ).distinct()
     # 1. provenance walk: root ancestor (= SourceFileID) + fan-in count
-    clo = ancestor_closure(nodes, "node_id", "parent_id")
-    prov = clo.groupBy("node_id").agg(
-        F.max_by("ancestor_id", "dist").alias("source_file_id"),
-        F.count("*").alias("n_inputs"),
+    # by pointer doubling — log-depth self-joins in ONE Catalyst plan
+    # (no per-round driver loop), the shape that survives a corpus-sized
+    # provenance table at 100 TB.
+    prov = pointer_doubling_roots(nodes, "node_id", "parent_id").select(
+        "node_id",
+        F.col("root_id").alias("source_file_id"),
+        F.col("depth").alias("n_inputs"),
     )
     proc = nodes.filter(F.col("l_linenumber") > 1).join(prov, "node_id")
 

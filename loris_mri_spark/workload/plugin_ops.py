@@ -207,7 +207,7 @@ def x4b_hed_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = spark.createDataFrame(
         _HED_NODES, "node_id int, name string, parent_id int"
     )
-    closure = ancestor_closure(nodes)
+    closure = ancestor_closure(nodes, broadcast_edges=True)
 
     tags = _hed_event_nodes(spark, sf_dir).select(
         "event_id", F.col("node.tag").alias("tag")

@@ -41,3 +41,42 @@ def test_transitive_closure_reaches_and_stops(spark):
     seeds = spark.createDataFrame([(1,)], "id int")
     got = {r["id"] for r in transitive_closure(edges, seeds).collect()}
     assert got == {1, 2, 3}
+
+
+def test_pointer_doubling_roots_matches_closure(spark):
+    """pointer_doubling_roots must agree with the per-round closure on
+    root (deepest ancestor) and depth, including PHANTOM parents (a
+    pointer targeting a node absent from the table is terminal)."""
+    from loris_mri_spark.operators.traverse import pointer_doubling_roots
+
+    #    1 (root)        7 -> 99 (phantom parent)
+    #    |               |
+    #    2 -> 4 -> 6     8
+    nodes = spark.createDataFrame(
+        [(1, None), (2, 1), (4, 2), (6, 4), (7, 99), (8, 7), (5, None)],
+        "node_id int, parent_id int",
+    )
+    got = {
+        (r["node_id"], r["root_id"], r["depth"])
+        for r in pointer_doubling_roots(nodes).collect()
+    }
+    assert got == {
+        (1, 1, 0),
+        (2, 1, 1),
+        (4, 1, 2),
+        (6, 1, 3),
+        (7, 99, 1),   # phantom parent: terminal root
+        (8, 99, 2),
+        (5, 5, 0),
+    }
+
+
+def test_pointer_doubling_roots_raises_on_deep_chain(spark):
+    from loris_mri_spark.operators.traverse import pointer_doubling_roots
+
+    chain = [(i, i - 1 if i else None) for i in range(10)]
+    nodes = spark.createDataFrame(chain, "node_id int, parent_id int")
+    with pytest.raises(RuntimeError, match="deeper than"):
+        pointer_doubling_roots(nodes, doublings=2)  # cap 4 < depth 9
+    ok = pointer_doubling_roots(nodes, doublings=4)  # cap 16
+    assert ok.filter("node_id = 9").collect()[0]["depth"] == 9
