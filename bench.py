@@ -76,6 +76,22 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Hardware calibration: a fixed single-core Python loop and a fixed
+    # JVM aggregation, so round-over-round comparisons can separate plan
+    # regressions from host-speed drift (r6 observation: an identical
+    # repo ran ~1.8x slower wall-clock on a 2.1 GHz round-6 host than on
+    # the round-5 host — uniformly, across untouched queries).
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(20_000_000):
+        acc += i
+    calib_py = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    spark.range(200_000_000).selectExpr(
+        "sum(id % 1000000) AS s"  # stays far below int64 in ANSI mode
+    ).write.format("noop").mode("overwrite").save()
+    calib_jvm = round(time.perf_counter() - t0, 3)
+
     # Two runs per query: the first pays one-time whole-stage-codegen
     # compilation (seconds for the big expression trees — session cost,
     # amortized to zero on a long-lived cluster); the second measures the
@@ -139,6 +155,10 @@ def main() -> None:
         # warm-time regressions >1.4x and >0.3s vs the previously
         # committed BENCH_DETAIL.json: {query: [prev_sec, now_sec]}
         "regressions_vs_prev": regressions,
+        # host-speed calibration (fixed workloads): compare these before
+        # reading anything into cross-round total drift
+        "calib_python_loop_sec": calib_py,
+        "calib_jvm_agg_sec": calib_jvm,
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     # Per-query map on an EARLIER line; the parseable summary must be LAST.
@@ -150,6 +170,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "cold_total_sec": cold_total,
+        "calib_python_loop_sec": calib_py,
+        "calib_jvm_agg_sec": calib_jvm,
     }
     sys.stdout.flush()
     print(json.dumps(result), flush=True)

@@ -223,3 +223,26 @@ def test_rle_two_segment_16bit_composites_msb_first():
     header = _struct.pack("<16I", 2, 64, 64 + len(seg0), *([0] * 13))
     out = decode_rle_frame(header + seg0 + seg1)
     assert out == vals
+
+
+def test_dtiprep_xml_semantics():
+    """Value index order, nested entry paths, per-gradient processing
+    status, and the classify-don't-fail row for malformed XML
+    (DTI.pm:282-291 XML::Simple shape)."""
+    from loris_mri_spark.sources.dtiprep import parse_dtiprep_xml_bytes
+
+    rows = parse_dtiprep_xml_bytes(
+        b'<P><entry parameter="A"><value>1</value><value>2</value>'
+        b'<entry parameter="B"><processing>EXCLUDE_SLICECHECK</processing>'
+        b"</entry></entry></P>"
+    )
+    a = [(r["entry_path"], r["value_index"], r["value"]) for r in rows
+         if r["parameter"] == "A"]
+    assert a == [("A", 0, "1"), ("A", 1, "2")]
+    b = [r for r in rows if r["parameter"] == "B"][0]
+    assert b["entry_path"] == "A/B" and b["depth"] == 1
+    assert b["processing"] == "EXCLUDE_SLICECHECK"
+    assert b["value_index"] is None and b["value"] is None
+
+    bad = parse_dtiprep_xml_bytes(b"<P><entry parameter='oops'>")
+    assert len(bad) == 1 and bad[0]["parse_ok"] is False
