@@ -731,29 +731,39 @@ def pipeline_deface_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    to_deface = files.filter(
-        F.col("scan_type").isin("ret_small", "af_cheap")
-        | ((F.col("scan_type") == "high_discount")
-           & (F.col("l_linestatus") == "F"))
-    )
-    already = files.filter(
-        (F.col("scan_type") == "premium") & (F.col("l_linestatus") == "F")
-    ).select("candidate").distinct()
-    ref = (
-        files.filter(F.col("scan_type") == "bulk")
-        .groupBy("candidate")
-        .agg(F.min("node").alias("ref_node"))
+    # ONE conditional-aggregation pass instead of three filtered re-joins
+    # of the same files frame (to_deface / already-defaced / reference
+    # scan): per session, collect the deface list, the reference scan,
+    # and the already-defaced flag in a single groupBy — one scan chain,
+    # one shuffle, the 100 TB shape.
+    deface_cond = F.col("scan_type").isin("ret_small", "af_cheap") | (
+        (F.col("scan_type") == "high_discount")
+        & (F.col("l_linestatus") == "F")
     )
     sessions = (
-        to_deface.join(already, "candidate", "left_anti")
-        .join(ref, "candidate")
-        .groupBy("candidate", "visit_label", "ref_node")
+        files.groupBy("candidate", "visit_label")
         .agg(
-            F.count("*").alias("n_files"),
+            F.min(
+                F.when(F.col("scan_type") == "bulk", F.col("node"))
+            ).alias("ref_node"),
+            F.max(
+                ((F.col("scan_type") == "premium")
+                 & (F.col("l_linestatus") == "F")).cast("int")
+            ).alias("already"),
+            F.count_if(deface_cond).alias("n_files"),
             F.array_join(
-                F.sort_array(F.collect_list(F.col("node"))), ","
+                F.sort_array(
+                    F.collect_list(F.when(deface_cond, F.col("node")))
+                ),
+                ",",
             ).alias("files_csv"),
         )
+        .filter(
+            (F.col("already") == 0)
+            & F.col("ref_node").isNotNull()
+            & (F.col("n_files") > 0)
+        )
+        .drop("already")
     )
     return sessions.select(
         "candidate",
