@@ -28,6 +28,11 @@ _SENSITIVE = [
     "j13_band_join_bucketed",
     "t5d_dynamic_session_window",
     "split_cluster_safe",
+    # r6: pointer-doubling provenance roots (self-joins + saturation
+    # check) and the session-collapsed deface planner (conditional
+    # collect_list must sort before joining)
+    "pipeline_processed_registration",
+    "pipeline_deface_batch",
 ]
 
 
