@@ -196,6 +196,25 @@ def test_profile_columns_no_expand(spark, sf_dir):
     assert plan.count("Scan parquet") == 4
 
 
+def test_s18b_qc_gradients_single_scan_one_exchange(spark, sf_dir):
+    """The DTIPrep QC gradient rollup is one Arrow-batched XML scan and
+    one aggregation shuffle — nothing else."""
+    plan = _plan(workload.QUERIES["s18b_dtiprep_qc_gradients"](spark, sf_dir))
+    assert plan.count("Scan ") == 1
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_deface_batch_single_pass(spark, sf_dir):
+    """The deface planner computes deface list + reference scan +
+    already-defaced flag in ONE conditional aggregation — 3 table scans
+    (lineitem/orders/customer), no sort-merge join, no re-derivation of
+    the files frame per facet."""
+    plan = _plan(workload.QUERIES["pipeline_deface_batch"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 3
+    assert "SortMergeJoin" not in plan
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     """BatchEvalPython (row-at-a-time Python UDF) is the 10-100x-slower
     path and must never appear in ANY registered query plan. Python is
