@@ -72,3 +72,67 @@ def melt_to_eav(
         F.col("__e.name").alias("name"),
         F.col("__e.value").alias("value"),
     )
+
+
+def dwi_bval_bvec(
+    eav: DataFrame,
+    file_col: str = "file_id",
+    name_col: str = "name",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-file NIfTI ``.bval`` / ``.bvec`` text content from the EAV
+    parameter table — `tools/create_nifti_bval_bvec.pl` composed with
+    `MRI.pm:1499-1562` (create_dwi_nifti_bval_file /
+    create_dwi_nifti_bvec_file), set-oriented instead of one
+    NeuroDB::File load per FileID.
+
+    Cleanup semantics preserved exactly:
+    - bval: the `acquisition:bvalues` value with every ``.,`` removed
+      and a trailing ``.`` stripped (MRI.pm:1509-1511); NULL when the
+      parameter is absent (the reference skips those files).
+    - bvec: `acquisition:direction_{x,y,z}` each stripped of leading
+      quotes, ``.,`` pairs, commas and a trailing quote
+      (MRI.pm:1555), newline-joined in x/y/z order; NULL unless all
+      three directions are present (MRI.pm:1552).
+
+    Returns (file_col, bval_content, bvec_content) for files that have
+    at least the bvalues parameter — write with the text sink next to
+    the NIfTI (the reference rewrites the .mnc suffix)."""
+    names = {
+        "acquisition:bvalues": "bvals",
+        "acquisition:direction_x": "dx",
+        "acquisition:direction_y": "dy",
+        "acquisition:direction_z": "dz",
+    }
+    wide = (
+        eav.filter(F.col(name_col).isin(*names))
+        .groupBy(F.col(file_col))
+        .pivot(name_col, list(names))
+        .agg(F.first(value_col))
+    )
+    for orig, alias in names.items():
+        wide = wide.withColumnRenamed(orig, alias)
+
+    bval = F.regexp_replace(
+        F.regexp_replace(F.col("bvals"), r"\.,", ""), r"\.$", ""
+    )
+
+    def clean_dir(c: str) -> F.Column:
+        stripped = F.regexp_replace(F.col(c), r'^"+|"$', "")
+        return F.regexp_replace(stripped, r"\.,|,", "")
+
+    bvec = F.when(
+        F.col("dx").isNotNull()
+        & F.col("dy").isNotNull()
+        & F.col("dz").isNotNull(),
+        F.concat(
+            clean_dir("dx"), F.lit("\n"),
+            clean_dir("dy"), F.lit("\n"),
+            clean_dir("dz"), F.lit("\n"),
+        ),
+    )
+    return wide.filter(F.col("bvals").isNotNull()).select(
+        file_col,
+        bval.alias("bval_content"),
+        bvec.alias("bvec_content"),
+    )
