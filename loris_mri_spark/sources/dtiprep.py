@@ -47,7 +47,10 @@ def parse_dtiprep_xml_bytes(content: bytes) -> list[dict[str, Any]]:
     """
     try:
         root = ET.fromstring(content)
-    except ET.ParseError:
+    # LookupError: a corrupted encoding= declaration names an unknown
+    # codec (fuzz-found: 'UTF-8' byte-flipped to 'U-F-8'); Value/Unicode
+    # errors cover other malformed-prolog paths — all classify
+    except (ET.ParseError, LookupError, ValueError, UnicodeDecodeError):
         return [
             {
                 "root_tag": None,

@@ -84,3 +84,109 @@ def read_nifti_headers(spark: SparkSession, path_glob: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_parse_partition, schema=NIFTI_SCHEMA)
+
+
+VOXEL_STATS_SCHEMA = (
+    "path string, is_nifti boolean, n_vox long, n_read long, "
+    "complete boolean, vmin long, vmax long, vsum long, vsumsq long, "
+    "mean double, stddev double, snr double"
+)
+
+_INT_DTYPES = {2: ("u1", 1), 4: ("<i2", 2), 8: ("<i4", 4)}
+
+
+def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
+    """Voxel-level stats for an integer-typed NIfTI volume — the engine
+    half of the SNR back-population flow
+    (`tools/BackPopulateSNRAndAcquisitionOrder.pl:7-31` computes SNR with
+    MINC built-in tools per file and lands it in parameter_file). The
+    moments are EXACT integers (int64 sum / sum-of-squares via numpy
+    int64 vector math), so downstream oracles can hash them; mean/std/snr
+    derive from the exact sums at the edge. `snr` here is the
+    global-moments estimate mean/std — the reference's full
+    `noise_estimate` algorithm is an external MINC binary and stays
+    behind the S16 seam (operators/external.py).
+
+    Classify, don't fail: non-NIfTI returns None; float-typed volumes
+    (datatype 16/64, not exactly summable) return None; a TRUNCATED
+    payload yields stats over the complete leading voxels with
+    complete=false (the EDF partial-record contract)."""
+    import numpy as np
+
+    if content[:2] == b"\x1f\x8b":
+        try:
+            content = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
+        except Exception:
+            return None
+    hdr = parse_nifti_bytes(content)
+    if not hdr.get("is_nifti"):
+        return None
+    (datatype,) = struct.unpack_from("<h", content, 70)
+    if datatype not in _INT_DTYPES:
+        return None
+    dt, width = _INT_DTYPES[datatype]
+    (vox_offset,) = struct.unpack_from("<f", content, 108)
+    off = int(vox_offset) if vox_offset >= 348 else 352
+    dim = struct.unpack_from("<8h", content, 40)
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        return None
+    n_vox = 1
+    for d in dim[1 : 1 + ndim]:
+        if d <= 0:
+            return None
+        n_vox *= d
+    avail = max(0, len(content) - off)
+    n_read = min(n_vox, avail // width)
+    vals = np.frombuffer(content, dtype=dt, count=n_read, offset=off).astype(
+        np.int64
+    )
+    vsum = int(vals.sum()) if n_read else 0
+    vsumsq = int(np.dot(vals, vals)) if n_read else 0
+    mean = vsum / n_read if n_read else 0.0
+    var = vsumsq / n_read - mean * mean if n_read else 0.0
+    std = var**0.5 if var > 0 else 0.0
+    return {
+        "is_nifti": True,
+        "n_vox": n_vox,
+        "n_read": n_read,
+        "complete": n_read == n_vox,
+        "vmin": int(vals.min()) if n_read else None,
+        "vmax": int(vals.max()) if n_read else None,
+        "vsum": vsum,
+        "vsumsq": vsumsq,
+        "mean": mean,
+        "stddev": std,
+        "snr": (mean / std) if std > 0 else None,
+    }
+
+
+def read_nifti_voxel_stats(spark: SparkSession, path_glob: str) -> DataFrame:
+    """binaryFile scan -> per-volume exact voxel moments + SNR estimate.
+    Partitioning by file is the right unit: each volume's stats are one
+    independent Arrow-batched task, so a million-volume corpus fans out
+    across executors with no shuffle at all."""
+    cols = [c.split(" ")[0] for c in VOXEL_STATS_SCHEMA.split(", ")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                st = nifti_voxel_stats(bytes(content))
+                if st is None:
+                    rows.append({"path": path, "is_nifti": False})
+                else:
+                    rows.append({"path": path, **st})
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("n_vox", "n_read", "vmin", "vmax", "vsum", "vsumsq"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.nii*")
+        .option("recursiveFileLookup", "true")
+        .load(path_glob)
+        .select("path", "content")
+    )
+    return files.mapInPandas(run, schema=VOXEL_STATS_SCHEMA)

@@ -34,3 +34,39 @@ def test_dwi_bval_bvec_cleanup_and_gating(spark):
     assert got[1]["bvec_content"] == "0.99-0.010.5\n0.1 0.2 0.3\n0.0 0.0 1.0\n"
     assert got[2]["bval_content"] == "0 5 10"
     assert got[2]["bvec_content"] is None
+
+
+def test_nifti_voxel_stats_exact_moments(spark, sf_dir):
+    """sources/nifti.nifti_voxel_stats: exact integer moments over the
+    fixture volume ((i*7)%1024 int16 payload), gzip transparency,
+    truncation -> complete=false over the leading voxels, and the
+    distributed reader (BackPopulateSNRAndAcquisitionOrder.pl flow)."""
+    from pathlib import Path
+
+    from loris_mri_spark.sources.nifti import (
+        nifti_voxel_stats,
+        read_nifti_voxel_stats,
+    )
+
+    fx = Path(__file__).resolve().parent / "fixtures" / "nifti"
+    raw = (fx / "sub-01_T1w.nii").read_bytes()
+    st = nifti_voxel_stats(raw)
+    vals = [(i * 7) % 1024 for i in range(8 * 8 * 4)]
+    assert st["complete"] and st["n_vox"] == 256
+    assert st["vsum"] == sum(vals)
+    assert st["vsumsq"] == sum(v * v for v in vals)
+    assert st["vmin"] == min(vals) and st["vmax"] == max(vals)
+    assert abs(st["snr"] - st["mean"] / st["stddev"]) < 1e-12
+
+    cut = nifti_voxel_stats(raw[:-100])
+    assert cut["complete"] is False and cut["n_read"] == 256 - 50
+
+    gz = nifti_voxel_stats((fx / "sub-02_T1w.nii.gz").read_bytes())
+    assert gz["complete"] and gz["vsum"] == st["vsum"]
+
+    assert nifti_voxel_stats(b"not a nifti") is None
+
+    df = read_nifti_voxel_stats(spark, str(fx)).orderBy("path")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert rows["sub-01_T1w.nii"]["vsum"] == sum(vals)
+    assert rows["sub-02_T1w.nii.gz"]["vsumsq"] == st["vsumsq"]

@@ -40,7 +40,7 @@ from loris_mri_spark.sources.minc_ecat import (
     parse_minc2_bytes,
 )
 from loris_mri_spark.sources.dtiprep import parse_dtiprep_xml_bytes
-from loris_mri_spark.sources.nifti import parse_nifti_bytes
+from loris_mri_spark.sources.nifti import nifti_voxel_stats, parse_nifti_bytes
 
 FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
@@ -67,6 +67,7 @@ PARSERS = [
     parse_minc1_bytes,
     parse_minc2_bytes,
     parse_nifti_bytes,
+    nifti_voxel_stats,
     parse_dtiprep_xml_bytes,
 ]
 
