@@ -138,9 +138,14 @@ def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
         n_vox *= d
     avail = max(0, len(content) - off)
     n_read = min(n_vox, avail // width)
-    vals = np.frombuffer(content, dtype=dt, count=n_read, offset=off).astype(
-        np.int64
-    )
+    if n_read > 0:
+        vals = np.frombuffer(
+            content, dtype=dt, count=n_read, offset=off
+        ).astype(np.int64)
+    else:
+        # offset past the (truncated) buffer: frombuffer raises even at
+        # count=0 — classify as an empty read instead
+        vals = np.empty(0, dtype=np.int64)
     vsum = int(vals.sum()) if n_read else 0
     vsumsq = int(np.dot(vals, vals)) if n_read else 0
     mean = vsum / n_read if n_read else 0.0

@@ -247,3 +247,12 @@ def test_dtiprep_xml_semantics():
 
     bad = parse_dtiprep_xml_bytes(b"<P><entry parameter='oops'>")
     assert len(bad) == 1 and bad[0]["parse_ok"] is False
+
+
+def test_nifti_voxel_stats_truncated_at_vox_offset_classifies():
+    """Deep-fuzz counterexample (r6): truncating the file to just under
+    vox_offset made np.frombuffer(offset=352) raise ValueError even at
+    count=0 — must classify as an empty read (n_read=0) instead."""
+    raw = (FIXTURES / "nifti" / "sub-01_T1w.nii").read_bytes()
+    st = nifti_voxel_stats(raw[:350])
+    assert st is not None and st["n_read"] == 0 and st["complete"] is False
