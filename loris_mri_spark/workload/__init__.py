@@ -134,7 +134,16 @@ R6_WINDOW: list[str] = [
     "ann_pq_adc_topk",
 ]
 
-PRIORITY_ORDER: list[str] = R6_WINDOW + [
+# Queries added AFTER the r6 window filled (the driver checks only 50 per
+# round). They queue HERE, at the head of the next round's rotation, and
+# ship this round with local-gate verification only — README/COVERAGE say
+# so explicitly. r7 window = these + any red-fixes + code-changed
+# re-greens, topped up with already-green entries.
+R7_QUEUE: list[str] = [
+    "s19_split_merged_series",
+]
+
+PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",
