@@ -141,6 +141,7 @@ R6_WINDOW: list[str] = [
 # re-greens, topped up with already-green entries.
 R7_QUEUE: list[str] = [
     "s19_split_merged_series",
+    "pipeline_minc_to_bids",
 ]
 
 PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [

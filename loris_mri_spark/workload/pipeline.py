@@ -780,3 +780,280 @@ def pipeline_deface_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("files_csv"))
         ).alias("output_id"),
     )
+
+
+# -- MINC -> BIDS exporter manifest (tools/minc_to_bids_converter.pl) ------
+#
+# The declarative core of the 2,049-line converter: which BIDS path every
+# registered file lands at, with what run/echo entities, and the
+# participants/scans bookkeeping values. The file-content steps around it
+# are already-built engine pieces (mnc2nii = S16 external-binary, JSON
+# sidecar = S17, bval/bvec = dwi_bval_bvec, minc headers = S5); this query
+# is the driver manifest a distributed exporter fans out from.
+
+_BIDS_REL_ROWS = [
+    # (loris scan type, category, subcategory, bids scan type, echo_nb)
+    ("t1w", "anat", None, "T1w", None),
+    ("t2w", "anat", "acq-highres_rec-norm", "T2w", 2),
+    ("rest-fmri", "func", "task-rest", "bold", None),
+    ("dwi65", "dwi", None, "dwi", None),
+    ("fieldmap-phasediff", "fmap", None, "phasediff", None),
+    ("gre-magnitude", "fmap", None, "magnitude", None),
+]
+
+# BIDS entity assembly order (minc_to_bids_converter.pl:91-107); sub/ses
+# handled explicitly, run/echo have dedicated sources, the rest come from
+# the BIDSScanTypeSubCategory key-value string.
+_BIDS_ENTITIES = [
+    "task", "acq", "ce", "rec", "dir", "run", "mod", "echo",
+    "flip", "inv", "mt", "part", "recording",
+]
+
+_M2B_REL_SQL = " UNION ALL ".join(
+    "SELECT '{}' AS scan_type_rel, '{}' AS bids_category, {} AS subcat, "
+    "'{}' AS bids_scan_type, {} AS rel_echo_nb".format(
+        st, cat, f"'{sub}'" if sub else "CAST(NULL AS VARCHAR)", bt,
+        echo if echo is not None else "CAST(NULL AS INTEGER)",
+    )
+    for st, cat, sub, bt, echo in _BIDS_REL_ROWS
+)
+
+_M2B_ORACLE = f"""
+    WITH rel AS ({_M2B_REL_SQL}),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity, l_extendedprice, l_discount) AS __rn
+      FROM lineitem WHERE l_orderkey < 4000),
+    files AS (
+      SELECT d.l_orderkey, d.l_linenumber, d.l_returnflag,
+             o.o_orderdate, c.c_custkey,
+             CASE WHEN d.l_linenumber % 7 = 0 AND d.l_returnflag = 'R'
+                  THEN 't1w-defaced'
+                  ELSE CASE d.l_linenumber % 7
+                    WHEN 0 THEN 't1w' WHEN 1 THEN 't2w'
+                    WHEN 2 THEN 'rest-fmri' WHEN 3 THEN 'dwi65'
+                    WHEN 4 THEN 'fieldmap-phasediff'
+                    WHEN 5 THEN 'gre-magnitude'
+                    ELSE 'unknown-spectro' END END AS loris_scan_type,
+             d.l_linenumber AS series_number,
+             CAST(c.c_custkey AS VARCHAR) AS candidate,
+             'V_' || (d.l_orderkey % 3 + 1) AS visit_label,
+             DATE '1920-01-01' + CAST(c.c_custkey % 18250 AS INTEGER) AS dob
+      FROM dedup d
+      JOIN orders o ON d.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE d.__rn = 1),
+    runs AS (
+      SELECT *,
+             '00' || ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey,
+                            regexp_replace(loris_scan_type, '-defaced$', '')
+               ORDER BY series_number, l_linenumber) AS run_label
+      FROM files),
+    joined AS (
+      SELECT r.*, rel.bids_category, rel.subcat, rel.bids_scan_type,
+             rel.rel_echo_nb,
+             replace(r.visit_label, '_', '') AS ses,
+             NULLIF(regexp_extract(rel.subcat, 'task-([^_]+)', 1), '') AS e_task,
+             NULLIF(regexp_extract(rel.subcat, 'acq-([^_]+)', 1), '') AS e_acq,
+             NULLIF(regexp_extract(rel.subcat, 'rec-([^_]+)', 1), '') AS e_rec
+      FROM runs r
+      JOIN rel ON rel.scan_type_rel =
+           regexp_replace(r.loris_scan_type, '-defaced$', '')
+      WHERE rel.bids_scan_type NOT LIKE '%magnitude%'),
+    named AS (
+      SELECT *,
+             'sub-' || candidate || '_ses-' || ses
+             || COALESCE('_task-' || e_task, '')
+             || COALESCE('_acq-' || e_acq, '')
+             || COALESCE('_rec-' || e_rec, '')
+             || '_run-' || run_label
+             || COALESCE('_echo-' || CAST(rel_echo_nb AS VARCHAR), '')
+             || '_' || bids_scan_type || '.nii' AS nifti_name,
+             'sub-' || candidate || '/ses-' || ses || '/' || bids_category
+               AS scan_dir
+      FROM joined)
+    SELECT CAST(('0x' || substr(md5('bids:' || l_orderkey || ':'
+                 || l_linenumber || ':' || candidate), 1, 15)) AS BIGINT)
+             AS file_id,
+           candidate, visit_label, bids_category,
+           nifti_name || '.gz' AS nii_file_name,
+           scan_dir || '/' || nifti_name || '.gz' AS nii_file_path,
+           scan_dir || '/' || replace(nifti_name, '.nii', '.json')
+             AS json_file_path,
+           bids_category || '/' || nifti_name || '.gz' AS scans_tsv_entry,
+           CAST((YEAR(o_orderdate) - YEAR(dob)) * 12
+                + (MONTH(o_orderdate) - MONTH(dob))
+                - CASE WHEN DAY(o_orderdate) < DAY(dob) THEN 1 ELSE 0 END
+                AS BIGINT) AS age_months
+    FROM named
+"""
+
+
+@query("pipeline_minc_to_bids", oracle=_M2B_ORACLE)
+def pipeline_minc_to_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINC -> BIDS export manifest (tools/minc_to_bids_converter.pl).
+
+    One declarative plan over the star schema computes what the reference
+    derives file-by-file over DBI calls:
+
+    - duplicate-scan suppression, then session/candidate star walk (the
+      §3.2 shape);
+    - RUN NUMBERS (:529-569 determine_run_number): per (tarchive, scan
+      type with '-defaced' stripped), rank by seriesNumber; the label is
+      the reference's literal "00" . rank concat (so run 10 is '0010');
+      the reference's tiebreak is Perl hash order — the engine refines it
+      to a deterministic (series_number, linenumber) sort;
+    - BIDS lookup (:729-760): broadcast bids_mri_scan_type_rel dim; scan
+      types absent from the table are skipped (:624-628), magnitude types
+      are skipped (their files are emitted by the phasediff flow,
+      :640-642);
+    - FILENAME assembly (:814-884): entities in @BIDS_MRI_ENTITY_ORDER —
+      sub-<candID>, ses-<visit with '_' stripped>, entities parsed from
+      BIDSScanTypeSubCategory ('task-rest_acq-...'), run, echo from
+      BIDSEchoNumber, then _<BIDSScanType>.nii;
+    - per-file paths: scan dir sub-X/ses-Y/<category> (:1140-1156), JSON
+      sidecar path (.nii -> .json, :1173-1185), scans.tsv filename entry
+      (path relative to the session dir, .nii.gz, :1027-1067);
+    - AGE at acquisition (:1118-1139): MySQL TIMESTAMPDIFF(MONTH)
+      semantics — full months between DoB and visit date, computed with
+      explicit year/month/day integer arithmetic so Spark and the oracle
+      agree bit-exactly.
+
+    The file-content steps are the already-built pieces (S16 mnc2nii,
+    S17 JSON, dwi_bval_bvec, S5 headers); this manifest is what a
+    1000-executor exporter fans out from — small broadcast dim, one
+    window over (tarchive, type), no shuffle beyond the star joins."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 4000
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    dedup = li.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+                "l_quantity", "l_extendedprice", "l_discount"
+            )
+        ),
+    ).filter(F.col("__rn") == 1)
+
+    ln = F.col("l_linenumber")
+    scan_type = F.when(
+        (ln % 7 == 0) & (F.col("l_returnflag") == "R"), "t1w-defaced"
+    ).otherwise(
+        F.when(ln % 7 == 0, "t1w")
+        .when(ln % 7 == 1, "t2w")
+        .when(ln % 7 == 2, "rest-fmri")
+        .when(ln % 7 == 3, "dwi65")
+        .when(ln % 7 == 4, "fieldmap-phasediff")
+        .when(ln % 7 == 5, "gre-magnitude")
+        .otherwise("unknown-spectro")
+    )
+    files = (
+        dedup.join(o, dedup.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderdate",
+            scan_type.alias("loris_scan_type"),
+            ln.alias("series_number"),
+            F.col("c_custkey").cast("string").alias("candidate"),
+            F.concat(F.lit("V_"), F.col("l_orderkey") % 3 + 1).alias(
+                "visit_label"
+            ),
+            F.date_add(
+                F.lit("1920-01-01").cast("date"),
+                (F.col("c_custkey") % 18250).cast("int"),
+            ).alias("dob"),
+        )
+    )
+    base_type = F.regexp_replace("loris_scan_type", r"-defaced$", "")
+    runs = files.withColumn(
+        "run_label",
+        F.concat(
+            F.lit("00"),
+            F.row_number().over(
+                Window.partitionBy(F.col("l_orderkey"), base_type).orderBy(
+                    "series_number", "l_linenumber"
+                )
+            ),
+        ),
+    )
+
+    rel = spark.createDataFrame(
+        _BIDS_REL_ROWS,
+        "scan_type_rel string, bids_category string, subcat string, "
+        "bids_scan_type string, rel_echo_nb int",
+    )
+    joined = runs.join(
+        F.broadcast(rel),
+        base_type == rel.scan_type_rel,
+    ).filter(~F.col("bids_scan_type").contains("magnitude"))
+
+    ses = F.regexp_replace("visit_label", "_", "")
+    ent = F.expr("str_to_map(subcat, '_', '-')")
+    joined = joined.withColumn("_ent", ent).withColumn("_ses", ses)
+
+    def entity_val(name: str) -> F.Column:
+        src = F.col("_ent").getItem(name)
+        if name == "run":
+            return F.coalesce(src, F.col("run_label"))
+        if name == "echo":
+            return F.coalesce(src, F.col("rel_echo_nb").cast("string"))
+        return src
+
+    parts = [
+        F.concat(F.lit("sub-"), F.col("candidate")),
+        F.concat(F.lit("_ses-"), F.col("_ses")),
+    ]
+    for e in _BIDS_ENTITIES:
+        v = entity_val(e)
+        parts.append(
+            F.coalesce(F.concat(F.lit(f"_{e}-"), v), F.lit(""))
+        )
+    nifti_name = F.concat(
+        *parts, F.lit("_"), F.col("bids_scan_type"), F.lit(".nii")
+    )
+    scan_dir = F.concat(
+        F.lit("sub-"), F.col("candidate"),
+        F.lit("/ses-"), F.col("_ses"),
+        F.lit("/"), F.col("bids_category"),
+    )
+    named = joined.withColumn("nifti_name", nifti_name).withColumn(
+        "scan_dir", scan_dir
+    )
+
+    v, d = F.col("o_orderdate"), F.col("dob")
+    age_months = (
+        (F.year(v) - F.year(d)) * 12
+        + (F.month(v) - F.month(d))
+        - F.when(F.dayofmonth(v) < F.dayofmonth(d), 1).otherwise(0)
+    )
+    return named.select(
+        md5_60(
+            F.concat(
+                F.lit("bids:"), F.col("l_orderkey"), F.lit(":"),
+                F.col("l_linenumber"), F.lit(":"), F.col("candidate"),
+            )
+        ).alias("file_id"),
+        "candidate",
+        "visit_label",
+        "bids_category",
+        F.concat(F.col("nifti_name"), F.lit(".gz")).alias("nii_file_name"),
+        F.concat(
+            F.col("scan_dir"), F.lit("/"), F.col("nifti_name"), F.lit(".gz")
+        ).alias("nii_file_path"),
+        F.concat(
+            F.col("scan_dir"), F.lit("/"),
+            F.regexp_replace("nifti_name", r"\.nii", ".json"),
+        ).alias("json_file_path"),
+        F.concat(
+            F.col("bids_category"), F.lit("/"), F.col("nifti_name"),
+            F.lit(".gz"),
+        ).alias("scans_tsv_entry"),
+        age_months.cast("long").alias("age_months"),
+    )
