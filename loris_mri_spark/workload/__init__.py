@@ -142,6 +142,7 @@ R6_WINDOW: list[str] = [
 R7_QUEUE: list[str] = [
     "s19_split_merged_series",
     "pipeline_minc_to_bids",
+    "s19b_apply_header_spec",
 ]
 
 PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [

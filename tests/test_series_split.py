@@ -227,3 +227,34 @@ def test_single_exchange_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_apply_header_spec_composition(spark):
+    """s19b: specfile rows land back on the header table — backfill fills
+    UNDEF echo numbers per TE, renames hit only sub-series > 0 images,
+    everything else passes through unchanged."""
+    from loris_mri_spark.workload import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["s19b_apply_header_spec"](
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+    # no UNDEF echo survives in a multi-TE series of an echo-undef study
+    # (every (study,series) in the shaping carries 3 TEs, so backfill
+    # covers all UNDEF rows)
+    assert out.filter(F.col("echo_number") == "UNDEF").count() == 0
+    # echo numbers are the 1-based TE ranks
+    assert {r.echo_number for r in out.select("echo_number").distinct().collect()} == {
+        "1", "2", "3"
+    }
+    # renamed sequences keep their base name + letter suffix; base names
+    # are seq<series>
+    seqs = {r.sequence_name for r in out.select("sequence_name").distinct().collect()}
+    assert all(s.startswith("seq") for s in seqs)
+    assert any("_" in s for s in seqs) and any("_" not in s for s in seqs)
+    renamed = out.filter(F.col("sequence_name").contains("_"))
+    assert renamed.count() > 0
+    for r in renamed.limit(10).collect():
+        base, suffix = r.sequence_name.split("_")
+        assert base == f"seq{r.series_num}"
+        assert suffix[0] in "abcdefghijklmnopqrstuvwxyz"
