@@ -33,6 +33,12 @@ _SENSITIVE = [
     # collect_list must sort before joining)
     "pipeline_processed_registration",
     "pipeline_deface_batch",
+    # r6 late additions: windowed sequential-walk closed form (toggle
+    # parity must not depend on partitioning), its spec-apply join
+    # composition, and the run-number ranking in the BIDS manifest
+    "s19_split_merged_series",
+    "s19b_apply_header_spec",
+    "pipeline_minc_to_bids",
 ]
 
 
