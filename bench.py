@@ -126,16 +126,34 @@ def main() -> None:
     # Regression diff vs the previously committed detail: flag any query
     # whose warm time grew >1.4x AND >0.3s absolute (the absolute floor
     # keeps sub-second queries' scheduling noise out of the report).
+    # HOST-DRIFT NORMALIZATION: this container's CPU speed swings >2x
+    # between runs at zero load (frequency throttling / noisy neighbor —
+    # measured calib_python 0.70 -> 1.76 within one session). Compare
+    # against the prior run's calibration and scale the threshold by the
+    # host-speed ratio, so a uniformly slower host doesn't masquerade as
+    # dozens of per-query plan regressions (capped at 3x so a broken
+    # calibration can't suppress real findings).
     prev_path = Path(_REPO, "BENCH_DETAIL.json")
     regressions: dict[str, list[float]] = {}
+    host_ratio = 1.0
     if prev_path.exists():
         try:
-            prev = json.loads(prev_path.read_text()).get("queries", {})
+            prev_detail = json.loads(prev_path.read_text())
+            prev = prev_detail.get("queries", {})
+            prev_calib = prev_detail.get("calib_jvm_agg_sec", 0.0)
+            if prev_calib and calib_jvm:
+                host_ratio = min(max(calib_jvm / prev_calib, 1.0), 3.0)
         except (json.JSONDecodeError, OSError):
             prev = {}
         for name, now in timings.items():
             was = prev.get(name, -1.0)
-            if was > 0 and now > 0 and now > 1.4 * was and now - was > 0.3:
+            scaled = was * host_ratio
+            if (
+                was > 0
+                and now > 0
+                and now > 1.4 * scaled
+                and now - scaled > 0.3
+            ):
                 regressions[name] = [was, now]
     detail = {
         "queries": timings,
@@ -159,6 +177,9 @@ def main() -> None:
         # reading anything into cross-round total drift
         "calib_python_loop_sec": calib_py,
         "calib_jvm_agg_sec": calib_jvm,
+        # threshold multiplier applied to the regression diff above
+        # (calib_jvm now / calib_jvm of the committed detail, clamped)
+        "host_speed_ratio_vs_prev": round(host_ratio, 3),
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     # Per-query map on an EARLIER line; the parseable summary must be LAST.

@@ -73,7 +73,9 @@ def slice_break_segments(
 
     Exact splitMergedSeries.pl:355-407 semantics via the closed form in
     the module docstring.  Input rows need a unique ``image_col`` within
-    each (study, series, te) group; ``hdr_thick_col`` may be null.
+    each (study, series, te) group; ``pos_col``/``hdr_thick_col`` must be
+    DOUBLE (``hdr_thick_col`` may be null — the walk then derives the
+    expected step from the first nonzero delta).
     """
     keys = [study_col, series_col, te_col]
     w = Window.partitionBy(*keys).orderBy(image_col)
@@ -136,6 +138,12 @@ def split_spec_rows(
     echo_undef_col: str = "echo_undef",
 ) -> DataFrame:
     """Emit updateHeadersBatch.pl spec rows (splitMergedSeries.pl:228-305).
+
+    Input: the output of :func:`slice_break_segments` (``sub_series``
+    present); ``SequenceName`` mode additionally needs a ``seq_name``
+    column. Letter suffixes follow chr(96 + sub) — past 26 sub-series the
+    reference's ``('a'..'z')[sub-1]`` yields undef (a warning + empty
+    string in Perl); the engine keeps walking the codepoints instead.
 
     Two row families, both keyed the way the reference keys its specfile:
 
