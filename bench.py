@@ -131,8 +131,9 @@ def main() -> None:
     # measured calib_python 0.70 -> 1.76 within one session). Compare
     # against the prior run's calibration and scale the threshold by the
     # host-speed ratio, so a uniformly slower host doesn't masquerade as
-    # dozens of per-query plan regressions (capped at 3x so a broken
-    # calibration can't suppress real findings).
+    # dozens of per-query plan regressions — and a FASTER host doesn't
+    # mask real ones (ratio < 1 scales prior times down). Clamped to
+    # [1/3, 3] so a broken calibration can't swing the verdict.
     prev_path = Path(_REPO, "BENCH_DETAIL.json")
     regressions: dict[str, list[float]] = {}
     host_ratio = 1.0
@@ -142,7 +143,7 @@ def main() -> None:
             prev = prev_detail.get("queries", {})
             prev_calib = prev_detail.get("calib_jvm_agg_sec", 0.0)
             if prev_calib and calib_jvm:
-                host_ratio = min(max(calib_jvm / prev_calib, 1.0), 3.0)
+                host_ratio = min(max(calib_jvm / prev_calib, 1 / 3), 3.0)
         except (json.JSONDecodeError, OSError):
             prev = {}
         for name, now in timings.items():

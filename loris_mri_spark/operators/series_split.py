@@ -47,11 +47,17 @@ DuckDB side replays the reference's sequential walk verbatim as a
 recursive CTE (workload/ingest.py), so the algebraic reduction is checked
 against an independent implementation of the original loop.
 
-Known reference divergence (documented, not replicated): the Perl header
-check ``$slicethick = undef if ($slicethick != /^\d+$/)`` compares the
-thickness against a regex match on ``$_`` — a bug that almost always
-discards the header value.  The engine treats a header thickness as valid
-iff it is a positive finite number.
+Known reference divergences (documented, not replicated):
+
+- the Perl header check ``$slicethick = undef if ($slicethick !=
+  /^\d+$/)`` compares the thickness against a regex match on ``$_`` — a
+  bug that almost always discards the header value.  The engine treats a
+  header thickness as valid iff it is a positive finite number.
+- echo ranks: the reference's ``my @TE = sort keys ...``
+  (splitMergedSeries.pl:242) sorts EchoTime values LEXICOGRAPHICALLY, so
+  for TEs {9, 25} it assigns echo 1 to TE 25 ('25' lt '9').  The engine
+  (and its oracle) rank TEs numerically — the physically meaningful
+  order, and the one the multi-echo BIDS convention expects.
 """
 
 from __future__ import annotations
@@ -215,7 +221,6 @@ def split_spec_rows(
                 ),
             ),
         )
-        per_image = per_image  # may be null for sub_series 0
     else:  # pragma: no cover - guarded by callers
         raise ValueError(f"unknown split mode {mode!r}")
 
@@ -252,9 +257,9 @@ def mint_sub_series_numbers(
         .select(study_col, series_col, "sub_series")
         .distinct()
     )
-    smax = segmented.select(
-        study_col, F.max(series_col).over(wstudy).alias("_smax")
-    ).distinct()
+    smax = segmented.groupBy(study_col).agg(
+        F.max(series_col).alias("_smax")
+    )
     rank = F.dense_rank().over(
         wstudy.orderBy(series_col, "sub_series")
     )
