@@ -143,6 +143,7 @@ R7_QUEUE: list[str] = [
     "s19_split_merged_series",
     "pipeline_minc_to_bids",
     "s19b_apply_header_spec",
+    "s4b_nifti_cog_threshold",
 ]
 
 PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [

@@ -70,3 +70,41 @@ def test_nifti_voxel_stats_exact_moments(spark, sf_dir):
     rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
     assert rows["sub-01_T1w.nii"]["vsum"] == sum(vals)
     assert rows["sub-02_T1w.nii.gz"]["vsumsq"] == st["vsumsq"]
+
+
+def _mk_nifti(dims, voxels, datatype=2):
+    """Minimal uncompressed NIfTI-1: header + uint8/int voxels."""
+    import struct
+
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, len(dims), *dims, *([1] * (7 - len(dims))))
+    struct.pack_into("<h", hdr, 70, datatype)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    hdr[344:348] = b"n+1\x00"
+    return bytes(hdr) + bytes(voxels)
+
+
+def test_nifti_volume_cog_analytic():
+    """COG of a single hot voxel is exactly its index; a uniform volume's
+    COG is the exact center (MincUtilities.pm:584-601 volume_cog)."""
+    from loris_mri_spark.sources.nifti import nifti_volume_cog
+
+    # 2x2x2, single voxel value 7 at (x=1, y=0, z=1): linear index
+    # x + 2*y + 4*z = 5 (x fastest)
+    vox = [0] * 8
+    vox[1 + 2 * 0 + 4 * 1] = 7
+    st = nifti_volume_cog(_mk_nifti((2, 2, 2), vox))
+    assert (st["cog_x"], st["cog_y"], st["cog_z"]) == (1.0, 0.0, 1.0)
+    assert st["frame_sum"] == 7
+    assert (st["cog_num_x"], st["cog_num_y"], st["cog_num_z"]) == (7, 0, 7)
+
+    # uniform 3x2x2 volume: COG = ((3-1)/2, (2-1)/2, (2-1)/2)
+    st = nifti_volume_cog(_mk_nifti((3, 2, 2), [5] * 12))
+    assert (st["cog_x"], st["cog_y"], st["cog_z"]) == (1.0, 0.5, 0.5)
+
+    # classify paths: zero mass, truncated frame, 2-D, float dtype
+    assert nifti_volume_cog(_mk_nifti((2, 2, 2), [0] * 8)) is None
+    assert nifti_volume_cog(_mk_nifti((2, 2, 2), [1] * 7)) is None
+    assert nifti_volume_cog(_mk_nifti((4, 4), [1] * 16)) is None
+    assert nifti_volume_cog(_mk_nifti((2, 2, 2), [0] * 8, datatype=16)) is None

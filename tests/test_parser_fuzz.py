@@ -40,7 +40,11 @@ from loris_mri_spark.sources.minc_ecat import (
     parse_minc2_bytes,
 )
 from loris_mri_spark.sources.dtiprep import parse_dtiprep_xml_bytes
-from loris_mri_spark.sources.nifti import nifti_voxel_stats, parse_nifti_bytes
+from loris_mri_spark.sources.nifti import (
+    nifti_volume_cog,
+    nifti_voxel_stats,
+    parse_nifti_bytes,
+)
 
 FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
@@ -68,6 +72,7 @@ PARSERS = [
     parse_minc2_bytes,
     parse_nifti_bytes,
     nifti_voxel_stats,
+    nifti_volume_cog,
     parse_dtiprep_xml_bytes,
 ]
 
