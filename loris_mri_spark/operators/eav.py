@@ -104,11 +104,14 @@ def dwi_bval_bvec(
         "acquisition:direction_y": "dy",
         "acquisition:direction_z": "dz",
     }
+    # F.min, not F.first: duplicate (file, name) EAV rows would make an
+    # unordered first() partition-order-dependent — min is the
+    # deterministic keep-one refinement the repo uses everywhere.
     wide = (
         eav.filter(F.col(name_col).isin(*names))
         .groupBy(F.col(file_col))
         .pivot(name_col, list(names))
-        .agg(F.first(value_col))
+        .agg(F.min(value_col))
     )
     for orig, alias in names.items():
         wide = wide.withColumnRenamed(orig, alias)
@@ -121,17 +124,23 @@ def dwi_bval_bvec(
         stripped = F.regexp_replace(F.col(c), r'^"+|"$', "")
         return F.regexp_replace(stripped, r"\.,|,", "")
 
+    # Perl truthiness, not SQL null-ness: `return undef unless $bvals`
+    # (MRI.pm create_dwi_nifti_bval_file) and `unless ($bvecs[0] && ...)`
+    # skip on '' and '0' as well as undef.
+    def perl_truthy(c: str) -> F.Column:
+        return (
+            F.col(c).isNotNull() & (F.col(c) != "") & (F.col(c) != "0")
+        )
+
     bvec = F.when(
-        F.col("dx").isNotNull()
-        & F.col("dy").isNotNull()
-        & F.col("dz").isNotNull(),
+        perl_truthy("dx") & perl_truthy("dy") & perl_truthy("dz"),
         F.concat(
             clean_dir("dx"), F.lit("\n"),
             clean_dir("dy"), F.lit("\n"),
             clean_dir("dz"), F.lit("\n"),
         ),
     )
-    return wide.filter(F.col("bvals").isNotNull()).select(
+    return wide.filter(perl_truthy("bvals")).select(
         file_col,
         bval.alias("bval_content"),
         bvec.alias("bvec_content"),

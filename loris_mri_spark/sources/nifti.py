@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import math
 import struct
 from typing import Any, Iterator
 
@@ -92,7 +93,52 @@ VOXEL_STATS_SCHEMA = (
     "mean double, stddev double, snr double"
 )
 
-_INT_DTYPES = {2: ("u1", 1), 4: ("<i2", 2), 8: ("<i4", 4)}
+_INT_DTYPES = {
+    2: ("u1", 1),       # DT_UINT8
+    4: ("<i2", 2),      # DT_INT16
+    8: ("<i4", 4),      # DT_INT32
+    256: ("i1", 1),     # DT_INT8
+    512: ("<u2", 2),    # DT_UINT16 — the most common MRI voxel type
+    768: ("<u4", 4),    # DT_UINT32
+}
+
+
+def _exact_moments(vals) -> "tuple[int, int]":
+    """Exact (sum, sum_of_squares) as Python ints. int64 vector math is
+    used only while ``n * max(|v|)^2 < 2^63`` guarantees no wraparound
+    (np.dot does MODULAR int64 arithmetic — silent garbage past that);
+    beyond the bound, accumulate int64 partials over chunks sized so each
+    chunk's dot stays below 2^62."""
+    import numpy as np
+
+    n = len(vals)
+    if n == 0:
+        return 0, 0
+    m = int(np.abs(vals).max())
+    if m == 0:
+        return 0, 0
+    if n * m * m < 2**63:
+        return int(vals.sum()), int(np.dot(vals, vals))
+    chunk = max(1, (2**62) // (m * m))
+    s = q = 0
+    for i in range(0, n, chunk):
+        c = vals[i : i + chunk]
+        s += int(c.sum())
+        q += int(np.dot(c, c))
+    return s, q
+
+
+def _voxel_offset(content: bytes) -> "int | None":
+    """vox_offset as a usable int byte offset, or None when the header
+    float is inf or absurdly large (int(inf) raises — the fuzz-reachable
+    classify-don't-fail violation). NaN falls back to the default 352
+    like any value below 348."""
+    (vox_offset,) = struct.unpack_from("<f", content, 108)
+    if vox_offset >= 348:
+        if not math.isfinite(vox_offset) or vox_offset > 2**31:
+            return None
+        return int(vox_offset)
+    return 352
 
 
 def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
@@ -107,10 +153,15 @@ def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
     `noise_estimate` algorithm is an external MINC binary and stays
     behind the S16 seam (operators/external.py).
 
-    Classify, don't fail: non-NIfTI returns None; float-typed volumes
-    (datatype 16/64, not exactly summable) return None; a TRUNCATED
-    payload yields stats over the complete leading voxels with
-    complete=false (the EDF partial-record contract)."""
+    Classify, don't fail: non-NIfTI returns None; a structurally valid
+    NIfTI whose voxels cannot be exactly summed — float-typed (datatype
+    16/64), unusable vox_offset (inf/huge), or a corrupt dim product
+    past 2^62 — returns ``{"is_nifti": True}`` with no stats (it IS a
+    NIfTI; consumers must not count it as 'other'); a TRUNCATED payload
+    yields stats over the complete leading voxels with complete=false
+    (the EDF partial-record contract). int64 wraparound on
+    large-magnitude int32/uint32 volumes is prevented by
+    :func:`_exact_moments`."""
     import numpy as np
 
     if content[:2] == b"\x1f\x8b":
@@ -123,10 +174,11 @@ def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
         return None
     (datatype,) = struct.unpack_from("<h", content, 70)
     if datatype not in _INT_DTYPES:
-        return None
+        return {"is_nifti": True}
     dt, width = _INT_DTYPES[datatype]
-    (vox_offset,) = struct.unpack_from("<f", content, 108)
-    off = int(vox_offset) if vox_offset >= 348 else 352
+    off = _voxel_offset(content)
+    if off is None:
+        return {"is_nifti": True}
     dim = struct.unpack_from("<8h", content, 40)
     ndim = dim[0]
     if not 1 <= ndim <= 7:
@@ -136,6 +188,8 @@ def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
         if d <= 0:
             return None
         n_vox *= d
+    if n_vox > 2**62:  # corrupt dims; also guards the Int64 sink column
+        return {"is_nifti": True}
     avail = max(0, len(content) - off)
     n_read = min(n_vox, avail // width)
     if n_read > 0:
@@ -146,8 +200,7 @@ def nifti_voxel_stats(content: bytes) -> "dict[str, Any] | None":
         # offset past the (truncated) buffer: frombuffer raises even at
         # count=0 — classify as an empty read instead
         vals = np.empty(0, dtype=np.int64)
-    vsum = int(vals.sum()) if n_read else 0
-    vsumsq = int(np.dot(vals, vals)) if n_read else 0
+    vsum, vsumsq = _exact_moments(vals)
     mean = vsum / n_read if n_read else 0.0
     var = vsumsq / n_read - mean * mean if n_read else 0.0
     std = var**0.5 if var > 0 else 0.0
@@ -216,9 +269,12 @@ def nifti_volume_cog(content: bytes) -> "dict[str, Any] | None":
     affine, which is header metadata already parsed by
     ``parse_nifti_bytes``.
 
-    Classify, don't fail: non-NIfTI, float-typed, <3-D, zero-mass and
-    frame-truncated payloads all return None (the reference's behaviour
-    on such volumes is an external binary's error path)."""
+    Classify, don't fail: a non-NIfTI returns None; a structurally valid
+    NIfTI with no computable COG — float-typed, <3-D, unusable
+    vox_offset, zero mass, frame-truncated, or large enough that exact
+    int64 marginals could wrap (n_frame * max|v| >= 2^62) — returns
+    ``{"is_nifti": True}`` with no stats (the reference's behaviour on
+    such volumes is the external binary's error path)."""
     import numpy as np
 
     if content[:2] == b"\x1f\x8b":
@@ -231,31 +287,37 @@ def nifti_volume_cog(content: bytes) -> "dict[str, Any] | None":
         return None
     (datatype,) = struct.unpack_from("<h", content, 70)
     if datatype not in _INT_DTYPES:
-        return None
+        return {"is_nifti": True}
     dt, width = _INT_DTYPES[datatype]
-    (vox_offset,) = struct.unpack_from("<f", content, 108)
-    off = int(vox_offset) if vox_offset >= 348 else 352
+    off = _voxel_offset(content)
+    if off is None:
+        return {"is_nifti": True}
     dim = struct.unpack_from("<8h", content, 40)
     if not 3 <= dim[0] <= 7:
-        return None
+        return {"is_nifti": True}
     nx, ny, nz = dim[1], dim[2], dim[3]
     if nx <= 0 or ny <= 0 or nz <= 0:
         return None
     n_frame = nx * ny * nz
     avail = max(0, len(content) - off)
     if avail // width < n_frame:
-        return None  # first frame truncated: no meaningful COG
+        return {"is_nifti": True}  # first frame truncated: no COG
     vals = np.frombuffer(content, dtype=dt, count=n_frame, offset=off)
     # NIfTI voxel order: x fastest -> C-order shape (z, y, x)
     vol = vals.astype(np.int64).reshape(nz, ny, nx)
+    vmax = int(np.abs(vol).max()) if n_frame else 0
+    if n_frame * vmax >= 2**62:
+        return {"is_nifti": True}  # int64 marginal-sum overflow guard
     total = int(vol.sum())
     if total == 0:
-        return None
+        return {"is_nifti": True}
     num = []
     for axis, n in ((2, nx), (1, ny), (0, nz)):
         axes = tuple(a for a in (0, 1, 2) if a != axis)
-        marg = vol.sum(axis=axes)  # exact int64 marginal
-        num.append(int(np.dot(marg, np.arange(n, dtype=np.int64))))
+        marg = vol.sum(axis=axes)  # exact int64 marginal (guarded above)
+        # index-weighted dot in PYTHON ints: the weighted sum can reach
+        # total * n and wrap int64 even when the marginals are exact
+        num.append(sum(int(marg[i]) * i for i in range(n)))
     return {
         "is_nifti": True,
         "nx": nx,

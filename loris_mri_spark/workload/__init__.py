@@ -70,11 +70,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # union of CORRECTNESS_r01..r05 keys vs the registry — after this round
 # every registered query has a driver-green row at least once); positions
 # 44-49 are this round's new queries (S18 DTIPrep XML x2, the two new
-# pipeline compositions) plus the two whose code changed this round
-# (profile_columns de-Expand, pq_topk codebook seed). Everything else is
-# already driver-green at its current code and keeps registration order
-# after the priority block — nothing is ever dropped. (r05 greened 49/50;
-# the one red is position 0 here.)
+# pipeline compositions) plus two whose code changed this round
+# (profile_columns de-Expand, pq_topk codebook seed). One more query's
+# plan ALSO changed this round after the window was full —
+# x4b_hed_ancestors (ancestor_closure broadcast_edges, plugin_ops.py:210)
+# — it did not fit the 50 and is queued FIRST among the re-greens in
+# R7_QUEUE below; it passes the local gate mirror at the new plan.
+# Everything else is driver-green at its current code and keeps
+# registration order after the priority block — nothing is ever dropped.
+# (r05 greened 49/50; the one red is position 0 here.)
 R6_WINDOW: list[str] = [
     # -- the r5 red (oracle HUGEINT cast), pinned first for its re-green --
     "dedup_substring_spans",
@@ -140,6 +144,7 @@ R6_WINDOW: list[str] = [
 # so explicitly. r7 window = these + any red-fixes + code-changed
 # re-greens, topped up with already-green entries.
 R7_QUEUE: list[str] = [
+    "x4b_hed_ancestors",
     "s19_split_merged_series",
     "pipeline_minc_to_bids",
     "s19b_apply_header_spec",
@@ -201,7 +206,6 @@ PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [
     "dedup_minhash_clusters",
     "pipeline_corpus_select",
     "x4_hed_parse",
-    "x4b_hed_ancestors",
     "mm_decode_png_roundtrip",
     "flagship_pricing_summary",
     "j1_customer_order_revenue",

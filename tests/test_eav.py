@@ -20,6 +20,16 @@ def test_dwi_bval_bvec_cleanup_and_gating(spark):
         (2, "acquisition:direction_y", "0 1 0"),
         # file 3: no bvalues -> excluded entirely
         (3, "acquisition:direction_x", "1 0 0"),
+        # file 4: Perl-FALSY bvalues ('0') -> excluded like undef
+        # (`return undef unless $bvals`, MRI.pm)
+        (4, "acquisition:bvalues", "0"),
+        # file 5: empty-string bvalues -> excluded
+        (5, "acquisition:bvalues", ""),
+        # file 6: bvals ok but one direction Perl-falsy -> bvec NULL
+        (6, "acquisition:bvalues", "0 5"),
+        (6, "acquisition:direction_x", "1 0"),
+        (6, "acquisition:direction_y", "0"),
+        (6, "acquisition:direction_z", "0 1"),
         # unrelated parameter rides through the filter
         (1, "acquisition:echo_time", "0.03"),
     ]
@@ -27,7 +37,8 @@ def test_dwi_bval_bvec_cleanup_and_gating(spark):
         rows, "file_id int, name string, value string"
     )
     got = {r["file_id"]: r for r in dwi_bval_bvec(eav).collect()}
-    assert set(got) == {1, 2}
+    assert set(got) == {1, 2, 6}
+    assert got[6]["bvec_content"] is None
     # '.,' pairs removed, trailing '.' stripped
     assert got[1]["bval_content"] == "0 1000 1000"
     # quotes and commas removed; x/y/z newline-joined
@@ -103,8 +114,55 @@ def test_nifti_volume_cog_analytic():
     st = nifti_volume_cog(_mk_nifti((3, 2, 2), [5] * 12))
     assert (st["cog_x"], st["cog_y"], st["cog_z"]) == (1.0, 0.5, 0.5)
 
-    # classify paths: zero mass, truncated frame, 2-D, float dtype
-    assert nifti_volume_cog(_mk_nifti((2, 2, 2), [0] * 8)) is None
-    assert nifti_volume_cog(_mk_nifti((2, 2, 2), [1] * 7)) is None
-    assert nifti_volume_cog(_mk_nifti((4, 4), [1] * 16)) is None
-    assert nifti_volume_cog(_mk_nifti((2, 2, 2), [0] * 8, datatype=16)) is None
+    # classify paths: zero mass, truncated frame, 2-D, float dtype are
+    # all structurally valid NIfTI -> is_nifti=True with no stats (never
+    # misfiled as 'other'); garbage bytes -> None
+    for blob in (
+        _mk_nifti((2, 2, 2), [0] * 8),
+        _mk_nifti((2, 2, 2), [1] * 7),
+        _mk_nifti((4, 4), [1] * 16),
+        _mk_nifti((2, 2, 2), [0] * 8, datatype=16),
+    ):
+        assert nifti_volume_cog(blob) == {"is_nifti": True}
+    assert nifti_volume_cog(b"garbage") is None
+
+
+def test_nifti_voxel_stats_hardening():
+    """Review findings: inf vox_offset must classify (int(inf) raised and
+    killed the scan task); uint16 volumes are integer-summable and must
+    not be misfiled as non-NIfTI; int32 sum-of-squares must be exact past
+    int64 wraparound; absurd dim products classify."""
+    import struct
+
+    from loris_mri_spark.sources.nifti import (
+        _exact_moments,
+        nifti_voxel_stats,
+    )
+
+    # inf vox_offset -> classified, not OverflowError
+    blob = bytearray(_mk_nifti((2, 2, 2), [1] * 8))
+    struct.pack_into("<f", blob, 108, float("inf"))
+    assert nifti_voxel_stats(bytes(blob)) == {"is_nifti": True}
+
+    # uint16 (DT 512) is exactly summable
+    vox = struct.pack("<8H", *[1000] * 8)
+    st = nifti_voxel_stats(_mk_nifti((2, 2, 2), vox, datatype=512))
+    assert st["vsum"] == 8000 and st["vsumsq"] == 8 * 1000**2
+
+    # float dtype: valid NIfTI, no stats
+    assert nifti_voxel_stats(
+        _mk_nifti((2, 2, 2), [0] * 8, datatype=16)
+    ) == {"is_nifti": True}
+
+    # absurd dim product (7 x 32767): classified, no Int64 sink overflow
+    big = bytearray(_mk_nifti((2, 2, 2), [1] * 8))
+    struct.pack_into("<8h", big, 40, 7, *([32767] * 7))
+    assert nifti_voxel_stats(bytes(big)) == {"is_nifti": True}
+
+    # exact moments past int64 wraparound (int32 volume, values 2^31-1)
+    import numpy as np
+
+    v = np.full(3, 2**31 - 1, dtype=np.int64)
+    s, q = _exact_moments(v)
+    assert s == 3 * (2**31 - 1)
+    assert q == 3 * (2**31 - 1) ** 2  # > 2^63: wraps under np.dot
