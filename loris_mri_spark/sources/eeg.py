@@ -15,6 +15,7 @@ carrying the channel's sample array — ready for the ephys chunk pyramid
 
 from __future__ import annotations
 
+import math
 import struct
 from typing import Any, Iterator
 
@@ -230,8 +231,22 @@ def parse_eeglab_set_bytes(content: bytes) -> list[dict[str, Any]]:
         return []
     if "nbchan" not in fields:
         return []
-    nb = int(fields["nbchan"])
-    pnts = int(fields.get("pnts", 0))
+
+    def field_int(key: str, default: int, hi: int) -> "int | None":
+        """MAT-v5 scalar doubles to int: inf raises OverflowError and NaN
+        ValueError under plain int(), and a huge finite value would drive
+        range()/list allocations — classify all three instead (the NIfTI
+        vox_offset lesson applied to this parser)."""
+        v = fields.get(key, float(default))
+        if not math.isfinite(v) or not 0 <= v <= hi:
+            return None
+        return int(v)
+
+    nb = field_int("nbchan", 0, 65536)
+    pnts = field_int("pnts", 0, 2**31)
+    trials = field_int("trials", 1, 2**31)
+    if not nb or pnts is None or trials is None:
+        return []
     n_samples = (
         data_dims[1] if len(data_dims) == 2 and data_dims[0] == nb else pnts
     )
@@ -242,7 +257,7 @@ def parse_eeglab_set_bytes(content: bytes) -> list[dict[str, Any]]:
             "nbchan": nb,
             "srate": fields.get("srate"),
             "pnts": pnts,
-            "trials": int(fields.get("trials", 1)),
+            "trials": trials,
             "n_samples": n_samples,
         }
         for c in range(nb)
@@ -402,6 +417,10 @@ def read_ctf_channels(spark: SparkSession, path_glob: str) -> DataFrame:
             for path, content, nch, ns in zip(
                 pdf["path"], pdf["content"], pdf["n_channels"], pdf["hdr_n_samples"]
             ):
+                # null/NaN header dims (res4 row without usable gSetUp)
+                # must classify, not raise in-task via int(nan)
+                if pd.isna(nch) or pd.isna(ns):
+                    continue
                 for r in parse_meg4_samples(bytes(content), int(nch), int(ns)):
                     rows.append({"path": path, **r})
             yield pd.DataFrame(rows, columns=cols)

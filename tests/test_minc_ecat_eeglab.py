@@ -134,3 +134,26 @@ def test_eeglab_compressed_elements():
         out += b"\x00" * ((8 - len(comp) % 8) % 8)
     rows = parse_eeglab_set_bytes(bytes(out))
     assert [r["label"] for r in rows] == ["Fp1", "Fp2", "Cz", "ECG"]
+
+
+def test_eeglab_nonfinite_header_dims_classify():
+    """MAT-v5 scalar doubles feed int()/range(): inf raised OverflowError,
+    NaN ValueError, and a huge finite nbchan would allocate a 1e15-row
+    list — all must classify (return []) instead (the NIfTI vox_offset
+    lesson applied here)."""
+    import struct
+    from pathlib import Path
+
+    from loris_mri_spark.sources.eeg import parse_eeglab_set_bytes
+
+    raw = (
+        Path(__file__).resolve().parent
+        / "fixtures" / "eeg" / "sub-02_task-rest_eeg.set"
+    ).read_bytes()
+    i = raw.find(b"nbchan")
+    for v in (float("inf"), float("nan"), 1e15, -3.0):
+        for off in range(i, min(i + 64, len(raw) - 8), 8):
+            b = bytearray(raw)
+            struct.pack_into("<d", b, off, v)
+            parse_eeglab_set_bytes(bytes(b))  # must not raise
+    assert len(parse_eeglab_set_bytes(raw)) == 4  # fixture unaffected
