@@ -95,6 +95,12 @@ def decode_png_bytes(content: bytes) -> "np.ndarray | None":
             pos += 12 + length  # len + tag + data + crc
         if width is None or not idat or width == 0 or height == 0:
             return None
+        if width * height > 64_000_000:
+            # same raster cap as the JPEG path: IHDR may PROMISE a huge
+            # raster, and the inflate below is bounded by that promise —
+            # without this cap a small compressed bomb inflates to
+            # attacker-declared gigabytes inside the scan task
+            return None
         channels = {0: 1, 2: 3, 6: 4}[color_type]
         stride = width * channels
         expected = height * (1 + stride)

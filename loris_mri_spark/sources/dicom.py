@@ -441,12 +441,15 @@ def parse_encapsulated_frames(content: bytes) -> "dict[str, Any] | None":
 RLE_TS = "1.2.840.10008.1.2.5"
 
 
-def packbits_decode(data: bytes) -> bytes:
+def packbits_decode(data: bytes, max_out: int = 1 << 28) -> bytes:
     """PS3.5 G.3.1 (PackBits): classify-don't-fail — truncated input
-    yields the bytes decoded so far."""
+    yields the bytes decoded so far. Output is capped at ``max_out``
+    (256 MiB default — far above any real single-plane frame): replicate
+    runs expand up to 65x, so an adversarial fragment could otherwise
+    balloon a scan task's memory by gigabytes."""
     out = bytearray()
     pos, end = 0, len(data)
-    while pos < end:
+    while pos < end and len(out) < max_out:
         n = data[pos] - 256 if data[pos] > 127 else data[pos]
         pos += 1
         if 0 <= n <= 127:
