@@ -24,6 +24,10 @@ MEMBER_SCHEMA = (
     "archive string, member string, size long, content binary"
 )
 
+# Members larger than this are inventoried (name + size) with NULL
+# content rather than materialized as a single row cell.
+_MAX_MEMBER_BYTES = 512 * 1024 * 1024
+
 
 def _explode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
@@ -33,6 +37,22 @@ def _explode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 with tarfile.open(fileobj=io.BytesIO(bytes(content)), mode="r:*") as tar:
                     for m in tar.getmembers():
                         if not m.isfile():
+                            continue
+                        if m.size > _MAX_MEMBER_BYTES:
+                            # tarfile reads exactly the header-declared
+                            # size, so checking BEFORE read() bounds a
+                            # compressed bomb; emit the inventory row
+                            # (name+size) with NULL content instead of
+                            # materializing a multi-GiB cell (Arrow and
+                            # Spark binary cells top out near 2 GiB)
+                            rows.append(
+                                {
+                                    "archive": path,
+                                    "member": m.name,
+                                    "size": m.size,
+                                    "content": None,
+                                }
+                            )
                             continue
                         f = tar.extractfile(m)
                         data = f.read() if f is not None else b""

@@ -157,3 +157,38 @@ def test_eeglab_nonfinite_header_dims_classify():
             struct.pack_into("<d", b, off, v)
             parse_eeglab_set_bytes(bytes(b))  # must not raise
     assert len(parse_eeglab_set_bytes(raw)) == 4  # fixture unaffected
+
+
+def test_tar_member_size_cap_inventories_without_content():
+    """A header-declared multi-GiB tar member is inventoried (name+size,
+    NULL content) instead of materialized as one giant binary cell."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from loris_mri_spark.sources.archive import _explode_partition
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as t:
+        info = tarfile.TarInfo("ok.txt")
+        info.size = 2
+        t.addfile(info, io.BytesIO(b"ok"))
+        bomb = tarfile.TarInfo("bomb.bin")
+        bomb.size = 600 * 1024 * 1024
+
+        class _Zeros:
+            left = bomb.size
+
+            def read(self, n=-1):
+                n = min(n if n > 0 else self.left, self.left)
+                self.left -= n
+                return b"\0" * n
+
+        t.addfile(bomb, _Zeros())
+    pdf = pd.DataFrame({"path": ["a.tar"], "content": [buf.getvalue()]})
+    out = pd.concat(list(_explode_partition(iter([pdf]))))
+    by = {r.member: r for r in out.itertuples()}
+    assert bytes(by["ok.txt"].content) == b"ok"
+    assert by["bomb.bin"].size == 600 * 1024 * 1024
+    assert by["bomb.bin"].content is None
