@@ -152,6 +152,11 @@ _H5_UNDEF = 0xFFFFFFFFFFFFFFFF
 def _h5_messages(content: bytes, addr: int) -> list[tuple[int, bytes]]:
     """Parse a v1 object header into (type, body) messages, following
     continuation (0x0010) blocks."""
+    if not 0 <= addr <= len(content) - 12:
+        # a corrupt symbol-table entry can carry any u64 here; a huge
+        # addr makes unpack_from raise OverflowError (not struct.error),
+        # which would escape the classify net below
+        raise ValueError("object header address out of bounds")
     version, nmsgs = struct.unpack_from("<BxH", content, addr)
     if version != 1:
         raise ValueError("unsupported object header version")
@@ -323,7 +328,13 @@ def parse_minc2_bytes(content: bytes) -> list[dict[str, Any]]:
                             {"variable": "<dims>", "attribute": var,
                              "value_str": None, "value_num": float(val)}
                         )
-    except (struct.error, ValueError, IndexError, RecursionError):
+    except (
+        struct.error,
+        ValueError,
+        IndexError,
+        RecursionError,
+        OverflowError,  # u64 offsets beyond ssize_t in any unpack site
+    ):
         return []
     return rows
 

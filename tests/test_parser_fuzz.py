@@ -261,3 +261,28 @@ def test_nifti_voxel_stats_truncated_at_vox_offset_classifies():
     raw = (FIXTURES / "nifti" / "sub-01_T1w.nii").read_bytes()
     st = nifti_voxel_stats(raw[:350])
     assert st is not None and st["n_read"] == 0 and st["complete"] is False
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8191),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=3,
+        max_size=6,
+    ),
+)
+def test_parsers_never_raise_on_multi_byte_flip(idx, flips):
+    """3-6 simultaneous flips: the r6 deep sweep found the MINC2 huge-u64
+    object-header address (OverflowError escaping the classify net) only
+    at this depth — single/double flips never built the full corrupt
+    symbol-table entry."""
+    raw = bytearray(VALID[idx])
+    for pos, val in flips:
+        raw[pos % len(raw)] = val
+    blob = bytes(raw)
+    for parse in PARSERS:
+        parse(blob)
