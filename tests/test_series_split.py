@@ -258,3 +258,65 @@ def test_apply_header_spec_composition(spark):
         base, suffix = r.sequence_name.split("_")
         assert base == f"seq{r.series_num}"
         assert suffix[0] in "abcdefghijklmnopqrstuvwxyz"
+
+
+def test_matches_perl_walk_hypothesis(spark):
+    """Hypothesis-driven walk comparison: arbitrary step sequences from a
+    grammar of break-triggering magnitudes (zero, in-range, tiny, huge,
+    sign flips), both thickness modes, checked against the verbatim Perl
+    replay in one batched DataFrame pass."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    step = st.sampled_from(
+        [0.0, 2.5, -2.5, 2.4, -2.6, 0.2, -0.2, 30.0, -30.0, 1e-6, 3.7]
+    )
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        walks=st.lists(
+            st.tuples(
+                st.lists(step, min_size=0, max_size=14),
+                st.sampled_from([2.5, None]),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(walks):
+        rows, expected = [], {}
+        for g, (steps, hdr) in enumerate(walks):
+            pos, cur = [0.0], 0.0
+            for s in steps:
+                cur = round(cur + s, 9)
+                pos.append(cur)
+            expected[g] = perl_walk(pos, hdr)
+            rows += [
+                Row(
+                    study_uid=g,
+                    series_num=1,
+                    te=25.0,
+                    image_num=i + 1,
+                    slice_pos=p,
+                    hdr_thick=hdr,
+                )
+                for i, p in enumerate(pos)
+            ]
+        out = (
+            slice_break_segments(
+                spark.createDataFrame(rows, schema=SCHEMA)
+            )
+            .orderBy("study_uid", "image_num")
+            .select("study_uid", "sub_series")
+            .collect()
+        )
+        got = {}
+        for r in out:
+            got.setdefault(r.study_uid, []).append(r.sub_series)
+        assert got == expected
+
+    check()
