@@ -149,6 +149,7 @@ R7_QUEUE: list[str] = [
     "pipeline_minc_to_bids",
     "s19b_apply_header_spec",
     "s4b_nifti_cog_threshold",
+    "s19c_mint_sub_series_numbers",
 ]
 
 PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [

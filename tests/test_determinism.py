@@ -39,6 +39,7 @@ _SENSITIVE = [
     "s19_split_merged_series",
     "s19b_apply_header_spec",
     "pipeline_minc_to_bids",
+    "s19c_mint_sub_series_numbers",
 ]
 
 
