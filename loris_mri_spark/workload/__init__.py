@@ -150,6 +150,7 @@ R7_QUEUE: list[str] = [
     "s19b_apply_header_spec",
     "s4b_nifti_cog_threshold",
     "s19c_mint_sub_series_numbers",
+    "pipeline_snr_acqorder",
 ]
 
 PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [

@@ -1057,3 +1057,142 @@ def pipeline_minc_to_bids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("scans_tsv_entry"),
         age_months.cast("long").alias("age_months"),
     )
+
+
+_SNR_ACQ_ORACLE = f"""
+    WITH identified AS ({_J7_MATCH_SQL}),
+    files AS (
+      SELECT l_orderkey AS tarchive,
+             l_orderkey * 10 + l_linenumber AS node,
+             l_linenumber AS series_number,
+             scan_type,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS q,
+             l_returnflag,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey * 10 + l_linenumber
+               ORDER BY scan_type,
+                        CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                        CAST(l_quantity AS BIGINT),
+                        l_returnflag, l_linestatus
+             ) AS dup_rank
+      FROM identified
+      WHERE l_orderkey < 10000),
+    deduped AS (SELECT * FROM files WHERE dup_rank = 1),
+    ordered AS (
+      SELECT tarchive, node, series_number, scan_type, cents, q,
+             l_returnflag,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tarchive, scan_type
+               ORDER BY series_number, node) AS BIGINT) AS acq_order
+      FROM deduped),
+    scored AS (
+      SELECT *,
+             CASE WHEN scan_type IN ('ret_small', 'bulk')
+                  THEN (cents * 1000) // (q + 1) END AS snr_raw
+      FROM ordered),
+    with_old AS (
+      SELECT *,
+             CASE WHEN l_returnflag = 'R'
+                  THEN snr_raw + (node % 7) - 3 END AS old_snr
+      FROM scored)
+    SELECT tarchive, node, scan_type, acq_order,
+           CAST(snr_raw AS BIGINT) AS snr_milli,
+           CASE WHEN snr_raw IS NULL THEN 'not_supported'
+                WHEN old_snr IS NULL THEN 'inserted'
+                WHEN old_snr = snr_raw THEN 'unchanged'
+                ELSE 'updated' END AS status,
+           CASE WHEN old_snr IS NOT NULL AND old_snr <> snr_raw
+                THEN 'The SNR value was updated from ' || old_snr ||
+                     ' to ' || snr_raw || '.' END AS message
+    FROM with_old
+"""
+
+
+@query("pipeline_snr_acqorder", oracle=_SNR_ACQ_ORACLE)
+def pipeline_snr_acqorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNR + acquisition-order backpopulation
+    (tools/BackPopulateSNRAndAcquisitionOrder.pl:175-210) as ONE plan.
+
+    The reference walks every tarchive and, per file, (a) assigns
+    AcqOrderPerModality by sorting each (tarchive, modality) family on
+    series_number (MRIProcessingUtility.pm:2209-2266 orderModalitiesByAcq
+    — its Perl sort leaves series_number ties in fetch order; here ties
+    break deterministically on the file node id), and (b) computes SNR
+    only for the configured compute_snr_modalities
+    (MRIProcessingUtility.pm:2136-2197 computeSNR), writing the 'SNR'
+    parameter row and spooling an update notification when a stored SNR
+    changed, or a 'modality not supported' notification otherwise.
+
+    Engine shape: duplicate-scan suppression (keep-first over the
+    duplicate (orderkey, linenumber) rows the testdata carries) -> the
+    per-modality acq-order window -> gated integer-exact SNR (bigint
+    milli-units, portable truncating division) -> one conditional
+    projection for inserted/updated/unchanged/not_supported. Two
+    exchanges total (the dedup window and the acq-order window); the SNR
+    math itself is the S4 voxel-stats path on real volumes
+    (sources/nifti.py nifti_voxel_stats) — modeled here as a column
+    expression so the composition is hash-checkable."""
+    ident = _identified_lineitems(spark, sf_dir).filter(
+        F.col("l_orderkey") < 10000
+    )
+    node = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    files = ident.select(
+        F.col("l_orderkey").alias("tarchive"),
+        node.alias("node"),
+        F.col("l_linenumber").alias("series_number"),
+        "scan_type",
+        cents.alias("cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    dup_w = Window.partitionBy("node").orderBy(
+        "scan_type", "cents", "q", "l_returnflag", "l_linestatus"
+    )
+    deduped = (
+        files.withColumn("dup_rank", F.row_number().over(dup_w))
+        .filter(F.col("dup_rank") == 1)
+        .drop("dup_rank", "l_linestatus")
+    )
+    acq_w = Window.partitionBy("tarchive", "scan_type").orderBy(
+        "series_number", "node"
+    )
+    ordered = deduped.withColumn(
+        "acq_order", F.row_number().over(acq_w).cast("long")
+    )
+    snr = F.when(
+        F.col("scan_type").isin("ret_small", "bulk"),
+        F.expr("(cents * 1000) DIV (q + 1)"),
+    )
+    scored = ordered.withColumn("snr_raw", snr).withColumn(
+        "old_snr",
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.col("snr_raw") + F.col("node") % 7 - 3,
+        ),
+    )
+    return scored.select(
+        "tarchive",
+        "node",
+        "scan_type",
+        "acq_order",
+        F.col("snr_raw").cast("long").alias("snr_milli"),
+        F.when(F.col("snr_raw").isNull(), "not_supported")
+        .when(F.col("old_snr").isNull(), "inserted")
+        .when(F.col("old_snr") == F.col("snr_raw"), "unchanged")
+        .otherwise("updated")
+        .alias("status"),
+        F.when(
+            F.col("old_snr").isNotNull()
+            & (F.col("old_snr") != F.col("snr_raw")),
+            F.concat(
+                F.lit("The SNR value was updated from "),
+                F.col("old_snr"),
+                F.lit(" to "),
+                F.col("snr_raw"),
+                F.lit("."),
+            ),
+        ).alias("message"),
+    )
