@@ -50,6 +50,17 @@ def run_external(
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
+                if row[content_col] is None:
+                    # oversized-member inventory rows (sources/archive.py
+                    # caps extraction) carry NULL content: classify, don't
+                    # crash the task — same per-row failure contract as a
+                    # tool error
+                    rows.append(
+                        {**{c: row[c] for c in passthrough_cols},
+                         "exit_code": -2, "stdout": "",
+                         "stderr": "content unavailable (oversized member)"}
+                    )
+                    continue
                 fd, tmp = tempfile.mkstemp(suffix=suffix)
                 try:
                     with os.fdopen(fd, "wb") as f:

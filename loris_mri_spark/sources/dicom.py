@@ -269,6 +269,12 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for path, content in zip(pdf["path"], pdf["content"]):
+            if content is None:
+                # oversized-archive-member inventory rows (sources/
+                # archive.py caps extraction) carry NULL content:
+                # classify as non-DICOM, don't kill the scan task
+                rows.append({"path": path, "is_dicom": False})
+                continue
             if have_pydicom:
                 rows.append({"path": path, **_parse_with_pydicom(bytes(content))})
             else:

@@ -359,8 +359,14 @@ class _ChunksStreamWriter(DataSourceStreamWriter):
 
         ctx = TaskContext.get()
         part = ctx.partitionId() if ctx is not None else 0
+        # Stamp the staged filename with this micro-batch's id (the runtime
+        # exposes it to tasks as a local property) so commit can sweep
+        # leftovers of THIS batch only — the staging dir is shared, and an
+        # unscoped sweep would delete a concurrent writer's staged-but-
+        # uncommitted task files, failing ITS commit's os.replace.
+        bid = (ctx.getLocalProperty("streaming.sql.batchId") if ctx else None) or "x"
         os.makedirs(self.staging, exist_ok=True)
-        fname = f"task-{part:05d}-{uuid.uuid4().hex[:8]}.pb"
+        fname = f"b{bid}-task-{part:05d}-{uuid.uuid4().hex[:8]}.pb"
         n, total = 0, 0
         with open(os.path.join(self.staging, fname), "wb") as fh:
             for row in iterator:
@@ -391,12 +397,15 @@ class _ChunksStreamWriter(DataSourceStreamWriter):
         with open(os.path.join(bdir, "_MANIFEST"), "w") as fh:
             json.dump({"batch": batchId, "files": manifest}, fh, sort_keys=True)
         # sweep leftovers from failed/speculative attempts of THIS batch's
-        # tasks: anything still staged was superseded by a committed
-        # attempt (commit messages carried the winning filenames), so the
-        # staging dir never grows unboundedly across batches
+        # tasks only (filenames are batch-prefixed at write time): anything
+        # still staged under this batch's prefix was superseded by a
+        # committed attempt, so the staging dir never grows unboundedly —
+        # while files of OTHER batches/writers sharing the dir are untouched
+        prefix = f"b{batchId}-"
         try:
             for leftover in os.listdir(self.staging):
-                os.unlink(os.path.join(self.staging, leftover))
+                if leftover.startswith(prefix):
+                    os.unlink(os.path.join(self.staging, leftover))
         except OSError:
             pass
 

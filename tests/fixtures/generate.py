@@ -799,15 +799,40 @@ def write_dtiprep_protocol(path: str) -> None:
         f.write(xml)
 
 
-def write_dtiprep_qc_xml(path: str, statuses: list[str]) -> None:
+def write_dtiprep_qc_xml(
+    path: str, statuses: list[str], nested: bool = False
+) -> None:
     """DTIPrep *_XMLQCResult.xml QC report: a "DWI Check" entry holding one
     gradient_NNNN entry per direction with its <processing> status
-    (DTI.pm:1165-1193 counts EXCLUDE_* statuses from exactly this shape)."""
-    grads = "".join(
-        f'    <entry parameter="gradient_{i:04d}">'
-        f"<processing>{s}</processing></entry>\n"
-        for i, s in enumerate(statuses)
-    )
+    (DTI.pm:1165-1193 counts EXCLUDE_* statuses from exactly this shape).
+    With ``nested`` the first two gradients carry the sub-entries /
+    multi-<value> children real reports have — DTI.pm still counts them
+    ONCE per gradient key, which the s18b filter must reproduce."""
+
+    def grad(i: int, s: str) -> str:
+        if nested and i == 0:
+            return (
+                f'    <entry parameter="gradient_{i:04d}">'
+                f"<processing>{s}</processing>\n"
+                '      <entry parameter="Original DWI gradient direction">'
+                "<value>0.707</value><value>0.707</value><value>0</value>"
+                "</entry>\n"
+                '      <entry parameter="QC_Index">'
+                "<processing>EXCLUDE_SLICECHECK</processing></entry>\n"
+                "    </entry>\n"
+            )
+        if nested and i == 1:
+            return (
+                f'    <entry parameter="gradient_{i:04d}">'
+                f"<processing>{s}</processing>"
+                "<value>ok</value><value>replicate</value></entry>\n"
+            )
+        return (
+            f'    <entry parameter="gradient_{i:04d}">'
+            f"<processing>{s}</processing></entry>\n"
+        )
+
+    grads = "".join(grad(i, s) for i, s in enumerate(statuses))
     xml = (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
         "<QCResultSettings>\n"
@@ -1087,6 +1112,7 @@ def main() -> None:
         ["INCLUDE"] * 9
         + ["EXCLUDE_SLICECHECK", "EXCLUDE_GRADIENTCHECK",
            "EXCLUDE_GRADIENTCHECK"],
+        nested=True,
     )
     write_dtiprep_qc_xml(
         os.path.join(xdir, "sub-02_dti_XMLQCResult.xml"),

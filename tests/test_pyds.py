@@ -248,6 +248,59 @@ def test_stream_writer_commit_is_retry_idempotent(tmp_path):
     assert manifest["batch"] == 7 and len(manifest["files"]) == 1
 
 
+def test_stream_writer_commit_sweep_is_batch_scoped(tmp_path):
+    """commit()'s leftover sweep must only remove THIS batch's staged
+    files (batch-prefixed names) — the fixed staging dir is shared, and
+    an unscoped sweep would delete a concurrent writer's staged-but-
+    uncommitted task files, failing ITS commit's os.replace."""
+    import os
+
+    from loris_mri_spark.sources.pyds import _ChunkCommit, _ChunksStreamWriter
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    w = _ChunksStreamWriter({"path": sink})
+    os.makedirs(w.staging, exist_ok=True)
+
+    def stage(name: str) -> None:
+        with open(os.path.join(w.staging, name), "wb") as fh:
+            fh.write(b"\x02\x08\x01")
+
+    stage("b7-task-00000-aaaa.pb")   # batch 7's winning attempt
+    stage("b7-task-00000-bbbb.pb")   # batch 7 speculative leftover
+    stage("b8-task-00000-cccc.pb")   # ANOTHER writer/batch's staged work
+    w.commit(
+        [_ChunkCommit(filename="b7-task-00000-aaaa.pb", n_records=1, n_bytes=3)],
+        7,
+    )
+    left = sorted(os.listdir(w.staging))
+    assert left == ["b8-task-00000-cccc.pb"], left  # b7 swept, b8 untouched
+
+
+def test_run_external_classifies_null_content(spark):
+    """Oversized-archive-member inventory rows carry content=None
+    (sources/archive.py caps extraction): the external-binary operator
+    must classify them per-row, never raise TypeError in the task."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.operators.external import run_external
+
+    df = spark.createDataFrame(
+        [("small", bytearray(b"hello")), ("huge", None)],
+        "member string, content binary",
+    )
+    out = run_external(
+        df, ["md5sum", "{input}"], content_col="content",
+        passthrough_cols=["member"],
+    )
+    rows = {r.member: r for r in out.collect()}
+    assert rows["small"].exit_code == 0
+    assert rows["huge"].exit_code == -2
+    assert "oversized" in rows["huge"].stderr
+    # downstream filter keeps only successful rows — the composed-scan shape
+    assert [r.member for r in out.filter(F.col("exit_code") == 0).collect()] == ["small"]
+
+
 def test_mapinarrow_kernel_handles_ragged_rows(spark):
     """c8b's Arrow kernel must be correct for ragged list rows (the
     general contract), not just the fixed-width embeddings table."""
