@@ -98,9 +98,31 @@ def main() -> None:
     # PLAN. Reported per-query time = steady state; cold totals are kept
     # alongside for transparency.
     import gc
+    import statistics
+
+    # Load the prior committed detail BEFORE the loop so suspected
+    # regressions can be re-measured in place (see below).
+    prev_path = Path(_REPO, "BENCH_DETAIL.json")
+    prev: dict[str, float] = {}
+    host_ratio = 1.0
+    if prev_path.exists():
+        try:
+            prev_detail = json.loads(prev_path.read_text())
+            prev = prev_detail.get("queries", {})
+            prev_calib = prev_detail.get("calib_jvm_agg_sec", 0.0)
+            if prev_calib and calib_jvm:
+                host_ratio = min(max(calib_jvm / prev_calib, 1 / 3), 3.0)
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+
+    def _would_flag(name: str, now: float) -> bool:
+        was = prev.get(name, -1.0)
+        scaled = was * host_ratio
+        return was > 0 and now > 0 and now > 1.4 * scaled and now - scaled > 0.3
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    remeasured: list[str] = []
     for name in sorted(workload.QUERIES):
         fn = workload.QUERIES[name]
         try:
@@ -109,7 +131,26 @@ def main() -> None:
             cold[name] = round(time.perf_counter() - t0, 3)
             t1 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t1, 3)
+            warm = round(time.perf_counter() - t1, 3)
+            # De-flake: this container's CPU throttles intermittently (the
+            # fixed python-loop calibration has swung 0.70 -> 2.1s in one
+            # session at zero load), and short streaming/micro-batch
+            # queries are the most timing-sensitive — r6 flagged three
+            # code-unchanged queries up to 5.6x on exactly this noise. A
+            # warm time that WOULD flag as a regression is re-run twice
+            # and replaced by the median of the three warms, so only
+            # reproducible slowdowns reach regressions_vs_prev.
+            if _would_flag(name, warm):
+                warms = [warm]
+                for _ in range(2):
+                    t2 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    warms.append(round(time.perf_counter() - t2, 3))
+                warm = statistics.median(warms)
+                remeasured.append(name)
+            timings[name] = warm
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
             timings[name] = -1.0
@@ -134,28 +175,11 @@ def main() -> None:
     # dozens of per-query plan regressions — and a FASTER host doesn't
     # mask real ones (ratio < 1 scales prior times down). Clamped to
     # [1/3, 3] so a broken calibration can't swing the verdict.
-    prev_path = Path(_REPO, "BENCH_DETAIL.json")
-    regressions: dict[str, list[float]] = {}
-    host_ratio = 1.0
-    if prev_path.exists():
-        try:
-            prev_detail = json.loads(prev_path.read_text())
-            prev = prev_detail.get("queries", {})
-            prev_calib = prev_detail.get("calib_jvm_agg_sec", 0.0)
-            if prev_calib and calib_jvm:
-                host_ratio = min(max(calib_jvm / prev_calib, 1 / 3), 3.0)
-        except (json.JSONDecodeError, OSError):
-            prev = {}
-        for name, now in timings.items():
-            was = prev.get(name, -1.0)
-            scaled = was * host_ratio
-            if (
-                was > 0
-                and now > 0
-                and now > 1.4 * scaled
-                and now - scaled > 0.3
-            ):
-                regressions[name] = [was, now]
+    regressions: dict[str, list[float]] = {
+        name: [prev[name], now]
+        for name, now in timings.items()
+        if _would_flag(name, now)
+    }
     detail = {
         "queries": timings,
         "cold": cold,
@@ -172,8 +196,13 @@ def main() -> None:
         "notes": "cold times are order/GC-dependent session effects; "
         "warm `queries` timings are the plan-cost signal",
         # warm-time regressions >1.4x and >0.3s vs the previously
-        # committed BENCH_DETAIL.json: {query: [prev_sec, now_sec]}
+        # committed BENCH_DETAIL.json: {query: [prev_sec, now_sec]};
+        # every candidate was re-run to a median-of-3 first (see
+        # `remeasured`), so these are reproducible within the session
         "regressions_vs_prev": regressions,
+        # queries whose first warm run would have flagged and were
+        # re-measured to a median-of-3 (flagged or not)
+        "remeasured_median3": remeasured,
         # host-speed calibration (fixed workloads): compare these before
         # reading anything into cross-round total drift
         "calib_python_loop_sec": calib_py,

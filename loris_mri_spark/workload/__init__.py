@@ -64,27 +64,86 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # The external driver's correctness gate evaluates only the FIRST 50 entries
 # of QUERIES in iteration order.  Each round this list rotates the window.
-# r06 layout (tests/test_oracle_parity.py pins it): position 0 is the r5
-# red query re-greened after its one-line oracle cast fix; positions 1-43
-# are ALL 43 queries that had never been driver-checked through r5 (the
-# union of CORRECTNESS_r01..r05 keys vs the registry — after this round
-# every registered query has a driver-green row at least once); positions
-# 44-49 are this round's new queries (S18 DTIPrep XML x2, the two new
-# pipeline compositions) plus two whose code changed this round
-# (profile_columns de-Expand, pq_topk codebook seed). One more query's
-# plan ALSO changed this round after the window was full —
-# x4b_hed_ancestors (ancestor_closure broadcast_edges, plugin_ops.py:210)
-# — it did not fit the 50 and is queued FIRST among the re-greens in
-# R7_QUEUE below; it passes the local gate mirror at the new plan.
-# Everything else is driver-green at its current code and keeps
-# registration order after the priority block — nothing is ever dropped.
-# (r05 greened 49/50; the one red is position 0 here.)
+# r07 layout (tests/test_oracle_parity.py pins it):
+#   0-6   R7_QUEUE from round 6 — the only queries without a driver-green
+#         row at current code (6 registered after the r6 window filled,
+#         plus x4b_hed_ancestors whose plan changed post-fill). After this
+#         round greens them, every registered query is driver-verified at
+#         shipped code.
+#   7-9   new this round: dwi_bval_bvec (tools/create_nifti_bval_bvec.pl),
+#         pipeline_qc_face_batch (batch_run_pipeline_qc_face_script.pl),
+#         pipeline_hrrt_insertion (HRRT_PET_insertion.pl).
+#   10-19 code-changed re-greens: s18b (gradient-entry depth filter, the
+#         r6 ADVICE fix), the archive/external consumers of the new
+#         NULL-content guards (s16, s3 pair), t13 (stream-writer staging
+#         sweep now batch-scoped), and the S1 DICOM family (None guard in
+#         _parse_partition touches their scan function).
+#   20-49 top-up rotation: the 30 OLDEST driver greens (r2/r3 windows,
+#         code unchanged) — re-certifying the least-recently-checked rows.
+# Everything else keeps its order after the priority block; nothing is
+# ever dropped.
+R7_WINDOW: list[str] = [
+    # -- R7_QUEUE: never driver-checked at current code, pinned first --
+    "x4b_hed_ancestors",
+    "s19_split_merged_series",
+    "pipeline_minc_to_bids",
+    "s19b_apply_header_spec",
+    "s4b_nifti_cog_threshold",
+    "s19c_mint_sub_series_numbers",
+    "pipeline_snr_acqorder",
+    # -- new this round --
+    "dwi_bval_bvec",
+    "pipeline_qc_face_batch",
+    "pipeline_hrrt_insertion",
+    # -- code changed this round: re-green --
+    "s18b_dtiprep_qc_gradients",
+    "s16_external_md5sum",
+    "s3_s1_composed_archive_scan",
+    "s3_tar_members",
+    "t13_stream_custom_sink",
+    "s1_dicom_transfer_syntaxes",
+    "s1_headers_datasource",
+    "s1_dicom_encapsulated_frames",
+    "s1_dicom_rle_decode",
+    "s1_dicom_implicit_vr",
+    # -- top-up: the oldest (r2/r3) driver greens, unchanged code --
+    "flagship_pricing_summary",
+    "j1_customer_order_revenue",
+    "j3_left_join_order_counts",
+    "j5_anti_customers_without_orders",
+    "j6_semi_customers_with_orders",
+    "j4_selfjoin_mismatch",
+    "j9_self_join_first_order",
+    "w1_row_number_order_seq",
+    "w3_top1_latest_order",
+    "a2_next_sequence_number",
+    "a3_global_minmax",
+    "a4_distinct_projection",
+    "a5_series_collapse",
+    "a6_conditional_counts",
+    "o1_topk_lineitems",
+    "u1_union_branches",
+    "s5_minc_headers",
+    "s6_ecat_headers",
+    "s15_png_preview",
+    "mm_decode_features",
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_bpe_token_count",
+    "s7_eeglab_channels",
+    "f_predicate_gauntlet",
+    "c_scalar_functions",
+    "c3_date_functions",
+    "c7_json_extract",
+]
+
+# r06 window, kept for the historical record (CORRECTNESS_r06.json keys);
+# every entry is driver-green there and its code is unchanged since,
+# except s18b_dtiprep_qc_gradients which re-greens in R7_WINDOW above.
 R6_WINDOW: list[str] = [
-    # -- the r5 red (oracle HUGEINT cast), pinned first for its re-green --
     "dedup_substring_spans",
-    # -- the 43 never-driver-checked queries (union of r1-r5 CORRECTNESS
-    #    keys vs the registry), corpus-prep + native-decoder families
-    #    included; all green in the local full-contract sweep --
     "a11_grouping_sets",
     "anomaly_daily_zscore",
     "vec_drift_monitor",
@@ -101,7 +160,6 @@ R6_WINDOW: list[str] = [
     "text_repetition_stats",
     "text_pii_redact",
     "corpus_global_shuffle",
-    "s1_headers_datasource",
     "layout_zorder_stats",
     "dedup_keep_best",
     "corpus_mixture_interleave",
@@ -109,11 +167,8 @@ R6_WINDOW: list[str] = [
     "s7_brainvision_channels",
     "s7_brainvision_markers",
     "s7_edf_annotations",
-    "s1_dicom_transfer_syntaxes",
     "t8_incremental_store_dedup",
     "graph_authority_rank",
-    "s1_dicom_encapsulated_frames",
-    "s1_dicom_rle_decode",
     "text_quality_classifier",
     "s12b_versioned_time_travel",
     "mm_decode_jpeg_baseline",
@@ -128,39 +183,20 @@ R6_WINDOW: list[str] = [
     "dedup_winnow_coverage",
     "vec_cosine_clusters",
     "w5_rolling_event_stats",
-    # -- new this round --
     "s18_dtiprep_protocol",
-    "s18b_dtiprep_qc_gradients",
     "pipeline_processed_registration",
     "pipeline_deface_batch",
-    # -- code changed this round: re-green --
     "profile_columns",
     "ann_pq_adc_topk",
 ]
 
-# Queries added AFTER the r6 window filled (the driver checks only 50 per
-# round). They queue HERE, at the head of the next round's rotation, and
-# ship this round with local-gate verification only — README/COVERAGE say
-# so explicitly. r7 window = these + any red-fixes + code-changed
-# re-greens, topped up with already-green entries.
-R7_QUEUE: list[str] = [
-    "x4b_hed_ancestors",
-    "s19_split_merged_series",
-    "pipeline_minc_to_bids",
-    "s19b_apply_header_spec",
-    "s4b_nifti_cog_threshold",
-    "s19c_mint_sub_series_numbers",
-    "pipeline_snr_acqorder",
-]
-
-PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [
+PRIORITY_ORDER: list[str] = R7_WINDOW + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",
     "c5_blake2b_hash",
     "vec_cosine_pairs_lsh",
     "f5_visit_window_validation",
-    "s1_dicom_implicit_vr",
     "s5b_minc2_headers",
     "dedup_substring_hotspans",
     "dq_constraint_report",
@@ -193,7 +229,6 @@ PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [
     "s9c_compaction_plan",
     "s12d_version_diff",
     "pipeline_gdpr_erasure",
-    "t13_stream_custom_sink",
     "t14_stream_static_join",
     "a10_statistical_aggregates",
     "pipeline_pretraining_data",
@@ -209,36 +244,6 @@ PRIORITY_ORDER: list[str] = R6_WINDOW + R7_QUEUE + [
     "pipeline_corpus_select",
     "x4_hed_parse",
     "mm_decode_png_roundtrip",
-    "flagship_pricing_summary",
-    "j1_customer_order_revenue",
-    "j3_left_join_order_counts",
-    "j5_anti_customers_without_orders",
-    "j6_semi_customers_with_orders",
-    "j4_selfjoin_mismatch",
-    "j9_self_join_first_order",
-    "w1_row_number_order_seq",
-    "w3_top1_latest_order",
-    "a2_next_sequence_number",
-    "a3_global_minmax",
-    "a4_distinct_projection",
-    "a5_series_collapse",
-    "a6_conditional_counts",
-    "o1_topk_lineitems",
-    "u1_union_branches",
-    "s5_minc_headers",
-    "s6_ecat_headers",
-    "s15_png_preview",
-    "mm_decode_features",
-    "text_token_stats",
-    "text_language_id",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_bpe_token_count",
-    "s7_eeglab_channels",
-    "f_predicate_gauntlet",
-    "c_scalar_functions",
-    "c3_date_functions",
-    "c7_json_extract",
     "eav_pivot_user_event_matrix",
 ]
 

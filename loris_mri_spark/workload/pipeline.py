@@ -1196,3 +1196,414 @@ def pipeline_snr_acqorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("message"),
     )
+
+
+# -- Face-QC batch runner (tools/batch_run_pipeline_qc_face_script.pl) -----
+
+def _qc_face_oracle() -> str:
+    return f"""
+    WITH plan AS ({_deface_oracle()}),
+    per_file AS (
+      SELECT p.candidate, p.visit_label,
+             CAST(t.node AS BIGINT) AS node
+      FROM plan p, UNNEST(string_split(p.files_csv, ',')) AS t(node)),
+    numbered AS (
+      SELECT candidate, visit_label, node,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY candidate, visit_label ORDER BY node)
+               AS BIGINT) AS counter,
+             '/data/project/assembly/' || candidate || '/' || visit_label
+               || '/mri/processed/MINC_deface/scan_' || node || '.mnc'
+               AS file_in,
+             '/qc/out/scan_' || node || '.jpg' AS file_out
+      FROM per_file),
+    cmds AS (
+      SELECT *,
+             'pipeline_qc_face.pl '
+               || regexp_replace(file_in, '([^A-Za-z0-9_])', '\\\\\\1', 'g')
+               || ' '
+               || regexp_replace(file_out, '([^A-Za-z0-9_])', '\\\\\\1', 'g')
+               AS cmd
+      FROM numbered)
+    SELECT candidate, visit_label, counter, file_in, file_out,
+           '/data/batch_output/defaceqcstdout.log_' || candidate || '_'
+             || counter AS stdout_log,
+           '/data/batch_output/defaceqcstderr.log_' || candidate || '_'
+             || counter AS stderr_log,
+           cmd,
+           CASE WHEN node % 13 = 0 THEN 'violation: input unavailable'
+                ELSE 'ran' END AS status,
+           CASE WHEN node % 13 = 0 THEN NULL ELSE md5(cmd) END AS cmd_md5
+    FROM cmds
+    """
+
+
+@query("pipeline_qc_face_batch", oracle=_qc_face_oracle())
+def pipeline_qc_face_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Face-QC batch runner (tools/batch_run_pipeline_qc_face_script.pl:
+    178-205 composed with tools/run_defacing_script.pl's planner): every
+    file the deface planner selected fans out to one
+    ``pipeline_qc_face.pl <in> <out>`` invocation — per-file jpg target
+    (``basename(file, '.mnc') . '.jpg'``), numbered stdout/stderr batch
+    logs, Perl ``quotemeta`` escaping of both paths — and each row runs
+    through the S16 external-binary operator with the per-row
+    failure -> violation mapping (a missing/unreadable input classifies,
+    never kills the batch; the reference leaves that to qsub logs).
+
+    Engine refinements over the reference loop: the log counter is
+    per-session (row_number within candidate/visit, which with the
+    candidate in the log name is just as unique) instead of the
+    reference's single global ``$counter++`` — no global-order window,
+    so the plan scales past one driver; and the stand-in binary is
+    ``md5sum`` (universally present), making stdout deterministic for
+    the oracle while exercising the real temp-file + subprocess path."""
+    from loris_mri_spark.operators.external import run_external
+
+    plan = pipeline_deface_batch(spark, sf_dir)
+    per_file = plan.select(
+        "candidate",
+        "visit_label",
+        F.explode(F.split("files_csv", ",")).alias("node_s"),
+    ).select(
+        "candidate", "visit_label", F.col("node_s").cast("long").alias("node")
+    )
+    w = Window.partitionBy("candidate", "visit_label").orderBy("node")
+    quotemeta = lambda c: F.regexp_replace(c, "([^A-Za-z0-9_])", r"\\$1")  # noqa: E731
+    numbered = per_file.select(
+        "candidate",
+        "visit_label",
+        "node",
+        F.row_number().over(w).cast("long").alias("counter"),
+        F.concat(
+            F.lit("/data/project/assembly/"), F.col("candidate"), F.lit("/"),
+            F.col("visit_label"),
+            F.lit("/mri/processed/MINC_deface/scan_"), F.col("node"),
+            F.lit(".mnc"),
+        ).alias("file_in"),
+        F.concat(
+            F.lit("/qc/out/scan_"), F.col("node"), F.lit(".jpg")
+        ).alias("file_out"),
+    )
+    cmds = numbered.withColumn(
+        "cmd",
+        F.concat(
+            F.lit("pipeline_qc_face.pl "), quotemeta(F.col("file_in")),
+            F.lit(" "), quotemeta(F.col("file_out")),
+        ),
+    ).withColumn(
+        "content",
+        F.when(F.col("node") % 13 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.encode(F.col("cmd"), "UTF-8")),
+    )
+    ran = run_external(
+        cmds,
+        ["md5sum", "{input}"],
+        content_col="content",
+        passthrough_cols=[
+            "candidate", "visit_label", "counter", "file_in", "file_out",
+            "cmd",
+        ],
+    )
+    log = lambda kind: F.concat(  # noqa: E731
+        F.lit(f"/data/batch_output/defaceqc{kind}.log_"),
+        F.col("candidate"), F.lit("_"), F.col("counter"),
+    )
+    return ran.select(
+        "candidate",
+        "visit_label",
+        "counter",
+        "file_in",
+        "file_out",
+        log("stdout").alias("stdout_log"),
+        log("stderr").alias("stderr_log"),
+        "cmd",
+        F.when(F.col("exit_code") == 0, F.lit("ran"))
+        .when(F.col("exit_code") == -2, F.lit("violation: input unavailable"))
+        .otherwise(F.lit("violation: tool failure"))
+        .alias("status"),
+        F.when(
+            F.col("exit_code") == 0, F.split(F.col("stdout"), " ").getItem(0)
+        ).alias("cmd_md5"),
+    )
+
+
+# -- HRRT PET insertion (uploadNeuroDB/HRRT_PET_insertion.pl) --------------
+
+def _hrrt_oracle() -> "str | None":
+    """Golden VALUES oracle computed INDEPENDENTLY of the Spark path at
+    import time: plain-Python replication of HRRT.pm's rules (blake2b via
+    hashlib, matlab ``key = value;`` split, study info from the first
+    sorted ECAT) over the byte-stable committed fixtures — the same
+    pattern as the other S1-S7 fixture goldens."""
+    import hashlib
+    import os
+    from datetime import datetime, timezone
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "fixtures", "ecat",
+    )
+    if not os.path.isdir(fdir):
+        return None
+    names = sorted(os.listdir(fdir))
+    ecats = [n for n in names if n.lower().endswith(".v")
+             and not n.lower().startswith("test")]
+    others = [n for n in names if not n.lower().endswith(".v")]
+
+    def md5_60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # study info from the FIRST sorted ECAT (s6's pinned header values)
+    first_header = {"patient_name": "SUB001", "system_type": "328",
+                    "scan_start_time": 1325430000}
+    day = datetime.fromtimestamp(
+        first_header["scan_start_time"], tz=timezone.utc
+    ).strftime("%Y-%m-%d")
+
+    rows: list[tuple[str, str, str, str]] = []
+    rows += [
+        ("archive", "hrrt_archive", "PatientName", first_header["patient_name"]),
+        ("archive", "hrrt_archive", "CenterName", "BIC-MNI_MCGILL"),
+        ("archive", "hrrt_archive", "DateAcquired", day),
+        ("archive", "hrrt_archive", "EcatFileCount", str(len(ecats))),
+        ("archive", "hrrt_archive", "NonEcatFileCount", str(len(others))),
+        ("archive", "hrrt_archive", "Manufacturer", "Siemens"),
+        ("archive", "hrrt_archive", "ScannerModel", "HRRT"),
+        ("archive", "hrrt_archive", "SystemType", first_header["system_type"]),
+    ]
+    matlab: list[tuple[str, str]] = []
+    for n in others:
+        if not n.endswith(".m"):
+            continue
+        with open(os.path.join(fdir, n)) as fh:
+            for line in fh.read().splitlines():
+                if " = " not in line:
+                    continue
+                key, val = line.split(" = ", 1)
+                matlab.append((key, val.rstrip().rstrip(";")))
+    session_id = ""
+    for n in ecats:
+        with open(os.path.join(fdir, n), "rb") as fh:
+            b2b = hashlib.blake2b(fh.read(), digest_size=32).hexdigest()
+        minc = n[:-2] + ".mnc"
+        scan_type = "PETfdg" if "fdg" in n.lower() else "unknown"
+        rows += [
+            ("archive_file", n, "Blake2bHash", b2b),
+            ("file", minc, "scan_type", scan_type),
+            ("file", minc, "file_id", str(md5_60_py("hrrt:" + minc))),
+            ("file", minc, "status", "inserted"),
+        ]
+        rows += [("minc_header", minc, "matlab_param:" + k, v)
+                 for k, v in matlab]
+        session_id = str(md5_60_py("sess:" + first_header["patient_name"]))
+    rows += [
+        ("upload", "mri_upload", "InsertionComplete", "1"),
+        ("upload", "mri_upload", "number_of_mincCreated", str(len(ecats))),
+        ("upload", "mri_upload", "number_of_mincInserted", str(len(ecats))),
+        ("upload", "mri_upload", "SessionID", session_id),
+    ]
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(k)}, {q(e)}, {q(n)}, {q(v)})" for k, e, n, v in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals + ") AS t(kind, entity, name, value)"
+    )
+
+
+@query("pipeline_hrrt_insertion", oracle=_hrrt_oracle())
+def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRRT PET insertion (uploadNeuroDB/HRRT_PET_insertion.pl:300-480,
+    NeuroDB/HRRT.pm:125-420) as ONE composed DAG over the real ECAT
+    source: ECAT selection (``*.v``, BIC ``test*`` exclusion —
+    grep_ecat_files_only), study info from the first sorted file
+    (determine_study_info: acquisition date from scan_start_time,
+    hardcoded Siemens/HRRT scanner, BIC facility overwrite), the Matlab
+    sidecar's parameters appended to every converted MINC's header
+    (insertBicMatlabHeader), protocol resolution
+    (Settings::determineHRRTprotocol on the basename), per-file blake2b
+    for hrrt_archive_files, and the archive / upload bookkeeping rows
+    (insert_hrrt_tables, updateHrrtUploadInfo). The reference runs one
+    ``lmhdr``+``ecat2minc`` subprocess pair per file and row-by-row
+    INSERTs; here every stage is a DataFrame over the Arrow-batched ECAT
+    parser, the tiny sidecar/study frames are broadcast, and the blake2b
+    pandas UDF is the one (documented) Python hop. Output: long
+    (kind, entity, name, value) registration rows — the EAV shape the
+    parameter_file sink consumes."""
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    import pandas as pd
+
+    from loris_mri_spark.sources.minc_ecat import (
+        read_ecat_headers,
+        read_ecat_sidecars,
+    )
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "fixtures", "ecat",
+    )
+    base = F.element_at(F.split("path", "/"), -1)
+
+    heads = (
+        read_ecat_headers(spark, fdir)
+        .filter(F.col("is_readable"))
+        .withColumn("file", base)
+        # grep_ecat_files_only: .v extension, BIC test* exclusion
+        .filter(
+            F.lower(F.col("file")).endswith(".v")
+            & ~F.lower(F.col("file")).startswith("test")
+        )
+    )
+
+    # determine_study_info: FIRST sorted ECAT drives the study row
+    first = heads.orderBy("file").limit(1).select(
+        "patient_name",
+        F.col("system_type").cast("string").alias("system_type"),
+        "scan_start_time",
+        # date arithmetic in pure UTC day units — no session-TZ dependence
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(F.col("scan_start_time") / 86400).cast("int"),
+        ).cast("string").alias("date_acquired"),
+    )
+
+    all_files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(fdir)
+        .select(base.alias("file"), "content")
+    )
+    ecat_files = all_files.filter(
+        F.lower(F.col("file")).endswith(".v")
+        & ~F.lower(F.col("file")).startswith("test")
+    )
+    # file counts as a 1-row aggregate crossJoined in (the repo's 1-row
+    # assembly pattern), not eager driver-side .count() actions — the
+    # plan stays lazy and single-job
+    is_ecat = (
+        F.lower(F.col("file")).endswith(".v")
+        & ~F.lower(F.col("file")).startswith("test")
+    ).cast("int")
+    counts = all_files.agg(
+        F.sum(is_ecat).cast("string").alias("n_ecat"),
+        F.sum(1 - is_ecat).cast("string").alias("n_other"),
+    )
+    first = first.crossJoin(F.broadcast(counts))
+
+    archive = first.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("PatientName").alias("name"),
+                         F.col("patient_name").alias("value")),
+                F.struct(F.lit("CenterName").alias("name"),
+                         F.lit("BIC-MNI_MCGILL").alias("value")),
+                F.struct(F.lit("DateAcquired").alias("name"),
+                         F.col("date_acquired").alias("value")),
+                F.struct(F.lit("EcatFileCount").alias("name"),
+                         F.col("n_ecat").alias("value")),
+                F.struct(F.lit("NonEcatFileCount").alias("name"),
+                         F.col("n_other").alias("value")),
+                F.struct(F.lit("Manufacturer").alias("name"),
+                         F.lit("Siemens").alias("value")),
+                F.struct(F.lit("ScannerModel").alias("name"),
+                         F.lit("HRRT").alias("value")),
+                F.struct(F.lit("SystemType").alias("name"),
+                         F.col("system_type").alias("value")),
+            )
+        ).alias("nv")
+    ).select(
+        F.lit("archive").alias("kind"),
+        F.lit("hrrt_archive").alias("entity"),
+        F.col("nv.name").alias("name"),
+        F.col("nv.value").alias("value"),
+    )
+
+    def _b2b(content):  # pd.Series -> pd.Series (no hints: the old-style
+        # pandas_udf signature — module uses `from __future__ annotations`,
+        # and string hints to a function-local pandas import don't resolve)
+        import hashlib
+
+        return content.map(
+            lambda b: hashlib.blake2b(bytes(b), digest_size=32).hexdigest()
+        )
+
+    blake2b_hex = pandas_udf(_b2b, StringType())
+
+    archive_files = ecat_files.select(
+        F.lit("archive_file").alias("kind"),
+        F.col("file").alias("entity"),
+        F.lit("Blake2bHash").alias("name"),
+        blake2b_hex(F.col("content")).alias("value"),
+    )
+
+    # ecat2minc + protocol resolution + registration per file
+    minted = heads.select(
+        F.regexp_replace("file", r"\.v$", ".mnc").alias("minc"),
+    ).withColumn(
+        "scan_type",
+        F.when(F.lower(F.col("minc")).rlike("fdg"), "PETfdg").otherwise(
+            "unknown"
+        ),
+    ).withColumn(
+        "file_id", md5_60(F.concat(F.lit("hrrt:"), F.col("minc"))).cast("string")
+    )
+    file_rows = minted.select(
+        F.lit("file").alias("kind"),
+        F.col("minc").alias("entity"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("scan_type").alias("name"),
+                         F.col("scan_type").alias("value")),
+                F.struct(F.lit("file_id").alias("name"),
+                         F.col("file_id").alias("value")),
+                F.struct(F.lit("status").alias("name"),
+                         F.lit("inserted").alias("value")),
+            )
+        ).alias("nv"),
+    ).select("kind", "entity", F.col("nv.name").alias("name"),
+             F.col("nv.value").alias("value"))
+
+    # insertBicMatlabHeader: every sidecar parameter onto every MINC header
+    sidecar = read_ecat_sidecars(spark, fdir).select(
+        F.concat(F.lit("matlab_param:"), F.col("key")).alias("name"),
+        F.col("value_str").alias("value"),
+    )
+    minc_header = minted.select(F.col("minc").alias("entity")).join(
+        F.broadcast(sidecar)
+    ).select(
+        F.lit("minc_header").alias("kind"), "entity", "name", "value"
+    )
+
+    session_id = md5_60(F.concat(F.lit("sess:"), F.col("patient_name"))).cast(
+        "string"
+    )
+    upload = first.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("InsertionComplete").alias("name"),
+                         F.lit("1").alias("value")),
+                F.struct(F.lit("number_of_mincCreated").alias("name"),
+                         F.col("n_ecat").alias("value")),
+                F.struct(F.lit("number_of_mincInserted").alias("name"),
+                         F.col("n_ecat").alias("value")),
+                F.struct(F.lit("SessionID").alias("name"),
+                         session_id.alias("value")),
+            )
+        ).alias("nv")
+    ).select(
+        F.lit("upload").alias("kind"),
+        F.lit("mri_upload").alias("entity"),
+        F.col("nv.name").alias("name"),
+        F.col("nv.value").alias("value"),
+    )
+
+    return archive.unionByName(archive_files).unionByName(
+        file_rows
+    ).unionByName(minc_header).unionByName(upload)

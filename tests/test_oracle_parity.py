@@ -27,15 +27,16 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_r6_correctness_window_layout():
+def test_r7_correctness_window_layout():
     """The external driver hash-checks only the FIRST 50 registry entries.
-    Pin the declared r6 window (the r5 red-fix + every never-driver-checked
-    query + this round's new/changed queries) as exactly those 50 — a late
-    registration must not silently displace a promised query."""
+    Pin the declared r7 window (the R7_QUEUE backlog + this round's new
+    queries + code-changed re-greens + oldest-green rotation) as exactly
+    those 50 — a late registration must not silently displace a promised
+    query."""
     first50 = list(workload.QUERIES)[:50]
-    assert len(workload.R6_WINDOW) == 50
-    assert first50 == workload.R6_WINDOW, [
-        (a, b) for a, b in zip(first50, workload.R6_WINDOW) if a != b
+    assert len(workload.R7_WINDOW) == 50
+    assert first50 == workload.R7_WINDOW, [
+        (a, b) for a, b in zip(first50, workload.R7_WINDOW) if a != b
     ]
 
 

@@ -215,6 +215,24 @@ def test_deface_batch_single_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_qc_face_batch_no_global_order_window(spark, sf_dir):
+    """The face-QC batch runner numbers its log files with a PER-SESSION
+    row_number (the reference's global $counter++ would be a
+    single-partition Exchange — a driver-sized bottleneck at scale)."""
+    plan = _plan(workload.QUERIES["pipeline_qc_face_batch"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hrrt_insertion_all_joins_broadcast(spark, sf_dir):
+    """HRRT insertion's joins are all tiny-side (sidecar params, 1-row
+    study/count frames) — they must broadcast; a SortMergeJoin would mean
+    a shuffle of the per-file frame against a 5-row sidecar."""
+    plan = _plan(workload.QUERIES["pipeline_hrrt_insertion"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     """BatchEvalPython (row-at-a-time Python UDF) is the 10-100x-slower
     path and must never appear in ANY registered query plan. Python is
@@ -223,6 +241,7 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     codecs, protobuf framing) and mapInPandas/applyInPandas stages."""
     allowed_arrow = {
         "c5_blake2b_hash",
+        "pipeline_hrrt_insertion",  # blake2b over ECAT bytes (C5's UDF)
         "x3b_udtf_tar_members",  # Arrow-optimized Python UDTF (X3 surface)
         "x4_hed_parse",
         "x4b_hed_ancestors",
