@@ -66,47 +66,54 @@ def parse_dtiprep_xml_bytes(content: bytes) -> list[dict[str, Any]]:
 
     rows: list[dict[str, Any]] = []
 
-    def walk(elem: ET.Element, prefix: str, depth: int) -> None:
-        for entry in elem.findall("entry"):
-            param = entry.get("parameter")
-            if param is None:
-                continue
-            path = f"{prefix}/{param}" if prefix else param
-            values = [
-                (v.text if v.text is not None else "")
-                for v in entry.findall("value")
-            ]
-            proc = entry.findtext("processing")
-            if values:
-                for i, v in enumerate(values):
-                    rows.append(
-                        {
-                            "root_tag": root.tag,
-                            "entry_path": path,
-                            "parameter": param,
-                            "depth": depth,
-                            "value_index": i,
-                            "value": v,
-                            "processing": proc,
-                            "parse_ok": True,
-                        }
-                    )
-            else:
+    # Explicit-stack preorder walk, NOT recursion: a crafted depth bomb
+    # (thousands of nested <entry>) would raise RecursionError past every
+    # narrow except and kill the scan task (fuzz-found r7). Document
+    # order is preserved by pushing siblings reversed; children of
+    # parameter-less entries are skipped, as the recursive form did.
+    stack: list[tuple[ET.Element, str, int]] = [
+        (e, "", 0) for e in reversed(root.findall("entry"))
+    ]
+    while stack:
+        entry, prefix, depth = stack.pop()
+        param = entry.get("parameter")
+        if param is None:
+            continue
+        path = f"{prefix}/{param}" if prefix else param
+        values = [
+            (v.text if v.text is not None else "")
+            for v in entry.findall("value")
+        ]
+        proc = entry.findtext("processing")
+        if values:
+            for i, v in enumerate(values):
                 rows.append(
                     {
                         "root_tag": root.tag,
                         "entry_path": path,
                         "parameter": param,
                         "depth": depth,
-                        "value_index": None,
-                        "value": None,
+                        "value_index": i,
+                        "value": v,
                         "processing": proc,
                         "parse_ok": True,
                     }
                 )
-            walk(entry, path, depth + 1)
-
-    walk(root, "", 0)
+        else:
+            rows.append(
+                {
+                    "root_tag": root.tag,
+                    "entry_path": path,
+                    "parameter": param,
+                    "depth": depth,
+                    "value_index": None,
+                    "value": None,
+                    "processing": proc,
+                    "parse_ok": True,
+                }
+            )
+        for child in reversed(entry.findall("entry")):
+            stack.append((child, path, depth + 1))
     if not rows:
         # well-formed XML with no <entry> children: observable but empty
         rows.append(

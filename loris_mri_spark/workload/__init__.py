@@ -73,12 +73,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #   7-9   new this round: dwi_bval_bvec (tools/create_nifti_bval_bvec.pl),
 #         pipeline_qc_face_batch (batch_run_pipeline_qc_face_script.pl),
 #         pipeline_hrrt_insertion (HRRT_PET_insertion.pl).
-#   10-19 code-changed re-greens: s18b (gradient-entry depth filter, the
-#         r6 ADVICE fix), the archive/external consumers of the new
-#         NULL-content guards (s16, s3 pair), t13 (stream-writer staging
-#         sweep now batch-scoped), and the S1 DICOM family (None guard in
-#         _parse_partition touches their scan function).
-#   20-49 top-up rotation: the 30 OLDEST driver greens (r2/r3 windows,
+#   10-20 code-changed re-greens: the S18 pair (explicit-stack XML walk +
+#         the gradient-entry depth filter, the r6 ADVICE fix), the
+#         archive/external consumers of the new NULL-content guards (s16,
+#         s3 pair), t13 (stream-writer staging sweep now batch-scoped),
+#         and the S1 DICOM family (None guard in _parse_partition touches
+#         their scan function).
+#   21-49 top-up rotation: the 29 OLDEST driver greens (r2/r3 windows,
 #         code unchanged) — re-certifying the least-recently-checked rows.
 # Everything else keeps its order after the priority block; nothing is
 # ever dropped.
@@ -96,6 +97,7 @@ R7_WINDOW: list[str] = [
     "pipeline_qc_face_batch",
     "pipeline_hrrt_insertion",
     # -- code changed this round: re-green --
+    "s18_dtiprep_protocol",
     "s18b_dtiprep_qc_gradients",
     "s16_external_md5sum",
     "s3_s1_composed_archive_scan",
@@ -136,7 +138,6 @@ R7_WINDOW: list[str] = [
     "f_predicate_gauntlet",
     "c_scalar_functions",
     "c3_date_functions",
-    "c7_json_extract",
 ]
 
 # r06 window, kept for the historical record (CORRECTNESS_r06.json keys);

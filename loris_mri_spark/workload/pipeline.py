@@ -1256,8 +1256,13 @@ def pipeline_qc_face_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's single global ``$counter++`` — no global-order window,
     so the plan scales past one driver; and the stand-in binary is
     ``md5sum`` (universally present), making stdout deterministic for
-    the oracle while exercising the real temp-file + subprocess path."""
-    from loris_mri_spark.operators.external import run_external
+    the oracle while exercising the real temp-file + subprocess path.
+    The external step uses the BATCHED S16 variant (one subprocess per
+    Arrow chunk — md5sum accepts many files and emits one line per
+    file): per-row spawn dominated this query at sf0.1 (~5.3k
+    fork+execs, 11 s warm -> ~1 s batched), and amortizing spawn across
+    the batch is exactly what a 1000-executor run needs too."""
+    from loris_mri_spark.operators.external import run_external_batched
 
     plan = pipeline_deface_batch(spark, sf_dir)
     per_file = plan.select(
@@ -1295,9 +1300,9 @@ def pipeline_qc_face_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("node") % 13 == 0, F.lit(None).cast("binary"))
         .otherwise(F.encode(F.col("cmd"), "UTF-8")),
     )
-    ran = run_external(
+    ran = run_external_batched(
         cmds,
-        ["md5sum", "{input}"],
+        ["md5sum", "{inputs}"],
         content_col="content",
         passthrough_cols=[
             "candidate", "visit_label", "counter", "file_in", "file_out",

@@ -254,6 +254,26 @@ def test_dtiprep_xml_semantics():
     assert len(bad) == 1 and bad[0]["parse_ok"] is False
 
 
+def test_dtiprep_xml_depth_bomb_classifies():
+    """A crafted XML with thousands of nested <entry> elements must parse
+    (explicit-stack walk), never raise RecursionError into the scan task
+    (fuzz-found r7: the recursive walk blew the interpreter stack past
+    every narrow except)."""
+    from loris_mri_spark.sources.dtiprep import parse_dtiprep_xml_bytes
+
+    n = 3000
+    xml = (
+        b"<P>"
+        + b"".join(b'<entry parameter="e%d">' % i for i in range(n))
+        + b"</entry>" * n
+        + b"</P>"
+    )
+    rows = parse_dtiprep_xml_bytes(xml)
+    assert len(rows) == n
+    assert max(r["depth"] for r in rows) == n - 1
+    assert all(r["parse_ok"] for r in rows)
+
+
 def test_nifti_voxel_stats_truncated_at_vox_offset_classifies():
     """Deep-fuzz counterexample (r6): truncating the file to just under
     vox_offset made np.frombuffer(offset=352) raise ValueError even at

@@ -301,6 +301,34 @@ def test_run_external_classifies_null_content(spark):
     assert [r.member for r in out.filter(F.col("exit_code") == 0).collect()] == ["small"]
 
 
+def test_run_external_batched_matches_per_row_and_classifies(spark):
+    """The batched S16 variant (one subprocess per chunk) must return the
+    same per-row results as hashlib ground truth, classify NULL-content
+    rows without exec, and survive a chunk split (batch_size < n rows)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.operators.external import run_external_batched
+
+    payloads = [(f"m{i}", bytearray(f"data-{i}".encode())) for i in range(5)]
+    rows_in = payloads + [("gone", None)]
+    df = spark.createDataFrame(rows_in, "member string, content binary").coalesce(1)
+    out = run_external_batched(
+        df, ["md5sum", "{inputs}"], content_col="content",
+        passthrough_cols=["member"], batch_size=2,
+    )
+    got = {r.member: r for r in out.collect()}
+    assert len(got) == 6
+    for name, data in payloads:
+        r = got[name]
+        assert r.exit_code == 0
+        assert r.stdout.split()[0] == hashlib.md5(bytes(data)).hexdigest()
+    assert got["gone"].exit_code == -2
+    assert "unavailable" in got["gone"].stderr
+    assert out.filter(F.col("exit_code") == 0).count() == 5
+
+
 def test_mapinarrow_kernel_handles_ragged_rows(spark):
     """c8b's Arrow kernel must be correct for ragged list rows (the
     general contract), not just the fixed-width embeddings table."""
