@@ -70,16 +70,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #         plus x4b_hed_ancestors whose plan changed post-fill). After this
 #         round greens them, every registered query is driver-verified at
 #         shipped code.
-#   7-9   new this round: dwi_bval_bvec (tools/create_nifti_bval_bvec.pl),
+#   7-11  new this round: dwi_bval_bvec (tools/create_nifti_bval_bvec.pl),
 #         pipeline_qc_face_batch (batch_run_pipeline_qc_face_script.pl),
-#         pipeline_hrrt_insertion (HRRT_PET_insertion.pl).
-#   10-20 code-changed re-greens: the S18 pair (explicit-stack XML walk +
+#         pipeline_hrrt_insertion (HRRT_PET_insertion.pl), and the two
+#         retrieval/corpus-analysis extensions text_bm25_topk +
+#         text_pmi_bigrams.
+#   12-22 code-changed re-greens: the S18 pair (explicit-stack XML walk +
 #         the gradient-entry depth filter, the r6 ADVICE fix), the
 #         archive/external consumers of the new NULL-content guards (s16,
 #         s3 pair), t13 (stream-writer staging sweep now batch-scoped),
 #         and the S1 DICOM family (None guard in _parse_partition touches
 #         their scan function).
-#   21-49 top-up rotation: the 29 OLDEST driver greens (r2/r3 windows,
+#   23-49 top-up rotation: the 27 OLDEST driver greens (r2/r3 windows,
 #         code unchanged) — re-certifying the least-recently-checked rows.
 # Everything else keeps its order after the priority block; nothing is
 # ever dropped.
@@ -96,6 +98,8 @@ R7_WINDOW: list[str] = [
     "dwi_bval_bvec",
     "pipeline_qc_face_batch",
     "pipeline_hrrt_insertion",
+    "text_bm25_topk",
+    "text_pmi_bigrams",
     # -- code changed this round: re-green --
     "s18_dtiprep_protocol",
     "s18b_dtiprep_qc_gradients",
@@ -136,8 +140,6 @@ R7_WINDOW: list[str] = [
     "text_bpe_token_count",
     "s7_eeglab_channels",
     "f_predicate_gauntlet",
-    "c_scalar_functions",
-    "c3_date_functions",
 ]
 
 # r06 window, kept for the historical record (CORRECTNESS_r06.json keys);

@@ -880,3 +880,159 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_types") / F.col("n"), 4).alias("ttr_r"),
         )
     )
+
+# Fixed retrieval-query term set for the BM25 scorer (corpus-common
+# tokens so every SF has matches); Okapi constants are the standard
+# k1=1.2, b=0.75, with the Lucene "+1" IDF that never goes negative.
+_BM25_TERMS = ["spark", "query", "join", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'query', 'join', 'stream')
+           GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * ({_BM25_K1} + 1)
+                 / (tf.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)))
+               AS score
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, n_terms, ROUND(score, 6) AS score_r
+    FROM scored ORDER BY score_r DESC, doc_id LIMIT 20
+"""
+
+
+@query("text_bm25_topk", oracle=_BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query-term set — the
+    scoring half of the search stack whose index half is
+    text_posting_lists. Plan shape for 100 TB: the term filter lands
+    BEFORE the tf aggregation (only docs containing a query term ever
+    shuffle), df and the corpus stats (n_docs, avgdl) are broadcast
+    scalars/tiny dims, the per-(doc,term) partial scores reduce in one
+    hash aggregation keyed by doc_id, and the global top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps + one
+    driver merge), never a single-partition window. Ordering ties
+    break on (rounded score, doc_id) in both engines so the k-boundary
+    is deterministic across engines despite float summation order."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    norm_len = 1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = (
+        idf * F.col("tf") * (_BM25_K1 + 1)
+        / (F.col("tf") + _BM25_K1 * norm_len)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(term_score).alias("score"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_terms", F.round("score", 6).alias("score_r")
+        )
+        .orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+_PMI_MIN_PAIR = 20
+
+_PMI_SQL = f"""
+    WITH toks AS (SELECT string_split({_NORM}, ' ') AS ts FROM documents),
+    cu AS (SELECT tok, COUNT(*) AS cu
+           FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY 1),
+    u AS (SELECT CAST(SUM(cu) AS DOUBLE) AS u_total FROM cu),
+    bg AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+             SELECT unnest([struct_pack(w1 := ts[i], w2 := ts[i+1])
+                            for i in range(1, len(ts))]) AS b
+             FROM toks WHERE len(ts) >= 2)),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    t AS (SELECT CAST(SUM(cb) AS DOUBLE) AS t_total FROM cb)
+    SELECT w1, w2, CAST(cb.cb AS BIGINT) AS pair_n,
+           ROUND(ln(cb.cb * u.u_total * u.u_total
+                    / (t.t_total * c1.cu * c2.cu)), 6) AS pmi_r
+    FROM cb JOIN cu c1 ON c1.tok = cb.w1 JOIN cu c2 ON c2.tok = cb.w2
+    CROSS JOIN u CROSS JOIN t
+    WHERE cb.cb >= {_PMI_MIN_PAIR}
+"""
+
+
+@query("text_pmi_bigrams", oracle=_PMI_SQL)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram COLLOCATION mining by pointwise mutual information —
+    PMI(w1,w2) = ln(p(w1,w2) / (p(w1) p(w2))) with bigram probability
+    over the adjacent-pair total and unigram probabilities over the
+    token total; the classic corpus-analysis op behind phrase/stopword
+    discovery in pretraining-data work. Adjacent pairs come from one
+    codegen'd transform(sequence(...)) over the token array (no
+    self-join of positions), pair counts reduce in one hash
+    aggregation, and the unigram table + the two scalar totals are
+    broadcast — at 100 TB the only big shuffle is the pair-count
+    groupBy, whose key space is bounded by vocabulary squared, not by
+    corpus size. The `pair_n >= {_PMI_MIN_PAIR}` support floor is the
+    standard PMI-noise guard (rare pairs otherwise dominate)."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = d.select(tokens("text").alias("ts"))
+    uni = ts.select(F.explode("ts").alias("tok"))
+    cu = uni.groupBy("tok").agg(F.count("*").alias("cu"))
+    u = cu.agg(F.sum("cu").cast("double").alias("u_total"))
+    bg = (
+        ts.filter(F.size("ts") >= 2)
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(ts) - 1),"
+                " i -> struct(ts[i-1] AS w1, ts[i] AS w2)))"
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    t = cb.agg(F.sum("cb").cast("double").alias("t_total"))
+    c1 = cu.select(F.col("tok").alias("w1"), F.col("cu").alias("c1"))
+    c2 = cu.select(F.col("tok").alias("w2"), F.col("cu").alias("c2"))
+    pmi = F.log(
+        F.col("cb") * F.col("u_total") * F.col("u_total")
+        / (F.col("t_total") * F.col("c1") * F.col("c2"))
+    )
+    return (
+        cb.filter(F.col("cb") >= _PMI_MIN_PAIR)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(u))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("pair_n"),
+            F.round(pmi, 6).alias("pmi_r"),
+        )
+    )
