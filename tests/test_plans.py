@@ -264,3 +264,24 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     assert offenders == [], offenders
     assert surprise_arrow == [], surprise_arrow
     assert cartesian == [], cartesian
+
+
+def test_bm25_topk_take_ordered_and_broadcasts(spark, sf_dir):
+    """BM25's global top-k must be TakeOrderedAndProject (per-partition
+    heaps + one driver merge), never a single-partition sort or a global
+    window; df and the corpus stats ride broadcast joins."""
+    plan = _plan(workload.QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_bigrams_no_position_self_join(spark, sf_dir):
+    """Adjacent bigrams come from one codegen'd transform(sequence())
+    over the token array — a position self-join of the exploded tokens
+    (explode x explode + offset equi-join) would shuffle the whole
+    corpus twice. Only broadcast joins may appear (unigram table +
+    scalar totals)."""
+    plan = _plan(workload.QUERIES["text_pmi_bigrams"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
