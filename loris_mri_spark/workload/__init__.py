@@ -70,19 +70,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #         plus x4b_hed_ancestors whose plan changed post-fill). After this
 #         round greens them, every registered query is driver-verified at
 #         shipped code.
-#   7-11  new this round: dwi_bval_bvec (tools/create_nifti_bval_bvec.pl),
+#   7-13  new this round: dwi_bval_bvec (tools/create_nifti_bval_bvec.pl),
 #         pipeline_qc_face_batch (batch_run_pipeline_qc_face_script.pl),
-#         pipeline_hrrt_insertion (HRRT_PET_insertion.pl), and the two
+#         pipeline_hrrt_insertion (HRRT_PET_insertion.pl), the two
 #         retrieval/corpus-analysis extensions text_bm25_topk +
-#         text_pmi_bigrams.
-#   12-22 code-changed re-greens: the S18 pair (explicit-stack XML walk +
+#         text_pmi_bigrams, dedup_semdedup (semantic dedup over the
+#         trained k-means cells), and x5_grouped_agg_trimmed_mean (the
+#         GROUPED_AGG pandas-UDAF interop surface).
+#   14-24 code-changed re-greens: the S18 pair (explicit-stack XML walk +
 #         the gradient-entry depth filter, the r6 ADVICE fix), the
 #         archive/external consumers of the new NULL-content guards (s16,
 #         s3 pair), t13 (stream-writer staging sweep now batch-scoped),
 #         and the S1 DICOM family (None guard in _parse_partition touches
 #         their scan function).
-#   23-49 top-up rotation: the 27 OLDEST driver greens (r2/r3 windows,
-#         code unchanged) — re-certifying the least-recently-checked rows.
+#   25-49 top-up rotation: the 25 OLDEST driver greens (r2/r3 windows,
+#         code unchanged) — re-certifying the least-recently-checked rows
+#         (two slots rotated to the late additions; see R8_TOPUP_FIRST).
 # Everything else keeps its order after the priority block; nothing is
 # ever dropped.
 R7_WINDOW: list[str] = [
@@ -100,6 +103,8 @@ R7_WINDOW: list[str] = [
     "pipeline_hrrt_insertion",
     "text_bm25_topk",
     "text_pmi_bigrams",
+    "dedup_semdedup",
+    "x5_grouped_agg_trimmed_mean",
     # -- code changed this round: re-green --
     "s18_dtiprep_protocol",
     "s18b_dtiprep_qc_gradients",
@@ -132,14 +137,22 @@ R7_WINDOW: list[str] = [
     "s5_minc_headers",
     "s6_ecat_headers",
     "s15_png_preview",
-    "mm_decode_features",
     "text_token_stats",
     "text_language_id",
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_bpe_token_count",
-    "s7_eeglab_channels",
     "f_predicate_gauntlet",
+]
+
+# Rotated out of the r7 top-up block to fund the two late additions
+# (dedup_semdedup, x5_grouped_agg_trimmed_mean): their operator families
+# (S7 EEG, multimodal decode) hold fresher r6 greens on sibling queries,
+# so family-level certification stays warm. Kept adjacent in priority so
+# they re-enter the r8 top-up rotation first.
+R8_TOPUP_FIRST: list[str] = [
+    "s7_eeglab_channels",
+    "mm_decode_features",
 ]
 
 # r06 window, kept for the historical record (CORRECTNESS_r06.json keys);
@@ -193,7 +206,7 @@ R6_WINDOW: list[str] = [
     "ann_pq_adc_topk",
 ]
 
-PRIORITY_ORDER: list[str] = R7_WINDOW + R6_WINDOW + [
+PRIORITY_ORDER: list[str] = R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",

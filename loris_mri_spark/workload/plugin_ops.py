@@ -227,3 +227,73 @@ def x4b_hed_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(resolved),
         F.split(tags["tag"], "/").getItem(0) == resolved["name"],
     ).select("event_id", "tag", "ancestor", "dist")
+
+
+@query(
+    "x5_grouped_agg_trimmed_mean",
+    oracle="""
+    WITH x AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem),
+    r AS (
+      SELECT l_returnflag, l_linestatus, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus) AS n
+      FROM x)
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(cents) AS BIGINT) AS trimmed_sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS trimmed_n,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / 100 / COUNT(*), 4)
+             AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def x5_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: vectorized pandas UDAF (GROUPED_AGG) — the last Python-interop
+    eval type in the matrix (SCALAR/GROUPED_MAP/MAP/ARROW/UDTF are
+    exercised elsewhere; see functions/udaf.py). 10%-trimmed mean of
+    l_extendedprice per (returnflag, linestatus): prices are quantized to
+    exact int64 cents JVM-side (ROUND before cast — Spark casts
+    double->long by truncation but DuckDB by rounding, so the round must
+    happen while the value is still a near-integer double), the UDAF
+    returns the exact trimmed sum per group, and the mean is divided back
+    out JVM-side in the oracle's operation order.
+
+    Scale note: GROUPED_AGG ships each group's whole value vector to one
+    task (no partial aggregation) — acceptable here (4 groups) and for
+    any bounded-cardinality profile, but the RELATIONAL rewrite (window
+    rank + filter + builtin SUM, exactly this query's oracle) is the
+    100 TB path; the UDAF exists to certify the interop surface, not to
+    replace it."""
+    from loris_mri_spark.functions.udaf import trimmed_sum_cents
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(trimmed_sum_cents("cents").alias("__sn"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.element_at("__sn", 1).alias("trimmed_sum_cents"),
+            F.element_at("__sn", 2).alias("__n"),
+        )
+    )
+    trimmed_n = F.col("__n") - 2 * F.expr("__n DIV 10")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "trimmed_sum_cents",
+        trimmed_n.alias("trimmed_n"),
+        F.round(
+            F.col("trimmed_sum_cents").cast("double") / F.lit(100) / trimmed_n,
+            4,
+        ).alias("trimmed_mean"),
+    )

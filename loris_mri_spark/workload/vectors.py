@@ -146,12 +146,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
-    """Generate the DuckDB mirror of kmeans_cells + ivf_topk: seeds are
-    the first n_cells vectors (cell label = seed id), each iteration is
-    argmax-cosine assignment (ties to lowest cell) + decimal-exact
-    centroid update — the identical deterministic procedure, so the
-    trained cells, probes, and final top-k agree exactly."""
+def _kmeans_train_ctes(n_cells: int = 8, n_iter: int = 2) -> list[str]:
+    """DuckDB CTE chain replaying kmeans_cells exactly: v (double-cast
+    corpus), c0 (seeds = first n_cells vectors, cell label = seed id),
+    then per round a{i} (argmax-cosine assignment, ties to lowest cell)
+    and c{i} (decimal-exact centroid update). Shared by every oracle
+    that consumes the trained quantizer."""
     parts = [
         _V_CTE,
         f"c0 AS (SELECT vec_id AS cell, emb AS cv FROM v WHERE vec_id < {n_cells})",
@@ -166,6 +166,16 @@ def _kmeans_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
                                   ORDER BY {cos} DESC, c.cell ASC) AS rn
         FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1)""")
         parts.append(f"c{i} AS ({_dec_centroid_sql(f'a{i}')})")
+    return parts
+
+
+def _kmeans_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
+    """Generate the DuckDB mirror of kmeans_cells + ivf_topk: seeds are
+    the first n_cells vectors (cell label = seed id), each iteration is
+    argmax-cosine assignment (ties to lowest cell) + decimal-exact
+    centroid update — the identical deterministic procedure, so the
+    trained cells, probes, and final top-k agree exactly."""
+    parts = _kmeans_train_ctes(n_cells, n_iter)
     final_a, final_c = f"a{n_iter}", f"c{n_iter}"
     probe_cos = _SQL_COS.format(a="q.qv", b="c.cv")
     score_cos = _SQL_COS.format(a="p.qv", b="s.emb")
@@ -298,6 +308,171 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.45)
         .select("i", "j", F.round("cos", 6).alias("cos_r"))
+    )
+
+
+def _semdedup_oracle(n_cells: int = 8, n_iter: int = 2, eps: float = 0.45) -> str:
+    """DuckDB mirror of dedup_semdedup: the shared k-means training chain
+    (_kmeans_train_ctes — identical seeds/ties/decimal updates, so cell
+    assignments agree exactly), then within-cell cosine>=eps pair edges,
+    recursive-CTE min-label components, and the SemDeDup keep rule
+    (per component keep the member LEAST similar to its cell centroid,
+    ties to lowest vec_id)."""
+    parts = _kmeans_train_ctes(n_cells, n_iter)
+    a, c = f"a{n_iter}", f"c{n_iter}"
+    ccos = _SQL_COS.format(a="m.emb", b="c.cv")
+    pcos = _SQL_COS.format(a="x.emb", b="y.emb")
+    parts.append(f"""
+    cc AS (
+      SELECT m.vec_id, m.cell, {ccos} AS ccos
+      FROM {a} m JOIN {c} c ON c.cell = m.cell),
+    pairs AS (
+      SELECT x.vec_id AS i, y.vec_id AS j
+      FROM {a} x JOIN {a} y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE {pcos} >= {eps}),
+    nodes AS (SELECT DISTINCT n FROM (SELECT i AS n FROM pairs
+                                      UNION SELECT j FROM pairs)),
+    edges2 AS (SELECT i, j FROM pairs UNION SELECT j AS i, i AS j FROM pairs),
+    reach AS (
+      SELECT n AS node, n AS r FROM nodes
+      UNION
+      SELECT rr.node, e.j AS r FROM reach rr JOIN edges2 e ON e.i = rr.r),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT p.node AS vec_id, p.component, cc.cell, cc.ccos,
+             ROW_NUMBER() OVER (PARTITION BY p.component
+                                ORDER BY cc.ccos ASC, p.node ASC) AS rn
+      FROM comp p JOIN cc ON cc.vec_id = p.node)""")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + "\n    SELECT vec_id, CAST(component AS BIGINT) AS component,"
+        + "\n           CAST(cell AS BIGINT) AS cell,"
+        + "\n           ROUND(ccos, 6) AS cos_centroid_r, (rn = 1) AS keep"
+        + "\n    FROM ranked"
+    )
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings (spherical k-means, the S-IVF
+    trained quantizer reused verbatim), finding within-cluster pairs with
+    cosine >= eps, collapsing them to components, and KEEPING the member
+    of each duplicate group least similar to its cluster centroid (the
+    paper's low-centroid-similarity keep rule — retains the hardest
+    example), ties to lowest id. 100 TB shape: pair search never leaves
+    a cell (k ~ sqrt(n) bounds cell size — the paper's own tractability
+    argument, no corpus-wide all-pairs), centroids broadcast, and the
+    whole per-cell phase (vectorized similarity matrix + union-find +
+    keep rule) is ONE Arrow-batched grouped-map stage parallelized over
+    cells. Output: one row per member of any duplicate group with its
+    component (min member id), cell, centroid cosine, and keep
+    decision."""
+    from loris_mri_spark.operators.vectors import kmeans_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignment, centroids = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2
+    )
+    # ccos (the keep-rule key) stays JVM-side — identical fold order to
+    # the oracle's _SQL_COS, so keep ranking compares bit-identical
+    # doubles on both sides.
+    members = (
+        e.select("vec_id", as_double("embedding").alias("__e"))
+        .join(assignment, "vec_id")
+        .join(F.broadcast(centroids), F.col("cell") == F.col("__cell"))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("__e").alias("emb"),
+            cosine(F.col("__e"), F.col("__centroid")).alias("ccos"),
+        )
+    )
+
+    # Pairwise search + components + keep rule in ONE Arrow-batched pass
+    # per cell — the paper's own implementation shape (the full
+    # within-cluster similarity matrix, vectorized): cells partition the
+    # pair space, so no work ever crosses a cell boundary and the stage
+    # parallelizes over cells (k ~ sqrt(n) keeps each matrix bounded; a
+    # cell too large for one task is sub-chunked by raising k). The
+    # matmul is float64 BLAS, NOT the engines' sequential fold, so any
+    # pair within 1e-6 of the threshold is re-decided by a faithful
+    # left-fold replay (the _lsh_values_sql discipline); union-find
+    # collapses edges in O(m a(n)) — no per-round job latency, unlike a
+    # global min-label loop on chain-shaped duplicate graphs.
+    def cell_semdedup(pdf):  # noqa: ANN001 - pandas grouped map
+        import numpy as np
+        import pandas as pd
+
+        out_cols = ["vec_id", "component", "cell", "ccos", "keep"]
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(columns=out_cols)
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sim = (mat @ mat.T) / norms[:, None] / norms[None, :]
+        iu, ju = np.triu_indices(n, k=1)
+        cand = sim[iu, ju] >= 0.45 - 1e-6
+        iu, ju = iu[cand], ju[cand]
+
+        def fold_cos(a, b):  # noqa: ANN001 - JVM/DuckDB op-order replay
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            na = 0.0
+            for x in a:
+                na += x * x
+            nb = 0.0
+            for y in b:
+                nb += y * y
+            return s / na**0.5 / nb**0.5
+
+        parent = {}
+
+        def find(x):  # noqa: ANN001
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        borderline = np.abs(sim[iu, ju] - 0.45) <= 1e-6
+        for a, b, edge_uncertain in zip(iu, ju, borderline):
+            if edge_uncertain and fold_cos(mat[a], mat[b]) < 0.45:
+                continue
+            for x in (a, b):
+                parent.setdefault(x, x)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        if not parent:
+            return pd.DataFrame(columns=out_cols)
+        comp = {}
+        for node in parent:
+            comp.setdefault(find(node), []).append(node)
+        ccos = pdf["ccos"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        out = []
+        for members_ in comp.values():
+            root = int(min(ids[m] for m in members_))
+            kept = min(members_, key=lambda m: (ccos[m], ids[m]))
+            for m in members_:
+                out.append(
+                    (int(ids[m]), root, cell, float(ccos[m]), m == kept)
+                )
+        return pd.DataFrame(out, columns=out_cols)
+
+    resolved = members.groupBy("cell").applyInPandas(
+        cell_semdedup,
+        "vec_id long, component long, cell long, ccos double, keep boolean",
+    )
+    return resolved.select(
+        "vec_id",
+        "component",
+        "cell",
+        F.round("ccos", 6).alias("cos_centroid_r"),
+        "keep",
     )
 
 

@@ -285,3 +285,30 @@ def test_pmi_bigrams_no_position_self_join(spark, sf_dir):
     plan = _plan(workload.QUERIES["text_pmi_bigrams"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_cell_local_grouped_map(spark, sf_dir):
+    """SemDeDup's pair space is partitioned by the trained cell: ONE
+    Arrow-batched grouped-map stage (FlatMapGroupsInPandas) holds the
+    within-cell similarity matrix + union-find + keep rule, the k-row
+    centroid table rides a broadcast, and nothing may plan as a
+    CartesianProduct or a corpus-wide pair join (the k-means training
+    crossJoin prints as BroadcastNestedLoopJoin over the k-row side,
+    the bounded shape the IVF queries already pin)."""
+    plan = _plan(workload.QUERIES["dedup_semdedup"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_x5_grouped_agg_single_pandas_aggregate(spark, sf_dir):
+    """The GROUPED_AGG pandas UDAF plans as exactly one Arrow aggregate
+    node (full-vector shuffle per group — the documented no-partial-agg
+    interop shape); the count must ride inside it (array return), not a
+    second aggregation of the base table, and the scan must prune to the
+    three referenced columns."""
+    plan = _plan(workload.QUERIES["x5_grouped_agg_trimmed_mean"](spark, sf_dir))
+    assert plan.count("ArrowAggregatePython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ReadSchema: struct<l_extendedprice:double" in plan

@@ -32,3 +32,31 @@ def test_register_custom_profile():
         F.lit("v").alias("visit_label"), F.lit(False).alias("is_phantom"),
     ))
     assert get_profile("testprof") is not None
+
+
+def test_grouped_agg_trimmed_sum_matches_python(spark):
+    """The GROUPED_AGG UDAF's trimmed sum equals a pure-Python recompute,
+    including the k=0 (n<10) no-trim edge and a group with ties at the
+    trim boundary."""
+    import pandas as pd
+
+    from loris_mri_spark.functions.udaf import trimmed_sum_cents
+
+    data = [
+        ("a", v) for v in [5, 1, 9, 3, 3, 3, 8, 2, 7, 6, 4, 10]
+    ] + [("b", v) for v in [100, 50, 75]]
+    df = spark.createDataFrame(data, "g string, cents long")
+    got = {
+        r["g"]: (r["sn"][0], r["sn"][1])
+        for r in df.groupBy("g")
+        .agg(trimmed_sum_cents("cents").alias("sn"))
+        .collect()
+    }
+
+    def py_trim(vals):
+        s = sorted(vals)
+        k = len(s) // 10
+        return sum(s[k : len(s) - k] if k else s), len(s)
+
+    assert got["a"] == py_trim([5, 1, 9, 3, 3, 3, 8, 2, 7, 6, 4, 10])
+    assert got["b"] == py_trim([100, 50, 75])

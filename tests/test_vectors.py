@@ -146,3 +146,26 @@ def test_pq_codebook_robust_to_offset_ids(spark, sf_dir):
     )
     assert base.exceptAll(shifted).isEmpty()
     assert shifted.exceptAll(base).isEmpty()
+
+
+def test_semdedup_keep_rule_invariants(spark, sf_dir):
+    """SemDeDup structural invariants, independent of the oracle:
+    exactly one keep per component, the kept member is the component's
+    centroid-cosine argmin (ties to lowest vec_id), every component's
+    members share a cell (edges never cross cells), and every listed
+    member really has a >=0.45 within-cell partner (no isolated rows)."""
+    rows = workload.QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    assert rows, "testdata should contain semantic duplicates at 0.45"
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1, f"component {comp}: {len(keeps)} keeps"
+        best = min(members, key=lambda m: (m["cos_centroid_r"], m["vec_id"]))
+        assert keeps[0]["vec_id"] == best["vec_id"]
+        assert len({m["cell"] for m in members}) == 1, (
+            f"component {comp} straddles cells"
+        )
+        assert len(members) >= 2, f"component {comp} has an isolated member"
+        assert comp == min(m["vec_id"] for m in members)
