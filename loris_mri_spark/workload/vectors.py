@@ -406,9 +406,24 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         out_cols = ["vec_id", "component", "cell", "ccos", "keep"]
+
+        def empty():
+            # dtype-carrying empty frame: Arrow can't infer long/double/
+            # boolean from length-0 object columns on every pyarrow
+            # version, and a 1-member or edge-free cell is a legal input
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "component": pd.Series(dtype="int64"),
+                    "cell": pd.Series(dtype="int64"),
+                    "ccos": pd.Series(dtype="float64"),
+                    "keep": pd.Series(dtype="bool"),
+                }
+            )
+
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(columns=out_cols)
+            return empty()
         ids = pdf["vec_id"].to_numpy()
         mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
@@ -447,7 +462,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         if not parent:
-            return pd.DataFrame(columns=out_cols)
+            return empty()
         comp = {}
         for node in parent:
             comp.setdefault(find(node), []).append(node)

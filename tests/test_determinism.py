@@ -40,6 +40,12 @@ _SENSITIVE = [
     "s19b_apply_header_spec",
     "pipeline_minc_to_bids",
     "s19c_mint_sub_series_numbers",
+    # r7 late additions: the cell-local grouped-map (k-means assignment
+    # and per-cell union-find must not depend on how the corpus is
+    # partitioned) and the GROUPED_AGG UDAF (whole-group value vector
+    # arrives as one pandas Series regardless of upstream splits)
+    "dedup_semdedup",
+    "x5_grouped_agg_trimmed_mean",
 ]
 
 

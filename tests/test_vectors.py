@@ -169,3 +169,33 @@ def test_semdedup_keep_rule_invariants(spark, sf_dir):
         )
         assert len(members) >= 2, f"component {comp} has an isolated member"
         assert comp == min(m["vec_id"] for m in members)
+
+
+def test_semdedup_singleton_and_edge_free_cells(spark, tmp_path):
+    """Cells with one member (no pair space) and members with no >=eps
+    partner must vanish from the output — and the empty per-cell frame
+    must carry real dtypes through Arrow. Identical twins tie on
+    centroid-cosine and keep the lowest id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, [1.0] + [0.0] * 63, 0),
+        (1, [0.0, 1.0] + [0.0] * 62, 0),  # orthogonal: no duplicate
+        (2, [1.0] + [0.0] * 63, 0),  # identical twin of 0
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = workload.QUERIES["dedup_semdedup"](spark, str(tmp_path)).collect()
+    assert {(r["vec_id"], r["component"], r["keep"]) for r in out} == {
+        (0, 0, True),
+        (2, 0, False),
+    }
