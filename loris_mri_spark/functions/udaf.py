@@ -37,7 +37,14 @@ def trimmed_sum_cents(v: pd.Series) -> list:
     aggregate in its Aggregate (INVALID_PANDAS_UDF_PLACEMENT bars mixing
     with builtin aggs), so the group count rides along in the array
     instead of a sibling count(*)."""
-    vals = v.dropna().sort_values(ignore_index=True)
+    vals = v.dropna()
+    if vals.dtype != "int64":
+        # a NULL anywhere in the group makes Arrow hand the column over
+        # as float64 — cast back after dropna so the sum is exact int64
+        # again (the float hop itself is lossless below 2^53, i.e. ~9e13
+        # dollars per VALUE, far above any single price)
+        vals = vals.astype("int64")
+    vals = vals.sort_values(ignore_index=True)
     k = len(vals) // 10
     middle = vals.iloc[k : len(vals) - k] if k else vals
     return [int(middle.sum()), int(len(vals))]

@@ -1385,7 +1385,15 @@ def _hrrt_oracle() -> "str | None":
                 if " = " not in line:
                     continue
                 key, val = line.split(" = ", 1)
-                matlab.append((key, val.rstrip().rstrip(";")))
+                # the exact HRRT.pm:read_matlab_file cleanup the engine's
+                # parse_matlab_sidecar implements: CR strip, ';' strip,
+                # CR again; keys stripped, empty keys skipped
+                key = key.strip()
+                if not key:
+                    continue
+                matlab.append(
+                    (key, val.rstrip("\r").rstrip(";").rstrip("\r"))
+                )
     session_id = ""
     for n in ecats:
         with open(os.path.join(fdir, n), "rb") as fh:
@@ -1491,14 +1499,14 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # file counts as a 1-row aggregate crossJoined in (the repo's 1-row
     # assembly pattern), not eager driver-side .count() actions — the
-    # plan stays lazy and single-job
-    is_ecat = (
-        F.lower(F.col("file")).endswith(".v")
-        & ~F.lower(F.col("file")).startswith("test")
-    ).cast("int")
+    # plan stays lazy and single-job. A BIC test*.v file belongs to
+    # NEITHER count: it is excluded from the ECAT list (grep_ecat_files_
+    # only) but still ends in .v, so it is not a non-ECAT file either.
+    is_v = F.lower(F.col("file")).endswith(".v")
+    is_ecat = (is_v & ~F.lower(F.col("file")).startswith("test")).cast("int")
     counts = all_files.agg(
         F.sum(is_ecat).cast("string").alias("n_ecat"),
-        F.sum(1 - is_ecat).cast("string").alias("n_other"),
+        F.sum((~is_v).cast("int")).cast("string").alias("n_other"),
     )
     first = first.crossJoin(F.broadcast(counts))
 
@@ -1548,9 +1556,10 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
         blake2b_hex(F.col("content")).alias("value"),
     )
 
-    # ecat2minc + protocol resolution + registration per file
+    # ecat2minc + protocol resolution + registration per file ((?i):
+    # selection accepted .V case-insensitively, so minting must too)
     minted = heads.select(
-        F.regexp_replace("file", r"\.v$", ".mnc").alias("minc"),
+        F.regexp_replace("file", r"(?i)\.v$", ".mnc").alias("minc"),
     ).withColumn(
         "scan_type",
         F.when(F.lower(F.col("minc")).rlike("fdg"), "PETfdg").otherwise(

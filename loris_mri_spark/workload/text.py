@@ -894,7 +894,7 @@ _BM25_SQL = f"""
     dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
     tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-           WHERE tok IN ('spark', 'query', 'join', 'stream')
+           WHERE tok IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
            GROUP BY 1, 2),
     df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
     scored AS (

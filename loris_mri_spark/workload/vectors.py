@@ -311,7 +311,14 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(n_cells: int = 8, n_iter: int = 2, eps: float = 0.45) -> str:
+# SemDeDup duplicate threshold — read by BOTH the oracle generator and
+# the grouped-map kernel below, so editing it can never desync the sides.
+_SEMDEDUP_EPS = 0.45
+
+
+def _semdedup_oracle(
+    n_cells: int = 8, n_iter: int = 2, eps: float = _SEMDEDUP_EPS
+) -> str:
     """DuckDB mirror of dedup_semdedup: the shared k-means training chain
     (_kmeans_train_ctes — identical seeds/ties/decimal updates, so cell
     assignments agree exactly), then within-cell cosine>=eps pair edges,
@@ -429,7 +436,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         norms = np.sqrt((mat * mat).sum(axis=1))
         sim = (mat @ mat.T) / norms[:, None] / norms[None, :]
         iu, ju = np.triu_indices(n, k=1)
-        cand = sim[iu, ju] >= 0.45 - 1e-6
+        eps = _SEMDEDUP_EPS
+        cand = sim[iu, ju] >= eps - 1e-6
         iu, ju = iu[cand], ju[cand]
 
         def fold_cos(a, b):  # noqa: ANN001 - JVM/DuckDB op-order replay
@@ -452,9 +460,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = parent[x]
             return x
 
-        borderline = np.abs(sim[iu, ju] - 0.45) <= 1e-6
+        borderline = np.abs(sim[iu, ju] - eps) <= 1e-6
         for a, b, edge_uncertain in zip(iu, ju, borderline):
-            if edge_uncertain and fold_cos(mat[a], mat[b]) < 0.45:
+            if edge_uncertain and fold_cos(mat[a], mat[b]) < eps:
                 continue
             for x in (a, b):
                 parent.setdefault(x, x)

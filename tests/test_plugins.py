@@ -60,3 +60,17 @@ def test_grouped_agg_trimmed_sum_matches_python(spark):
 
     assert got["a"] == py_trim([5, 1, 9, 3, 3, 3, 8, 2, 7, 6, 4, 10])
     assert got["b"] == py_trim([100, 50, 75])
+
+
+def test_grouped_agg_trimmed_sum_null_group_stays_exact(spark):
+    """A NULL in the group makes Arrow deliver float64 to pandas; the
+    UDAF must cast back after dropna so the sum stays integer-exact
+    (2^53-adjacent values would truncate through a float sum)."""
+    from loris_mri_spark.functions.udaf import trimmed_sum_cents
+
+    big = (1 << 53) - 1
+    df = spark.createDataFrame(
+        [("a", big), ("a", None), ("a", 3)], "g string, cents long"
+    )
+    [row] = df.groupBy("g").agg(trimmed_sum_cents("cents").alias("sn")).collect()
+    assert row["sn"] == [big + 3, 2]
