@@ -1334,6 +1334,24 @@ def pipeline_qc_face_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- HRRT PET insertion (uploadNeuroDB/HRRT_PET_insertion.pl) --------------
 
+def hrrt_is_ecat(file_col: str = "file") -> F.Column:
+    """grep_ecat_files_only (HRRT.pm:169-187): ``*.v`` case-insensitively,
+    minus the BIC ``test*`` calibration files."""
+    return hrrt_is_v(file_col) & ~F.lower(F.col(file_col)).startswith("test")
+
+
+def hrrt_is_v(file_col: str = "file") -> F.Column:
+    """An ECAT-extension file — the NonEcatFileCount complement: a BIC
+    test*.v is skipped as an ECAT but is NOT a non-ECAT file either."""
+    return F.lower(F.col(file_col)).endswith(".v")
+
+
+def hrrt_mint_minc(file_col: str = "file") -> F.Column:
+    """ecat2minc naming: strip the .v extension (case-insensitive, like
+    the selection) and append .mnc."""
+    return F.regexp_replace(file_col, r"(?i)\.v$", ".mnc")
+
+
 def _hrrt_oracle() -> "str | None":
     """Golden VALUES oracle computed INDEPENDENTLY of the Spark path at
     import time: plain-Python replication of HRRT.pm's rules (blake2b via
@@ -1468,11 +1486,7 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_ecat_headers(spark, fdir)
         .filter(F.col("is_readable"))
         .withColumn("file", base)
-        # grep_ecat_files_only: .v extension, BIC test* exclusion
-        .filter(
-            F.lower(F.col("file")).endswith(".v")
-            & ~F.lower(F.col("file")).startswith("test")
-        )
+        .filter(hrrt_is_ecat())
     )
 
     # determine_study_info: FIRST sorted ECAT drives the study row
@@ -1493,20 +1507,15 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(fdir)
         .select(base.alias("file"), "content")
     )
-    ecat_files = all_files.filter(
-        F.lower(F.col("file")).endswith(".v")
-        & ~F.lower(F.col("file")).startswith("test")
-    )
+    ecat_files = all_files.filter(hrrt_is_ecat())
     # file counts as a 1-row aggregate crossJoined in (the repo's 1-row
     # assembly pattern), not eager driver-side .count() actions — the
     # plan stays lazy and single-job. A BIC test*.v file belongs to
     # NEITHER count: it is excluded from the ECAT list (grep_ecat_files_
     # only) but still ends in .v, so it is not a non-ECAT file either.
-    is_v = F.lower(F.col("file")).endswith(".v")
-    is_ecat = (is_v & ~F.lower(F.col("file")).startswith("test")).cast("int")
     counts = all_files.agg(
-        F.sum(is_ecat).cast("string").alias("n_ecat"),
-        F.sum((~is_v).cast("int")).cast("string").alias("n_other"),
+        F.sum(hrrt_is_ecat().cast("int")).cast("string").alias("n_ecat"),
+        F.sum((~hrrt_is_v()).cast("int")).cast("string").alias("n_other"),
     )
     first = first.crossJoin(F.broadcast(counts))
 
@@ -1559,7 +1568,7 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ecat2minc + protocol resolution + registration per file ((?i):
     # selection accepted .V case-insensitively, so minting must too)
     minted = heads.select(
-        F.regexp_replace("file", r"(?i)\.v$", ".mnc").alias("minc"),
+        hrrt_mint_minc().alias("minc"),
     ).withColumn(
         "scan_type",
         F.when(F.lower(F.col("minc")).rlike("fdg"), "PETfdg").otherwise(
