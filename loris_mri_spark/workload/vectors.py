@@ -360,6 +360,95 @@ def _semdedup_oracle(
     )
 
 
+def semdedup_fold_cos(a, b) -> float:  # noqa: ANN001
+    """Sequential left-fold cosine replaying the JVM/DuckDB operation
+    order exactly (operators/vectors.cosine / _SQL_COS) — the tie-breaker
+    for pairs the vectorized matmul puts within 1e-6 of the threshold."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return s / na**0.5 / nb**0.5
+
+
+def semdedup_cell_kernel(pdf):  # noqa: ANN001 - pandas grouped map
+    """Per-cell SemDeDup phase (module-level so it is importable on
+    executors AND property-testable without a Spark session): vectorized
+    within-cell similarity matrix, union-find components over pairs with
+    cosine >= _SEMDEDUP_EPS (borderline pairs re-decided by
+    semdedup_fold_cos), and the keep rule (per component keep the member
+    with the LOWEST centroid cosine, ties to lowest vec_id). Input
+    columns: vec_id, cell, emb (list<double>), ccos. Emits only members
+    of >=2-node duplicate groups."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ["vec_id", "component", "cell", "ccos", "keep"]
+
+    def empty():
+        # dtype-carrying empty frame: Arrow can't infer long/double/
+        # boolean from length-0 object columns on every pyarrow
+        # version, and a 1-member or edge-free cell is a legal input
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "component": pd.Series(dtype="int64"),
+                "cell": pd.Series(dtype="int64"),
+                "ccos": pd.Series(dtype="float64"),
+                "keep": pd.Series(dtype="bool"),
+            }
+        )
+
+    n = len(pdf)
+    if n < 2:
+        return empty()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sim = (mat @ mat.T) / norms[:, None] / norms[None, :]
+    iu, ju = np.triu_indices(n, k=1)
+    eps = _SEMDEDUP_EPS
+    cand = sim[iu, ju] >= eps - 1e-6
+    iu, ju = iu[cand], ju[cand]
+
+    parent = {}
+
+    def find(x):  # noqa: ANN001
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    borderline = np.abs(sim[iu, ju] - eps) <= 1e-6
+    for a, b, edge_uncertain in zip(iu, ju, borderline):
+        if edge_uncertain and semdedup_fold_cos(mat[a], mat[b]) < eps:
+            continue
+        for x in (a, b):
+            parent.setdefault(x, x)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    if not parent:
+        return empty()
+    comp = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    ccos = pdf["ccos"].to_numpy()
+    cell = int(pdf["cell"].iloc[0])
+    out = []
+    for members_ in comp.values():
+        root = int(min(ids[m] for m in members_))
+        kept = min(members_, key=lambda m: (ccos[m], ids[m]))
+        for m in members_:
+            out.append((int(ids[m]), root, cell, float(ccos[m]), m == kept))
+    return pd.DataFrame(out, columns=out_cols)
+
+
 @query("dedup_semdedup", oracle=_semdedup_oracle())
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -408,86 +497,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-fold replay (the _lsh_values_sql discipline); union-find
     # collapses edges in O(m a(n)) — no per-round job latency, unlike a
     # global min-label loop on chain-shaped duplicate graphs.
-    def cell_semdedup(pdf):  # noqa: ANN001 - pandas grouped map
-        import numpy as np
-        import pandas as pd
-
-        out_cols = ["vec_id", "component", "cell", "ccos", "keep"]
-
-        def empty():
-            # dtype-carrying empty frame: Arrow can't infer long/double/
-            # boolean from length-0 object columns on every pyarrow
-            # version, and a 1-member or edge-free cell is a legal input
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series(dtype="int64"),
-                    "component": pd.Series(dtype="int64"),
-                    "cell": pd.Series(dtype="int64"),
-                    "ccos": pd.Series(dtype="float64"),
-                    "keep": pd.Series(dtype="bool"),
-                }
-            )
-
-        n = len(pdf)
-        if n < 2:
-            return empty()
-        ids = pdf["vec_id"].to_numpy()
-        mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sim = (mat @ mat.T) / norms[:, None] / norms[None, :]
-        iu, ju = np.triu_indices(n, k=1)
-        eps = _SEMDEDUP_EPS
-        cand = sim[iu, ju] >= eps - 1e-6
-        iu, ju = iu[cand], ju[cand]
-
-        def fold_cos(a, b):  # noqa: ANN001 - JVM/DuckDB op-order replay
-            s = 0.0
-            for x, y in zip(a, b):
-                s += x * y
-            na = 0.0
-            for x in a:
-                na += x * x
-            nb = 0.0
-            for y in b:
-                nb += y * y
-            return s / na**0.5 / nb**0.5
-
-        parent = {}
-
-        def find(x):  # noqa: ANN001
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        borderline = np.abs(sim[iu, ju] - eps) <= 1e-6
-        for a, b, edge_uncertain in zip(iu, ju, borderline):
-            if edge_uncertain and fold_cos(mat[a], mat[b]) < eps:
-                continue
-            for x in (a, b):
-                parent.setdefault(x, x)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        if not parent:
-            return empty()
-        comp = {}
-        for node in parent:
-            comp.setdefault(find(node), []).append(node)
-        ccos = pdf["ccos"].to_numpy()
-        cell = int(pdf["cell"].iloc[0])
-        out = []
-        for members_ in comp.values():
-            root = int(min(ids[m] for m in members_))
-            kept = min(members_, key=lambda m: (ccos[m], ids[m]))
-            for m in members_:
-                out.append(
-                    (int(ids[m]), root, cell, float(ccos[m]), m == kept)
-                )
-        return pd.DataFrame(out, columns=out_cols)
-
     resolved = members.groupBy("cell").applyInPandas(
-        cell_semdedup,
+        semdedup_cell_kernel,
         "vec_id long, component long, cell long, ccos double, keep boolean",
     )
     return resolved.select(

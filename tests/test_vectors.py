@@ -199,3 +199,81 @@ def test_semdedup_singleton_and_edge_free_cells(spark, tmp_path):
         (0, 0, True),
         (2, 0, False),
     }
+
+
+def test_semdedup_kernel_property_vs_reference():
+    """Property test of the per-cell kernel (no Spark needed — it is a
+    pure pandas function): against an INDEPENDENT reference that decides
+    every pair with the sequential fold directly (no matmul, no
+    borderline band) and collapses components by label propagation to a
+    fixpoint (not union-find). Random small cells, including antipodal
+    and near-threshold geometry."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from loris_mri_spark.workload.vectors import (
+        _SEMDEDUP_EPS,
+        semdedup_cell_kernel,
+        semdedup_fold_cos,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        n = data.draw(st.integers(min_value=0, max_value=10))
+        dim = data.draw(st.integers(min_value=2, max_value=6))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        mat = rng.normal(size=(n, dim))
+        # avoid near-zero norms (cosine undefined) but keep clusters
+        mat += np.sign(mat.sum(axis=1, keepdims=True) + 0.1) * 0.2
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        if n and norms.min() < 1e-3:
+            return
+        ids = np.arange(n) * 3 + 1  # non-dense ids
+        ccos = rng.uniform(-1, 1, size=n)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": ids.astype("int64"),
+                "cell": np.full(n, 7, dtype="int64"),
+                "emb": [list(map(float, r)) for r in mat],
+                "ccos": ccos,
+            }
+        )
+        got = semdedup_cell_kernel(pdf.copy())
+
+        # independent reference: fold-decided edges, label propagation
+        edges = [
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if semdedup_fold_cos(mat[i], mat[j]) >= _SEMDEDUP_EPS
+        ]
+        label = {x: x for e in edges for x in e}
+        changed = True
+        while changed:
+            changed = False
+            for i, j in edges:
+                lo = min(label[i], label[j])
+                if label[i] != lo or label[j] != lo:
+                    label[i] = label[j] = lo
+                    changed = True
+        comps = {}
+        for node, lab in label.items():
+            comps.setdefault(lab, []).append(node)
+        expect = set()
+        for members in comps.values():
+            root = int(min(ids[m] for m in members))
+            kept = min(members, key=lambda m: (ccos[m], ids[m]))
+            for m in members:
+                expect.add(
+                    (int(ids[m]), root, 7, round(float(ccos[m]), 9), m == kept)
+                )
+        got_set = {
+            (r.vec_id, r.component, r.cell, round(r.ccos, 9), r.keep)
+            for r in got.itertuples(index=False)
+        }
+        assert got_set == expect
+
+    run()
