@@ -306,3 +306,58 @@ def test_parsers_never_raise_on_multi_byte_flip(idx, flips):
     blob = bytes(raw)
     for parse in PARSERS:
         parse(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=1, max_value=5000),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8191),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_parsers_never_raise_on_truncation_plus_flips(idx, cut, flips):
+    """Truncation AND corruption together: a flipped length/count field
+    that now points past the (shortened) end reaches read paths a clean
+    truncation never does — the class that found the r6 MINC2 escape's
+    sibling shapes."""
+    raw = bytearray(VALID[idx][:cut])
+    if not raw:
+        raw = bytearray(b"\x00")
+    for pos, val in flips:
+        raw[pos % len(raw)] = val
+    blob = bytes(raw)
+    for parse in PARSERS:
+        parse(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=4095),
+    st.one_of(
+        st.integers(min_value=1, max_value=64),  # delete n bytes at pos
+        st.binary(min_size=1, max_size=64),  # insert blob at pos
+    ),
+)
+def test_parsers_never_raise_on_insert_delete_shift(idx, pos, op):
+    """Insert/delete SHIFTS: unlike in-place flips, removing or adding
+    bytes desynchronizes every downstream offset/length field at once —
+    header sizes now lie about where sections start. Parsers must
+    classify, never raise."""
+    raw = bytearray(VALID[idx])
+    p = pos % len(raw)
+    if isinstance(op, int):
+        del raw[p : p + op]
+    else:
+        raw[p:p] = op
+    if not raw:
+        raw = bytearray(b"\x00")
+    blob = bytes(raw)
+    for parse in PARSERS:
+        parse(blob)
