@@ -361,3 +361,27 @@ def test_parsers_never_raise_on_insert_delete_shift(idx, pos, op):
     blob = bytes(raw)
     for parse in PARSERS:
         parse(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=4, max_value=256),
+    st.integers(min_value=0, max_value=4095),
+)
+def test_parsers_never_raise_on_cross_format_splice(dst, src, dpos, w, spos):
+    """Cross-format confusion: a window of one VALID format spliced into
+    another (e.g. JPEG entropy bytes inside a MINC symbol table) builds
+    locally-plausible structures pure randomness never does. Soak-tested
+    at 40k mixed mutants x 25 parsers (r7); kept here as the regression
+    class."""
+    base = bytearray(VALID[dst])
+    other = VALID[src]
+    s = spos % max(1, len(other) - w) if len(other) > w else 0
+    p = dpos % len(base)
+    base[p : p + w] = other[s : s + w]
+    blob = bytes(base)
+    for parse in PARSERS:
+        parse(blob)
