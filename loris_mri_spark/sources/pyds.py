@@ -400,11 +400,15 @@ class _ChunksStreamWriter(DataSourceStreamWriter):
         # tasks only (filenames are batch-prefixed at write time): anything
         # still staged under this batch's prefix was superseded by a
         # committed attempt, so the staging dir never grows unboundedly —
-        # while files of OTHER batches/writers sharing the dir are untouched
-        prefix = f"b{batchId}-"
+        # while files of OTHER batches/writers sharing the dir are untouched.
+        # "bx-" files (written when the runtime exposed no batch-id local
+        # property) can never belong to a concurrent batch — any writer
+        # with a real id stages under "b{N}-" — so they are swept here too
+        # rather than accreting forever.
+        prefixes = (f"b{batchId}-", "bx-")
         try:
             for leftover in os.listdir(self.staging):
-                if leftover.startswith(prefix):
+                if leftover.startswith(prefixes):
                     os.unlink(os.path.join(self.staging, leftover))
         except OSError:
             pass

@@ -157,7 +157,11 @@ R8_TOPUP_FIRST: list[str] = [
 
 # r06 window, kept for the historical record (CORRECTNESS_r06.json keys);
 # every entry is driver-green there and its code is unchanged since,
-# except s18b_dtiprep_qc_gradients which re-greens in R7_WINDOW above.
+# except the S18 pair (s18_dtiprep_protocol, s18b_dtiprep_qc_gradients),
+# which re-greened in R7_WINDOW after the shared XML walk changed —
+# s18_dtiprep_protocol is therefore listed THERE, not here (PRIORITY_ORDER
+# is built by first-occurrence dedup, and the layout test pins the window
+# to be duplicate-free).
 R6_WINDOW: list[str] = [
     "dedup_substring_spans",
     "a11_grouping_sets",
@@ -199,14 +203,106 @@ R6_WINDOW: list[str] = [
     "dedup_winnow_coverage",
     "vec_cosine_clusters",
     "w5_rolling_event_stats",
-    "s18_dtiprep_protocol",
     "pipeline_processed_registration",
     "pipeline_deface_batch",
     "profile_columns",
     "ann_pq_adc_topk",
 ]
 
-PRIORITY_ORDER: list[str] = R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
+# r08 window: the driver's 50-entry correctness gate for round 8.
+#   0-2   the r7 certification-currency gap: the three S1/S2 queries whose
+#         shared scan function (_parse_partition, sources/dicom.py:261)
+#         gained the NULL-content guard AFTER the r7 window was fixed —
+#         re-greened first so the rotation rule ("any code change
+#         re-windows every touching query") holds with zero reachability
+#         arguments.
+#   3-4   R8_TOPUP_FIRST — rotated out of the r7 top-up block, promised
+#         to re-enter first.
+#   5-7   new this round: s1_dicom_jpeg_frames (encapsulated baseline-JPEG
+#         decode, closing the JPEG seam one notch),
+#         pipeline_non_minc_insertion (imaging_non_minc_insertion.pl, the
+#         last uncovered reference entry point), and
+#         dedup_semdedup_cellstats (the SemDeDup cell-budget guard).
+#   8-10  code changed this round: pipeline_qc_face_batch (log paths now
+#         carry visit_label), t13_stream_custom_sink (commit sweep covers
+#         bx- leftovers), dedup_semdedup (row-blocked kernel + cell cap).
+#   11-44 top-up: the 34 remaining queries whose latest driver green is
+#         r3 (every other registered query holds an r4+ row).
+#   45-49 top-up: the five oldest r4 greens.
+R8_WINDOW: list[str] = [
+    # -- r7 certification gap: _parse_partition changed post-window --
+    "s1_dicom_series_summary",
+    "s1_dicom_classification",
+    "s2_enhanced_tag_lookup",
+    # -- promised first re-entry --
+    "s7_eeglab_channels",
+    "mm_decode_features",
+    # -- new this round --
+    "s1_dicom_jpeg_frames",
+    "pipeline_non_minc_insertion",
+    "dedup_semdedup_cellstats",
+    # -- code changed this round: re-green --
+    "pipeline_qc_face_batch",
+    "t13_stream_custom_sink",
+    "dedup_semdedup",
+    # -- top-up: every remaining r3-latest green --
+    "u2_ordered_dedup_first",
+    "c_scalar_functions",
+    "c3_date_functions",
+    "c7_json_extract",
+    "eav_pivot_user_event_matrix",
+    "a7_range_merge",
+    "c10_lcp_per_group",
+    "t5_tumbling_window_agg",
+    "t5b_sliding_window_agg",
+    "t5c_session_window_agg",
+    "t1_incremental_ingest",
+    "t4_notification_append_log",
+    "s10_append_with_ids",
+    "s12_partition_overwrite",
+    "s13_s3_url_rewrite",
+    "s14_chunk_encode",
+    "s17_json_rewrite",
+    "text_fingerprint_winnow",
+    "ann_cosine_topk_exact",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "vec_centroid_per_label",
+    "eav_melt_pivot_roundtrip",
+    "f3_nullsafe_duplicate_scan",
+    "f8_j11_binary_collation",
+    "f9_ci_equality",
+    "a8_salted_skew_rollup",
+    "u3_map_key_difference",
+    "c8_signal_chunk_pyramid",
+    "c8_applyinpandas_group_resample",
+    "c9_deterministic_ids",
+    "sql_surface_pricing",
+    "codec_typed_views",
+    "profile_percentiles",
+    # -- top-up: the five oldest r4 greens --
+    "j7_protocol_identification",
+    "j7_scan_type_rollup",
+    "j7_violation_rows",
+    "qc_checks_violations",
+    "j8_asof_purchase_last_click",
+]
+
+
+def _first_occurrence(names: "list[str]") -> "list[str]":
+    seen: set = set()
+    out: list[str] = []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+# The current window leads; prior windows follow for priority continuity.
+# First occurrence wins, so a query re-windowed this round appears ONCE,
+# at its new position (the layout test asserts the invariant).
+PRIORITY_ORDER: list[str] = _first_occurrence(R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",
@@ -261,7 +357,7 @@ PRIORITY_ORDER: list[str] = R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     "x4_hed_parse",
     "mm_decode_png_roundtrip",
     "eav_pivot_user_event_matrix",
-]
+])
 
 
 def load_all() -> None:

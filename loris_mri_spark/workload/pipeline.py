@@ -1227,9 +1227,9 @@ def _qc_face_oracle() -> str:
       FROM numbered)
     SELECT candidate, visit_label, counter, file_in, file_out,
            '/data/batch_output/defaceqcstdout.log_' || candidate || '_'
-             || counter AS stdout_log,
+             || visit_label || '_' || counter AS stdout_log,
            '/data/batch_output/defaceqcstderr.log_' || candidate || '_'
-             || counter AS stderr_log,
+             || visit_label || '_' || counter AS stderr_log,
            cmd,
            CASE WHEN node % 13 = 0 THEN 'violation: input unavailable'
                 ELSE 'ran' END AS status,
@@ -1251,8 +1251,9 @@ def pipeline_qc_face_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     never kills the batch; the reference leaves that to qsub logs).
 
     Engine refinements over the reference loop: the log counter is
-    per-session (row_number within candidate/visit, which with the
-    candidate in the log name is just as unique) instead of the
+    per-session (row_number within candidate/visit; the log name carries
+    candidate AND visit_label, so candidate+visit+counter is collision-free
+    across a candidate's visits) instead of the
     reference's single global ``$counter++`` — no global-order window,
     so the plan scales past one driver; and the stand-in binary is
     ``md5sum`` (universally present), making stdout deterministic for
@@ -1311,7 +1312,8 @@ def pipeline_qc_face_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     log = lambda kind: F.concat(  # noqa: E731
         F.lit(f"/data/batch_output/defaceqc{kind}.log_"),
-        F.col("candidate"), F.lit("_"), F.col("counter"),
+        F.col("candidate"), F.lit("_"), F.col("visit_label"),
+        F.lit("_"), F.col("counter"),
     )
     return ran.select(
         "candidate",
@@ -1630,3 +1632,271 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive.unionByName(archive_files).unionByName(
         file_rows
     ).unionByName(minc_header).unionByName(upload)
+
+
+# -- Non-MINC file registration (uploadNeuroDB/imaging_non_minc_insertion.pl)
+
+# ImagingFileTypes: the small dimension loadFileFromDisk resolves a file's
+# type against (NeuroDB/File.pm:loadFileFromDisk via ImagingFileTypes; the
+# insertion script requires the extension to exist there). Keyed on the
+# lineitem returnflag+linestatus pair; ('R','O') is deliberately absent to
+# model a file whose type is not registered.
+_NONMINC_TYPE_DIM: list = [
+    ("AF", ".nii"),
+    ("AO", ".nii.gz"),
+    ("NF", ".obj"),
+    ("NO", ".txt"),
+    ("RF", ".v"),
+]
+
+_MD5_60_SQL = "CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT)"
+
+
+def _non_minc_oracle() -> str:
+    type_vals = ", ".join(f"('{m}', '{e}')" for m, e in _NONMINC_TYPE_DIM)
+    fid = _MD5_60_SQL.format(
+        e="'nonminc:' || file_name || ':' || candidate"
+    )
+    sid = _MD5_60_SQL.format(
+        e="'sess:' || candidate || ':' || visit_label"
+    )
+    return f"""
+    WITH identified AS ({_J7_MATCH_SQL}),
+    numbered AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey, l_linenumber
+               ORDER BY l_quantity, l_extendedprice, l_discount) AS __rn
+      FROM identified WHERE l_orderkey < 2000),
+    enrich AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount, MIN(l_suppkey) AS supp_key,
+             MIN(l_partkey) AS part_key
+      FROM lineitem WHERE l_orderkey < 2000
+      GROUP BY 1, 2, 3, 4, 5),
+    req AS (
+      SELECT n.*, e.supp_key, e.part_key,
+             o.o_orderstatus, o.o_orderdate, c.c_custkey,
+             (s.s_acctbal >= 0) AS scanner_ok, s.s_suppkey AS scanner_id
+      FROM numbered n
+      JOIN enrich e USING (l_orderkey, l_linenumber, l_quantity,
+                           l_extendedprice, l_discount)
+      JOIN orders o ON n.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN supplier s ON e.supp_key = s.s_suppkey),
+    typed AS (
+      SELECT r.*, ft.ext
+      FROM req r LEFT JOIN (VALUES {type_vals}) ft(flagstat, ext)
+        ON r.l_returnflag || r.l_linestatus = ft.flagstat),
+    classified AS (
+      SELECT *,
+        'scan_' || l_orderkey || '_' || l_linenumber
+          || COALESCE(ext, '.dat') AS file_name,
+        CAST(c_custkey AS VARCHAR) AS candidate,
+        'V' || (c_custkey % 3 + 1) AS visit_label,
+        CASE WHEN o_orderstatus = 'P' THEN 'invalid_upload'
+             WHEN NOT COALESCE(scanner_ok, FALSE) THEN 'invalid_scanner'
+             WHEN scan_type = 'unidentified' THEN 'unknown_protocol'
+             WHEN ext IS NULL THEN 'unknown_file_type'
+             WHEN __rn > 1 THEN 'file_not_unique'
+             ELSE 'inserted' END AS status
+      FROM typed),
+    ins AS (SELECT * FROM classified WHERE status = 'inserted')
+    SELECT 'file' AS kind, file_name AS entity, 'status' AS name,
+           status AS value
+    FROM classified
+    UNION ALL SELECT 'file', file_name, 'file_id',
+                     CAST({fid} AS VARCHAR) FROM ins
+    UNION ALL SELECT 'file', file_name, 'session_id',
+                     CAST({sid} AS VARCHAR) FROM ins
+    UNION ALL SELECT 'file', file_name, 'scanner_id',
+                     CAST(scanner_id AS VARCHAR) FROM ins
+    UNION ALL SELECT 'file', file_name, 'scan_type', scan_type FROM ins
+    UNION ALL SELECT 'file', file_name, 'output_type', 'native' FROM ins
+    UNION ALL SELECT 'file', file_name, 'coordinate_space', 'native' FROM ins
+    UNION ALL SELECT 'file', file_name, 'acquisition_date',
+                     CAST(o_orderdate AS VARCHAR) FROM ins
+    UNION ALL SELECT 'file', file_name, 'file_type', ext FROM ins
+    UNION ALL
+      SELECT 'parameter', i.file_name, 'md:' || m.k, m.v
+      FROM ins i
+      JOIN part p ON i.part_key = p.p_partkey,
+      LATERAL (SELECT * FROM (VALUES
+        ('slice_thickness', '2'),
+        ('te', CAST(p.p_size AS VARCHAR)),
+        ('tr', CAST(p.p_size * 100 AS VARCHAR))) AS t(k, v)) AS m
+    """
+
+
+@query("pipeline_non_minc_insertion", oracle=_non_minc_oracle())
+def pipeline_non_minc_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-MINC file registration
+    (uploadNeuroDB/imaging_non_minc_insertion.pl:300-560) as ONE composed
+    DAG — the script's per-file CLI invocation becomes a batch over the
+    registration requests, and each of its ERROR EXITS becomes a row
+    classification instead of a process abort:
+
+      - upload-ID validation (the mri_upload SELECT, :295-305) ->
+        ``invalid_upload`` when the order is still 'P'ending;
+      - scanner validation (getScannerCandID, :318-327) -> LEFT join to
+        the scanner dim; a scanner with no candidate (negative acctbal)
+        classifies ``invalid_scanner``;
+      - scan-type -> acquisition-protocol resolution
+        (scan_type_text_to_id, :333-346) reuses the j7 inline rule
+        matcher; 'unidentified' classifies ``unknown_protocol``;
+      - file-type resolution (File.pm loadFileFromDisk against
+        ImagingFileTypes, :360-365) -> broadcast extension dim; an
+        unregistered extension classifies ``unknown_file_type``;
+      - md5 uniqueness (computeMd5Hash, :480-495) -> keep-first over the
+        scan key (the testdata's REAL duplicate lineitem rows); later
+        copies classify ``file_not_unique``;
+      - candidate/session resolution (determineSubjectID +
+        getSessionInformation, :398-470) through the X1 session-config
+        hook, with deterministic session ids;
+      - the metadata JSON file (:377-390) is built per request, parsed
+        with ``from_json`` and exploded into parameter_file EAV rows —
+        the engine-side plumbing is a REAL JSON parse; the oracle emits
+        the values directly, so a parse bug breaks parity.
+
+    Surviving rows register (setFileData + registerScanIntoDB, :520-548)
+    as long (kind, entity, name, value) EAV rows, same sink shape as
+    pipeline_hrrt_insertion. The classification CASE follows the
+    script's exit order exactly, so each request reports the FIRST
+    failure it would have died on. Scale: every stage is a broadcast or
+    key-local join over one scan of the request slice; the type dim and
+    scanner dim are broadcast, and the EAV fan-out is a union of narrow
+    projections of one shared plan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+
+    ident = _identified_lineitems(spark, sf_dir).filter(
+        F.col("l_orderkey") < 2000
+    )
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    numbered = ident.withColumn("__rn", F.row_number().over(w))
+    # the identification pass projects the scan key only; recover the
+    # request's scanner/part refs by a key-local join back to the slice
+    # (MIN() because the testdata's (orderkey, linenumber) is NOT unique)
+    enrich_keys = [
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ]
+    enrich = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .groupBy(*enrich_keys)
+        .agg(
+            F.min("l_suppkey").alias("supp_key"),
+            F.min("l_partkey").alias("part_key"),
+        )
+    )
+    numbered = numbered.join(enrich, enrich_keys)
+    req = (
+        numbered.join(o, numbered.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(
+                s.select(
+                    F.col("s_suppkey").alias("scanner_id"),
+                    (F.col("s_acctbal") >= 0).alias("scanner_ok"),
+                )
+            ),
+            F.col("supp_key") == F.col("scanner_id"),
+            "left",
+        )
+    )
+    ftypes = spark.createDataFrame(_NONMINC_TYPE_DIM, "flagstat string, ext string")
+    typed = req.join(
+        F.broadcast(ftypes),
+        F.concat("l_returnflag", "l_linestatus") == F.col("flagstat"),
+        "left",
+    )
+    classified = (
+        typed.withColumn(
+            "file_name",
+            F.concat(
+                F.lit("scan_"), "l_orderkey", F.lit("_"), "l_linenumber",
+                F.coalesce("ext", F.lit(".dat")),
+            ),
+        )
+        .withColumn(
+            "patient_id",
+            F.concat(
+                F.lit("PRJ"), F.col("c_nationkey"), F.lit("_"),
+                F.col("c_custkey"), F.lit("_V"), F.col("c_custkey") % 3 + 1,
+            ),
+        )
+    )
+    classified = resolve_session_config(
+        classified, "patient_id", profile="default"
+    ).withColumn(
+        "status",
+        F.when(F.col("o_orderstatus") == "P", "invalid_upload")
+        .when(~F.coalesce("scanner_ok", F.lit(False)), "invalid_scanner")
+        .when(F.col("scan_type") == "unidentified", "unknown_protocol")
+        .when(F.col("ext").isNull(), "unknown_file_type")
+        .when(F.col("__rn") > 1, "file_not_unique")
+        .otherwise("inserted"),
+    )
+    ins = classified.filter(F.col("status") == "inserted")
+
+    def eav(df: DataFrame, kind: str, name, value) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            F.col("file_name").alias("entity"),
+            (F.lit(name) if isinstance(name, str) else name).alias("name"),
+            value.cast("string").alias("value"),
+        )
+
+    status_rows = eav(classified, "file", "status", F.col("status"))
+    fid = md5_60(
+        F.concat(F.lit("nonminc:"), "file_name", F.lit(":"), "candidate")
+    )
+    sid = md5_60(
+        F.concat(F.lit("sess:"), "candidate", F.lit(":"), "visit_label")
+    )
+    field_rows = [
+        eav(ins, "file", "file_id", fid),
+        eav(ins, "file", "session_id", sid),
+        eav(ins, "file", "scanner_id", F.col("scanner_id")),
+        eav(ins, "file", "scan_type", F.col("scan_type")),
+        eav(ins, "file", "output_type", F.lit("native")),
+        eav(ins, "file", "coordinate_space", F.lit("native")),
+        eav(ins, "file", "acquisition_date", F.col("o_orderdate")),
+        eav(ins, "file", "file_type", F.col("ext")),
+    ]
+
+    # the metadata JSON: BUILT per request then genuinely PARSED
+    # (from_json -> map explode), the engine-side path the reference's
+    # decode_json + sorted-keys setParameter loop takes
+    meta = (
+        ins.join(F.broadcast(p), ins.part_key == p.p_partkey)
+        .withColumn(
+            "md_json",
+            F.concat(
+                F.lit('{"slice_thickness": 2, "te": '), F.col("p_size"),
+                F.lit(', "tr": '), (F.col("p_size") * 100),
+                F.lit("}"),
+            ),
+        )
+        .select(
+            "file_name",
+            F.explode(F.from_json("md_json", "map<string,string>")).alias(
+                "k", "v"
+            ),
+        )
+    )
+    meta_rows = meta.select(
+        F.lit("parameter").alias("kind"),
+        F.col("file_name").alias("entity"),
+        F.concat(F.lit("md:"), "k").alias("name"),
+        F.col("v").alias("value"),
+    )
+
+    out = status_rows
+    for fr in field_rows:
+        out = out.unionByName(fr)
+    return out.unionByName(meta_rows)

@@ -315,6 +315,14 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the grouped-map kernel below, so editing it can never desync the sides.
 _SEMDEDUP_EPS = 0.45
 
+# Per-cell task budget: the kernel REFUSES a cell above this row count
+# (a descriptive error instead of an executor OOM — the remedy is raising
+# n_cells so k ~ sqrt(n) holds), and computes the similarity row-blocked
+# so peak memory is O(block * n) doubles, never the O(n^2) full matrix.
+# At the cap, a block is 2048 x 32768 * 8 B = 512 MiB transient.
+_SEMDEDUP_CELL_CAP = 32768
+_SEMDEDUP_BLOCK = 2048
+
 
 def _semdedup_oracle(
     n_cells: int = 8, n_iter: int = 2, eps: float = _SEMDEDUP_EPS
@@ -407,14 +415,34 @@ def semdedup_cell_kernel(pdf):  # noqa: ANN001 - pandas grouped map
     n = len(pdf)
     if n < 2:
         return empty()
+    if n > _SEMDEDUP_CELL_CAP:
+        raise ValueError(
+            f"SemDeDup cell {int(pdf['cell'].iloc[0])} has {n} rows, over "
+            f"the {_SEMDEDUP_CELL_CAP}-row task cap: raise n_cells so "
+            "k ~ sqrt(n) holds (dedup_semdedup_cellstats reports per-cell "
+            "sizes and flags offenders before any kernel runs)"
+        )
     ids = pdf["vec_id"].to_numpy()
     mat = np.array(pdf["emb"].tolist(), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
-    sim = (mat @ mat.T) / norms[:, None] / norms[None, :]
-    iu, ju = np.triu_indices(n, k=1)
     eps = _SEMDEDUP_EPS
-    cand = sim[iu, ju] >= eps - 1e-6
-    iu, ju = iu[cand], ju[cand]
+    # Row-blocked similarity: each pass materializes only block x n of
+    # the matrix (same per-pair arithmetic as the full matmul, so the
+    # 1e-6 borderline envelope is unchanged), keeping ONLY candidate
+    # pairs — peak memory O(block * n) instead of O(n^2).
+    iu_parts, ju_parts, sim_parts = [], [], []
+    for b0 in range(0, n, _SEMDEDUP_BLOCK):
+        b1 = min(b0 + _SEMDEDUP_BLOCK, n)
+        sim_b = (mat[b0:b1] @ mat.T) / norms[b0:b1, None] / norms[None, :]
+        bi, bj = np.nonzero(sim_b >= eps - 1e-6)
+        ut = b0 + bi < bj  # strict upper triangle, across blocks
+        bi, bj = bi[ut], bj[ut]
+        iu_parts.append(bi + b0)
+        ju_parts.append(bj)
+        sim_parts.append(sim_b[bi, bj])
+    iu = np.concatenate(iu_parts)
+    ju = np.concatenate(ju_parts)
+    sims = np.concatenate(sim_parts)
 
     parent = {}
 
@@ -424,7 +452,7 @@ def semdedup_cell_kernel(pdf):  # noqa: ANN001 - pandas grouped map
             x = parent[x]
         return x
 
-    borderline = np.abs(sim[iu, ju] - eps) <= 1e-6
+    borderline = np.abs(sims - eps) <= 1e-6
     for a, b, edge_uncertain in zip(iu, ju, borderline):
         if edge_uncertain and semdedup_fold_cos(mat[a], mat[b]) < eps:
             continue
@@ -507,6 +535,63 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.round("ccos", 6).alias("cos_centroid_r"),
         "keep",
+    )
+
+
+def _semdedup_cellstats_oracle(n_cells: int = 8, n_iter: int = 2) -> str:
+    """DuckDB mirror of the cell-budget guard: the SAME k-means training
+    chain as _semdedup_oracle (identical assignments), then pure integer
+    size metrics — no floats in the output, so no rounding-convention
+    surface between the engines."""
+    parts = _kmeans_train_ctes(n_cells, n_iter)
+    a = f"a{n_iter}"
+    parts.append(
+        f"""
+    sizes AS (SELECT cell, COUNT(*) AS n FROM {a} GROUP BY cell),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM sizes)"""
+    )
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts)
+        + f"""
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+           CAST(n * n * 8 AS BIGINT) AS sim_matrix_bytes,
+           CAST(FLOOR(1000000.0 * n / t) AS BIGINT) AS ppm_of_corpus,
+           n > {_SEMDEDUP_CELL_CAP} AS over_cap
+    FROM sizes, tot"""
+    )
+
+
+@query("dedup_semdedup_cellstats", oracle=_semdedup_cellstats_oracle())
+def dedup_semdedup_cellstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup cell-budget GUARD as a first-class query: per trained
+    cell, its member count, pair count, the bytes a full similarity
+    matrix would take, its corpus share (ppm), and whether it exceeds
+    the kernel's task cap (_SEMDEDUP_CELL_CAP, 32768 rows — above it the
+    grouped-map kernel refuses with the raise-k remedy rather than
+    OOMing an executor). Run this BEFORE dedup_semdedup at a new scale:
+    over_cap rows name exactly the cells that need a larger n_cells.
+    One aggregation over the assignment — no embeddings move, no pair
+    work; the corpus total rides in as a broadcast 1-row frame. Output
+    is all-integer so the oracle has no float-rounding surface."""
+    from loris_mri_spark.operators.vectors import kmeans_cells
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignment, _centroids = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2
+    )
+    sizes = assignment.groupBy("cell").agg(F.count("*").alias("n"))
+    tot = sizes.agg(F.sum("n").alias("t"))
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("n").cast("long").alias("n_members"),
+        ((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n_pairs"),
+        (F.col("n") * F.col("n") * 8).cast("long").alias("sim_matrix_bytes"),
+        F.floor(F.lit(1000000.0) * F.col("n") / F.col("t"))
+        .cast("long")
+        .alias("ppm_of_corpus"),
+        (F.col("n") > _SEMDEDUP_CELL_CAP).alias("over_cap"),
     )
 
 

@@ -987,6 +987,12 @@ def main() -> None:
     for inst in range(1, 3):
         write_rle_dicom(os.path.join(rldicom, f"MR.rle.{inst}.dcm"), inst)
 
+    # --- encapsulated baseline-JPEG transfer syntax (native T.81 decode
+    # composed with the PS3.5 A.4 container walk)
+    jpdicom = _mkdir(os.path.join(HERE, "dicom_jpeg"))
+    for inst in range(1, 3):
+        write_jpeg_dicom(os.path.join(jpdicom, f"MR.jpg.{inst}.dcm"), inst)
+
     # --- EDF (EEG raw, S7)
     edir = _mkdir(os.path.join(HERE, "eeg"))
     write_edf(os.path.join(edir, "sub-01_task-rest_eeg.edf"),
@@ -1375,7 +1381,7 @@ def jpeg_block_values(inst: int, bw: int, bh: int) -> list:
     ]
 
 
-def write_jpeg_gray_flat(path: str, inst: int, bw: int = 4, bh: int = 3) -> None:
+def jpeg_gray_flat_bytes(inst: int, bw: int = 4, bh: int = 3) -> bytes:
     """Grayscale baseline JPEG of bw x bh flat 8x8 blocks (q_DC = 8 makes
     the DC path exact; all AC coefficients are zero)."""
     h, w = bh * 8, bw * 8
@@ -1411,8 +1417,53 @@ def write_jpeg_gray_flat(path: str, inst: int, bw: int = 4, bh: int = 3) -> None
         0xC4, bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9"
+
+
+def write_jpeg_gray_flat(path: str, inst: int, bw: int = 4, bh: int = 3) -> None:
     with open(path, "wb") as f:
-        f.write(b"\xff\xd8" + dqt + sof + dht + sos + ecs + b"\xff\xd9")
+        f.write(jpeg_gray_flat_bytes(inst, bw, bh))
+
+
+def write_jpeg_dicom(path: str, instance: int, n_frames: int = 2,
+                     bw: int = 2, bh: int = 2) -> None:
+    """Encapsulated baseline-JPEG transfer syntax (1.2.840.10008.1.2.4.50,
+    PS3.5 A.4.1): one fragment per frame, each fragment a REAL grayscale
+    baseline-T.81 codestream (jpeg_gray_flat_bytes, frame f seeded
+    instance + 5 * f) — the composition fixture for native in-engine
+    decode of compressed DICOM pixel data."""
+    frags = [jpeg_gray_flat_bytes(instance + 5 * f, bw, bh)
+             for f in range(n_frames)]
+    bot, off = [], 0
+    for fr in frags:
+        bot.append(off)
+        off += 8 + len(fr) + (len(fr) % 2)
+    pixel = struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+    pixel += struct.pack("<HHI", 0xFFFE, 0xE000, 4 * len(bot))
+    pixel += struct.pack(f"<{len(bot)}I", *bot)
+    for fr in frags:
+        if len(fr) % 2:
+            fr += b"\x00"
+        pixel += struct.pack("<HHI", 0xFFFE, 0xE000, len(fr)) + fr
+    pixel += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    body = b"".join([
+        _tag(0x0008, 0x0060, b"CS", b"MR"),
+        _tag(0x0008, 0x103E, b"LO", b"t1w_jpgbase"),
+        _tag(0x0010, 0x0010, b"PN", b"SUB012"),
+        _tag(0x0020, 0x000D, b"UI", b"1.2.840.99999.8"),
+        _tag(0x0020, 0x000E, b"UI", b"1.2.840.99999.8.1"),
+        _tag(0x0020, 0x0011, b"IS", b"1 "),
+        _tag(0x0020, 0x0013, b"IS", str(instance).encode()),
+        struct.pack("<HH2sH", 0x0028, 0x0010, b"US", 2)
+        + struct.pack("<H", bh * 8),
+        struct.pack("<HH2sH", 0x0028, 0x0011, b"US", 2)
+        + struct.pack("<H", bw * 8),
+        struct.pack("<HH2sH", 0x0028, 0x0100, b"US", 2)
+        + struct.pack("<H", 8),
+    ])
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM"
+                + _meta_group("1.2.840.10008.1.2.4.50") + body + pixel)
 
 
 def write_avi_mjpeg(path: str, inst: int, n_frames: int = 3,

@@ -27,17 +27,25 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_r7_correctness_window_layout():
+def test_r8_correctness_window_layout():
     """The external driver hash-checks only the FIRST 50 registry entries.
-    Pin the declared r7 window (the R7_QUEUE backlog + this round's new
-    queries + code-changed re-greens + oldest-green rotation) as exactly
-    those 50 — a late registration must not silently displace a promised
-    query."""
+    Pin the declared r8 window (the r7 certification gap + promised
+    top-up re-entries + this round's new queries + code-changed re-greens
+    + oldest-green rotation) as exactly those 50 — a late registration
+    must not silently displace a promised query. Also pin the hygiene
+    invariants the r7 ADVICE asked for: the window and the full priority
+    order are duplicate-free, and every priority entry is registered."""
     first50 = list(workload.QUERIES)[:50]
-    assert len(workload.R7_WINDOW) == 50
-    assert first50 == workload.R7_WINDOW, [
-        (a, b) for a, b in zip(first50, workload.R7_WINDOW) if a != b
+    assert len(workload.R8_WINDOW) == 50
+    assert first50 == workload.R8_WINDOW, [
+        (a, b) for a, b in zip(first50, workload.R8_WINDOW) if a != b
     ]
+    assert len(set(workload.R8_WINDOW)) == 50
+    assert len(workload.PRIORITY_ORDER) == len(set(workload.PRIORITY_ORDER))
+    unregistered = [
+        n for n in workload.PRIORITY_ORDER if n not in workload.QUERIES
+    ]
+    assert unregistered == []
 
 
 def test_no_hugeint_oracle_output_columns(sf_dir):

@@ -201,6 +201,71 @@ def test_semdedup_singleton_and_edge_free_cells(spark, tmp_path):
     }
 
 
+def test_semdedup_kernel_refuses_oversized_cell():
+    """The cell cap is a guard, not a suggestion: a cell over
+    _SEMDEDUP_CELL_CAP rows must refuse with the raise-k remedy BEFORE
+    any O(n^2)-shaped work, not OOM an executor mid-matmul."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from loris_mri_spark.workload import vectors as V
+
+    n = 5
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "cell": np.full(n, 3, dtype="int64"),
+            "emb": [[1.0, 0.0]] * n,
+            "ccos": np.zeros(n),
+        }
+    )
+    orig = V._SEMDEDUP_CELL_CAP
+    try:
+        V._SEMDEDUP_CELL_CAP = n - 1
+        with pytest.raises(ValueError, match="raise n_cells"):
+            V.semdedup_cell_kernel(pdf)
+    finally:
+        V._SEMDEDUP_CELL_CAP = orig
+    # the real cap admits the same cell untouched
+    assert len(V.semdedup_cell_kernel(pdf)) == n
+
+
+def test_semdedup_kernel_blocked_equals_single_block():
+    """The row-blocked similarity path (block smaller than the cell, so
+    pairs span block boundaries) must produce exactly the single-block
+    result on the same cell."""
+    import numpy as np
+    import pandas as pd
+
+    from loris_mri_spark.workload import vectors as V
+
+    rng = np.random.default_rng(42)
+    n, dim = 23, 5
+    mat = rng.normal(size=(n, dim)) + 0.3
+    pdf = pd.DataFrame(
+        {
+            "vec_id": (np.arange(n) * 7 + 2).astype("int64"),
+            "cell": np.full(n, 1, dtype="int64"),
+            "emb": [list(map(float, r)) for r in mat],
+            "ccos": rng.uniform(-1, 1, size=n),
+        }
+    )
+    full = V.semdedup_cell_kernel(pdf.copy())
+    orig = V._SEMDEDUP_BLOCK
+    try:
+        V._SEMDEDUP_BLOCK = 4  # forces 6 blocks with cross-block pairs
+        blocked = V.semdedup_cell_kernel(pdf.copy())
+    finally:
+        V._SEMDEDUP_BLOCK = orig
+    key = lambda df: sorted(  # noqa: E731
+        (r.vec_id, r.component, r.cell, round(r.ccos, 12), r.keep)
+        for r in df.itertuples(index=False)
+    )
+    assert key(blocked) == key(full)
+    assert len(full) > 0  # the geometry actually produced duplicate groups
+
+
 def test_semdedup_kernel_property_vs_reference():
     """Property test of the per-cell kernel (no Spark needed — it is a
     pure pandas function): against an INDEPENDENT reference that decides
