@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def exact_dedup(
@@ -109,11 +110,52 @@ def jaccard_pairs(
 
     sizes = posts.groupBy("i").agg(F.count("*").alias("n"))
 
-    a = posts.alias("a")
-    b = posts.select(F.col("i").alias("j"), F.col("s")).alias("b")
-    common = (
+    # PREFIX FILTERING (All-Pairs / PPJoin family, exact for J >= t):
+    # order each document's distinct shingles by GLOBAL rarity (document
+    # frequency ascending, shingle value as tie-break) and index only the
+    # first p = n - ceil(t*n) + 1 of them. If two docs share NO indexed
+    # prefix shingle, every common shingle lies in one doc's suffix, so
+    # |overlap| <= ceil(t*n) - 1 < t*n <= t*|union| and J < t strictly —
+    # no qualifying pair is lost. Candidate generation therefore joins
+    # only the RARE-shingle postings (hot shingles sort into suffixes),
+    # which is what keeps the join near-linear as the corpus grows: the
+    # un-prefixed inverted-index join measured 23x cost on 10x data at
+    # sf1 (BENCH_SF1.json r8) purely from hot posting-list self-joins.
+    sdf = posts.groupBy("s").agg(F.count("*").alias("__sdf"))
+    w = Window.partitionBy("i").orderBy("__sdf", "s")
+    ranked = (
+        posts.join(sdf, "s")
+        .withColumn("__rk", F.row_number().over(w))
+        .join(sizes, "i")
+        .filter(
+            # epsilon BEFORE the ceil: float t*n can land a hair above the
+            # exact product (0.8 * 5 -> 4.0000000000000002, ceil -> 5),
+            # which would SHRINK the prefix and silently drop qualifying
+            # pairs; erring the other way only over-indexes (extra
+            # candidates, same exact output)
+            F.col("__rk")
+            <= F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + 1
+        )
+        .select("i", "s")
+    )
+
+    a = ranked.alias("a")
+    b = ranked.select(F.col("i").alias("j"), F.col("s")).alias("b")
+    cand = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.i") < F.col("b.j")))
-        .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+        .select(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+        .distinct()
+    )
+
+    # exact verification of the (few) candidates against the FULL sets
+    pi = posts.select(F.col("i"), F.col("s"))
+    pj = posts.select(F.col("i").alias("__j"), F.col("s").alias("__sj"))
+    common = (
+        cand.join(pi, "i")
+        .join(pj, (F.col("j") == F.col("__j")) & (F.col("s") == F.col("__sj")))
+        .groupBy("i", "j")
         .agg(F.count("*").alias("common"))
     )
     ni = sizes.select(F.col("i"), F.col("n").alias("ni"))

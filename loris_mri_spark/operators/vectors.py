@@ -185,6 +185,112 @@ def kmeans_cells(
     )
 
 
+def kmeans_cells_arrow(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    n_iter: int = 2,
+) -> "tuple[DataFrame, DataFrame]":
+    """Throughput variant of kmeans_cells — the 100 TB training path.
+
+    Same deterministic procedure (seeds = first n_cells vectors by id,
+    cell label = seed id, argmax-cosine assignment with ties to the
+    lowest cell, component-mean update) but the per-round math runs as
+    float64 numpy in Arrow-batched tasks: assignment is ONE
+    (batch x dim) @ (dim x k) matmul against the broadcast centroid
+    matrix instead of n_cells Catalyst fold expressions per row, and the
+    update combines per-batch partial (cell, count, sum-vector) rows on
+    the driver — O(k x partitions) rows, the standard distributed
+    k-means combine, a bounded-contract collect.
+
+    Trade: double-precision means a centroid component can differ from
+    kmeans_cells' decimal-exact mean in the last ulp, so a borderline
+    argmax tie can assign differently — this operator is for corpus-scale
+    training (raising k with n), while kmeans_cells stays the
+    oracle-parity anchor the driver-checked queries pin. Measured at
+    sf1/k=141 the fold-expression trainer costs ~104 s vs ~8 s here
+    (BENCH_SF1.json r8).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
+    )
+
+    seeds = v.orderBy("__id").limit(n_cells).collect()  # k rows, bounded
+    cell_ids = np.array([r["__id"] for r in seeds], dtype=np.int64)
+    cent = np.array([r["__cv"] for r in seeds], dtype=np.float64)
+    dim = cent.shape[1]
+
+    def _unit(m: "np.ndarray") -> "np.ndarray":
+        n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        n_[n_ == 0] = 1.0
+        return m / n_
+
+    partial_schema = "cell long, cnt long, vsum array<double>"
+
+    for _ in range(n_iter):
+        cu = _unit(cent).T  # dim x k, cells ordered ASC by id -> argmax
+        # ties resolve to the lowest cell, matching kmeans_cells
+
+        def partials(batches, _cu=cu, _cells=cell_ids):  # noqa: ANN001
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+                a = np.argmax(_unit(mat) @ _cu, axis=1)
+                out = []
+                for ci in np.unique(a):
+                    sel = mat[a == ci]
+                    out.append(
+                        {
+                            "cell": int(_cells[ci]),
+                            "cnt": int(sel.shape[0]),
+                            "vsum": sel.sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(out, columns=["cell", "cnt", "vsum"])
+
+        rows = v.mapInPandas(partials, partial_schema).collect()
+        # fixed combine order: collect() row order is not guaranteed and
+        # float addition is not associative — sort so the same inputs
+        # always produce bit-identical centroids
+        rows.sort(key=lambda r: (r["cell"], r["cnt"], tuple(r["vsum"])))
+        sums: dict[int, "np.ndarray"] = {}
+        cnts: dict[int, int] = {}
+        for r in rows:
+            c = r["cell"]
+            sums[c] = sums.get(c, np.zeros(dim)) + np.array(r["vsum"])
+            cnts[c] = cnts.get(c, 0) + r["cnt"]
+        alive = sorted(cnts)
+        cell_ids = np.array(alive, dtype=np.int64)
+        cent = np.array([sums[c] / cnts[c] for c in alive], dtype=np.float64)
+
+    cu = _unit(cent).T
+
+    def assign(batches, _cu=cu, _cells=cell_ids):  # noqa: ANN001
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            a = np.argmax(_unit(mat) @ _cu, axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].to_numpy(), "cell": _cells[a]}
+            )
+
+    assignment = v.mapInPandas(assign, "__id long, cell long").select(
+        F.col("__id").alias(id_col), "cell"
+    )
+    centroids = spark.createDataFrame(
+        [(int(c), [float(x) for x in cent[i]]) for i, c in enumerate(cell_ids)],
+        "__cell long, __centroid array<double>",
+    )
+    return assignment, centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

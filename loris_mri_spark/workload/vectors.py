@@ -478,7 +478,12 @@ def semdedup_cell_kernel(pdf):  # noqa: ANN001 - pandas grouped map
 
 
 @query("dedup_semdedup", oracle=_semdedup_oracle())
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 8,
+    use_arrow_trainer: bool = False,
+) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings (spherical k-means, the S-IVF
     trained quantizer reused verbatim), finding within-cluster pairs with
@@ -487,17 +492,29 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper's low-centroid-similarity keep rule — retains the hardest
     example), ties to lowest id. 100 TB shape: pair search never leaves
     a cell (k ~ sqrt(n) bounds cell size — the paper's own tractability
-    argument, no corpus-wide all-pairs), centroids broadcast, and the
+    argument, no corpus-wide all-pairs; raise k WITH use_arrow_trainer=
+    True, the float64 matmul trainer — the decimal-exact trainer here is
+    the oracle-parity anchor and costs O(n*k) fold expressions, measured
+    super-linear at raised k in SCALE.md), centroids broadcast, and the
     whole per-cell phase (vectorized similarity matrix + union-find +
     keep rule) is ONE Arrow-batched grouped-map stage parallelized over
     cells. Output: one row per member of any duplicate group with its
     component (min member id), cell, centroid cosine, and keep
     decision."""
-    from loris_mri_spark.operators.vectors import kmeans_cells
+    from loris_mri_spark.operators.vectors import (
+        kmeans_cells,
+        kmeans_cells_arrow,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    assignment, centroids = kmeans_cells(
-        e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2
+    # the oracle-pinned registered query trains with the decimal-exact
+    # kmeans_cells; use_arrow_trainer=True is the corpus-scale path
+    # (raise n_cells ~ sqrt(n) AND train with float64 Arrow matmuls —
+    # the fold-expression trainer is what turns raise-k super-linear,
+    # BENCH_SF1.json r8)
+    trainer = kmeans_cells_arrow if use_arrow_trainer else kmeans_cells
+    assignment, centroids = trainer(
+        e, id_col="vec_id", vec_col="embedding", n_cells=n_cells, n_iter=2
     )
     # ccos (the keep-rule key) stays JVM-side — identical fold order to
     # the oracle's _SQL_COS, so keep ranking compares bit-identical

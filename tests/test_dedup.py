@@ -109,3 +109,40 @@ def test_duplicate_token_spans_merge_semantics(spark):
                      # plus the wrap windows are unique -> islands [1,5]
                      # and [6,10] merge (adjacent)
     }
+
+
+def test_jaccard_pairs_prefix_filter_matches_brute_force(spark):
+    """The r8 prefix-filtered inverted-index join must stay EXACT: random
+    small shingle universes (hot shingles shared by most docs, rare ones
+    by few, sizes down to 1) against a pure-Python brute force, at a
+    threshold whose t*n products include exact-integer and fractional
+    cases — the geometry where a wrong prefix length silently drops
+    pairs."""
+    import itertools
+    import random
+
+    from loris_mri_spark.operators.dedup import jaccard_pairs
+
+    rng = random.Random(83)
+    universe = [f"s{i}" for i in range(30)]
+    docs = []
+    for doc_id in range(40):
+        n = rng.choice([1, 2, 4, 5, 8, 10, 15])
+        # bias toward low-index shingles -> hot posting lists
+        sh = sorted({universe[min(rng.randrange(30), rng.randrange(30))]
+                     for _ in range(n)})
+        docs.append((doc_id, sh))
+    df = spark.createDataFrame(docs, "doc_id long, shingles array<string>")
+
+    for t in (0.5, 0.8):
+        got = {
+            (r["i"], r["j"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(df, "doc_id", "shingles", t).collect()
+        }
+        expect = set()
+        for (i, a), (j, b) in itertools.combinations(docs, 2):
+            inter = len(set(a) & set(b))
+            jac = inter / (len(a) + len(b) - inter)
+            if jac >= t:
+                expect.add((i, j, round(jac, 9)))
+        assert got == expect, f"threshold {t}"

@@ -48,6 +48,18 @@ from loris_mri_spark.sources.nifti import (
 
 FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
+
+def _encap_jpeg_compose(b: bytes):
+    """The s1_dicom_jpeg_frames composition path: PS3.5 A.4 container
+    walk, then the baseline-T.81 decoder over EVERY fragment — the
+    decoder must classify fragments of any syntax (J2K filler, RLE
+    segments, garbage), not just baseline-JPEG ones."""
+    r = parse_encapsulated_frames(b)
+    if r is None:
+        return None
+    return [decode_jpeg_baseline(d) for (_o, _n, d) in r["fragments"]]
+
+
 PARSERS = [
     decode_png_bytes,
     decode_jpeg_baseline,
@@ -74,6 +86,7 @@ PARSERS = [
     nifti_voxel_stats,
     nifti_volume_cog,
     parse_dtiprep_xml_bytes,
+    _encap_jpeg_compose,
 ]
 
 VALID = [
@@ -84,6 +97,7 @@ VALID = [
     (FIXTURES / "dicom_deflate" / "MR.x.1.dcm").read_bytes(),
     (FIXTURES / "dicom_encap" / "MR.j2k.1.dcm").read_bytes(),
     (FIXTURES / "dicom_rle" / "MR.rle.1.dcm").read_bytes(),
+    (FIXTURES / "dicom_jpeg" / "MR.jpg.1.dcm").read_bytes(),
     (FIXTURES / "jpeg" / "img-1.jpg").read_bytes(),
     (FIXTURES / "jpeg" / "color-1.jpg").read_bytes(),
     (FIXTURES / "jpeg" / "sub420-1.jpg").read_bytes(),
@@ -383,5 +397,29 @@ def test_parsers_never_raise_on_cross_format_splice(dst, src, dpos, w, spos):
     p = dpos % len(base)
     base[p : p + w] = other[s : s + w]
     blob = bytes(base)
+    for parse in PARSERS:
+        parse(blob)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=len(VALID) - 1),
+    st.integers(min_value=0, max_value=4095),
+    st.integers(min_value=4, max_value=512),
+    st.integers(min_value=0, max_value=4095),
+)
+def test_parsers_never_raise_on_region_duplication(idx, spos, w, dpos):
+    """Region DUPLICATION: a window of the file re-inserted elsewhere in
+    the SAME file builds self-consistent repeated structures (a DICOM
+    fragment item twice, a RIFF chunk twice, a repeated symbol-table
+    entry) that both random flips and cross-format splices almost never
+    produce — the class that stresses count/offset bookkeeping against
+    plausible-looking duplicates, with every downstream offset shifted
+    by the insertion."""
+    base = VALID[idx]
+    s_ = spos % len(base)
+    chunk = base[s_ : s_ + w]
+    p = dpos % (len(base) + 1)
+    blob = base[:p] + chunk + base[p:]
     for parse in PARSERS:
         parse(blob)

@@ -342,3 +342,54 @@ def test_semdedup_kernel_property_vs_reference():
         assert got_set == expect
 
     run()
+
+
+def test_kmeans_cells_arrow_matches_numpy_reference(spark, sf_dir):
+    """The Arrow-batched trainer must reproduce, exactly, a pure-numpy
+    replay of its own contract: seeds = first n_cells vectors by id,
+    argmax-cosine assignment (ties to lowest cell via ascending cell
+    order + first-max argmax), float64 component-mean updates."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from loris_mri_spark.catalog import load_table, table_path
+    from loris_mri_spark.operators.vectors import kmeans_cells_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignment, centroids = kmeans_cells_arrow(
+        e, id_col="vec_id", vec_col="embedding", n_cells=7, n_iter=2
+    )
+    got = {r["vec_id"]: r["cell"] for r in assignment.collect()}
+    got_cent = {
+        r["__cell"]: np.array(r["__centroid"]) for r in centroids.collect()
+    }
+
+    tb = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(tb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tb.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    def unit(m):
+        n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        n_[n_ == 0] = 1.0
+        return m / n_
+
+    cell_ids = ids[:7]
+    cent = mat[:7].copy()
+    for _ in range(2):
+        a = np.argmax(unit(mat) @ unit(cent).T, axis=1)
+        alive = sorted(set(a.tolist()))
+        cent = np.array([mat[a == ci].mean(axis=0) for ci in alive])
+        cell_ids = cell_ids[alive]
+    a = np.argmax(unit(mat) @ unit(cent).T, axis=1)
+    expect = {int(i): int(cell_ids[c]) for i, c in zip(ids, a)}
+
+    assert got == expect
+    assert sorted(got_cent) == sorted(int(c) for c in cell_ids)
+    for i, c in enumerate(cell_ids):
+        np.testing.assert_allclose(
+            got_cent[int(c)], cent[i], rtol=0, atol=1e-12
+        )

@@ -1,0 +1,147 @@
+"""Deterministic scale-up of the driver's sf0.1 testdata for the
+one-off scale-growth bench (bench_scale.py) — NOT an input to any
+correctness query; the driver's own parquet stays the only correctness
+input (TESTDATA.md).
+
+Each target scale K replicates every scaled table K times with
+copy-decorrelating transforms, so volume grows Kx while the WITHIN-copy
+statistical structure (duplicate rate, near-dup geometry, protocol-rule
+hit rates) is preserved and CROSS-copy correlation is destroyed — i.e.
+the corpus looks like Kx more independent data, not K identical shards:
+
+- documents: doc_id offset per copy; every word of length >= 5 is
+  Caesar-rotated by the copy index. All language-ID marker words and the
+  quality gate's stopwords are <= 4 chars (workload/text._STOPLISTS), so
+  language/quality gate survival, token counts and stop ratios are
+  IDENTICAL per copy, while content shingles (which almost always span a
+  long word) decorrelate — dedup pair work scales linearly instead of
+  exploding quadratically on artificial cross-copy duplicates.
+- embeddings: vec_id offset per copy; a copy-keyed sign-flip pattern on
+  the dimensions (norm-preserving, cosine-decorrelating; copy 0 is the
+  untouched original).
+- lineitem / orders: orderkey' = orderkey * K + copy — key density and
+  the under-5000-key seed slice stay populated at every scale.
+- all other tables: byte-identical copies of sf0.1 (constant dims stay
+  broadcast-sized by design, like TPC-H's nation/region).
+
+Usage: python tools/make_scale_data.py [K ...]   (default: 3 10)
+Writes /root/repo/.scale/sfK/{table}.parquet (gitignored).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+OUT_ROOT = Path(__file__).resolve().parents[1] / ".scale"
+
+LOWER = "abcdefghijklmnopqrstuvwxyz"
+UPPER = LOWER.upper()
+
+COPY_TABLES = [
+    "customer", "supplier", "part", "nation", "region", "events",
+]
+
+
+def _rot_sql(text_expr: str, k: int) -> str:
+    """Caesar-rotate long words by k (identity for k == 0)."""
+    if k == 0:
+        return text_expr
+    r = k % 26
+    src = LOWER + UPPER
+    dst = LOWER[r:] + LOWER[:r] + UPPER[r:] + UPPER[:r]
+    return (
+        "list_aggregate(list_transform(string_split("
+        f"{text_expr}, ' '), w -> CASE WHEN length(w) >= 5 THEN "
+        f"translate(w, '{src}', '{dst}') ELSE w END), 'string_agg', ' ')"
+    )
+
+
+def scale_documents(con: duckdb.DuckDBPyConnection, k_total: int, out: Path) -> None:
+    n = con.sql(f"SELECT COUNT(*) FROM '{SRC}/documents.parquet'").fetchone()[0]
+    branches = [
+        f"SELECT doc_id + {k * n} AS doc_id, {_rot_sql('text', k)} AS text,"
+        f" lang, source, n_chars FROM '{SRC}/documents.parquet'"
+        for k in range(k_total)
+    ]
+    con.sql(
+        f"COPY ({' UNION ALL '.join(branches)}) TO '{out}/documents.parquet'"
+        " (FORMAT PARQUET)"
+    )
+
+
+def scale_embeddings(k_total: int, out: Path) -> None:
+    tb = pq.read_table(SRC / "embeddings.parquet")
+    vec = np.array(tb.column("embedding").to_pylist(), dtype=np.float32)
+    ids = np.array(tb.column("vec_id").to_pylist(), dtype=np.int64)
+    labels = np.array(tb.column("label").to_pylist(), dtype=np.int32)
+    n, dim = vec.shape
+    parts = []
+    for k in range(k_total):
+        v = vec.copy()
+        if k:
+            # deterministic, copy-keyed sign flips: norm-preserving,
+            # decorrelates cosine across copies
+            flip = ((np.arange(dim) * 2654435761 + k * 40503) % 5) < 2
+            v[:, flip] *= -1.0
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids + k * n, pa.int64()),
+                    "embedding": pa.array(
+                        [row.tolist() for row in v], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array(labels, pa.int32()),
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(parts), out / "embeddings.parquet")
+
+
+def scale_orders_lineitem(
+    con: duckdb.DuckDBPyConnection, k_total: int, out: Path
+) -> None:
+    for table, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM '{SRC}/{table}.parquet'"
+            ).fetchall()
+        ]
+        proj = ", ".join(
+            f"{c} * {k_total} + {{k}} AS {c}" if c == key else c for c in cols
+        )
+        branches = [
+            f"SELECT {proj.format(k=k)} FROM '{SRC}/{table}.parquet'"
+            for k in range(k_total)
+        ]
+        con.sql(
+            f"COPY ({' UNION ALL '.join(branches)}) TO"
+            f" '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    ks = [int(x) for x in (sys.argv[1:] or ["3", "10"])]
+    con = duckdb.connect()
+    for k_total in ks:
+        sf = k_total / 10
+        out = OUT_ROOT / (f"sf{sf:g}")
+        out.mkdir(parents=True, exist_ok=True)
+        scale_documents(con, k_total, out)
+        scale_embeddings(k_total, out)
+        scale_orders_lineitem(con, k_total, out)
+        for t in COPY_TABLES:
+            shutil.copyfile(SRC / f"{t}.parquet", out / f"{t}.parquet")
+        print(f"wrote {out} (x{k_total} of sf0.1)")
+
+
+if __name__ == "__main__":
+    main()
