@@ -49,6 +49,16 @@ SCALE_QUERIES = [
     "pipeline_corpus_select",
     "pipeline_pretraining_data",
     "j9_transitive_closure",
+    # widened in r8 after the first sweep: more documents/lineitem-bound
+    # families (TF-IDF, quality classifier, substring spans, skew join,
+    # triangle count, leakage-safe split, distributed percentiles)
+    "text_tfidf_top_terms",
+    "text_quality_classifier",
+    "dedup_substring_spans",
+    "j12_salted_skew_join",
+    "graph_triangle_count",
+    "split_cluster_safe",
+    "profile_percentiles_distributed",
 ]
 
 SF_DIRS = [

@@ -1841,62 +1841,66 @@ def pipeline_non_minc_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("__rn") > 1, "file_not_unique")
         .otherwise("inserted"),
     )
-    ins = classified.filter(F.col("status") == "inserted")
-
-    def eav(df: DataFrame, kind: str, name, value) -> DataFrame:
-        return df.select(
-            F.lit(kind).alias("kind"),
-            F.col("file_name").alias("entity"),
-            (F.lit(name) if isinstance(name, str) else name).alias("name"),
-            value.cast("string").alias("value"),
-        )
-
-    status_rows = eav(classified, "file", "status", F.col("status"))
+    # EAV fan-out as ONE explode over a conditionally-assembled struct
+    # array — NOT a union of per-field projections: Spark does not share
+    # common subplans across union branches, so the 12-branch union form
+    # re-executed the whole classification 12 times (5.3 s warm at
+    # sf0.1; this form is one pass). The metadata JSON is BUILT per
+    # request then genuinely PARSED (from_json -> map entries), the
+    # engine-side path the reference's decode_json + sorted-keys
+    # setParameter loop takes.
     fid = md5_60(
         F.concat(F.lit("nonminc:"), "file_name", F.lit(":"), "candidate")
     )
     sid = md5_60(
         F.concat(F.lit("sess:"), "candidate", F.lit(":"), "visit_label")
     )
-    field_rows = [
-        eav(ins, "file", "file_id", fid),
-        eav(ins, "file", "session_id", sid),
-        eav(ins, "file", "scanner_id", F.col("scanner_id")),
-        eav(ins, "file", "scan_type", F.col("scan_type")),
-        eav(ins, "file", "output_type", F.lit("native")),
-        eav(ins, "file", "coordinate_space", F.lit("native")),
-        eav(ins, "file", "acquisition_date", F.col("o_orderdate")),
-        eav(ins, "file", "file_type", F.col("ext")),
-    ]
 
-    # the metadata JSON: BUILT per request then genuinely PARSED
-    # (from_json -> map explode), the engine-side path the reference's
-    # decode_json + sorted-keys setParameter loop takes
-    meta = (
-        ins.join(F.broadcast(p), ins.part_key == p.p_partkey)
-        .withColumn(
-            "md_json",
-            F.concat(
-                F.lit('{"slice_thickness": 2, "te": '), F.col("p_size"),
-                F.lit(', "tr": '), (F.col("p_size") * 100),
-                F.lit("}"),
-            ),
+    def row(kind, name, value):  # noqa: ANN001
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (F.lit(name) if isinstance(name, str) else name).alias("name"),
+            value.cast("string").alias("value"),
         )
-        .select(
-            "file_name",
-            F.explode(F.from_json("md_json", "map<string,string>")).alias(
-                "k", "v"
-            ),
-        )
-    )
-    meta_rows = meta.select(
-        F.lit("parameter").alias("kind"),
-        F.col("file_name").alias("entity"),
-        F.concat(F.lit("md:"), "k").alias("name"),
-        F.col("v").alias("value"),
-    )
 
-    out = status_rows
-    for fr in field_rows:
-        out = out.unionByName(fr)
-    return out.unionByName(meta_rows)
+    with_md = classified.join(
+        F.broadcast(p.select("p_partkey", "p_size")),
+        classified.part_key == F.col("p_partkey"),
+        "left",
+    ).withColumn(
+        "md_json",
+        F.concat(
+            F.lit('{"slice_thickness": 2, "te": '), F.col("p_size"),
+            F.lit(', "tr": '), (F.col("p_size") * 100),
+            F.lit("}"),
+        ),
+    )
+    inserted_rows = F.concat(
+        F.array(
+            row("file", "file_id", fid),
+            row("file", "session_id", sid),
+            row("file", "scanner_id", F.col("scanner_id")),
+            row("file", "scan_type", F.col("scan_type")),
+            row("file", "output_type", F.lit("native")),
+            row("file", "coordinate_space", F.lit("native")),
+            row("file", "acquisition_date", F.col("o_orderdate")),
+            row("file", "file_type", F.col("ext")),
+        ),
+        F.transform(
+            F.map_entries(F.from_json("md_json", "map<string,string>")),
+            lambda e: row(
+                "parameter", F.concat(F.lit("md:"), e["key"]), e["value"]
+            ),
+        ),
+    )
+    rows = F.concat(
+        F.array(row("file", "status", F.col("status"))),
+        F.when(F.col("status") == "inserted", inserted_rows).otherwise(
+            F.array().cast(
+                "array<struct<kind:string,name:string,value:string>>"
+            )
+        ),
+    )
+    return with_md.select(
+        F.col("file_name").alias("entity"), F.explode(rows).alias("r")
+    ).select("r.kind", "entity", "r.name", "r.value")
