@@ -30,29 +30,29 @@ def melt_headers(
     """Wide table -> long (key, header, value_num, value_str) — the EAV shape
     the check engine consumes (mirrors parameter_file rows keyed on header
     name, FIXTURES.md parameter_file)."""
-    branches = []
-    for h in numeric_headers:
-        branches.append(
-            df.select(
-                *key_cols,
-                F.lit(h).alias("header"),
-                F.col(h).cast("double").alias("value_num"),
-                F.lit(None).cast("string").alias("value_str"),
-            )
+    # ONE explode over per-header structs, NOT a union of per-header
+    # projections: Spark re-executes the source subplan once per union
+    # branch, so the union form costs H scans of the wide table for H
+    # headers — the r8 plan-audit class pipeline_non_minc_insertion's
+    # EAV fan-out was also moved off.
+    entries = [
+        F.struct(
+            F.lit(h).alias("header"),
+            F.col(h).cast("double").alias("value_num"),
+            F.lit(None).cast("string").alias("value_str"),
         )
-    for h in string_headers:
-        branches.append(
-            df.select(
-                *key_cols,
-                F.lit(h).alias("header"),
-                F.lit(None).cast("double").alias("value_num"),
-                F.col(h).cast("string").alias("value_str"),
-            )
+        for h in numeric_headers
+    ] + [
+        F.struct(
+            F.lit(h).alias("header"),
+            F.lit(None).cast("double").alias("value_num"),
+            F.col(h).cast("string").alias("value_str"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+        for h in string_headers
+    ]
+    return df.select(*key_cols, F.explode(F.array(*entries)).alias("__m")).select(
+        *key_cols, "__m.header", "__m.value_num", "__m.value_str"
+    )
 
 
 def run_qc_checks(

@@ -770,13 +770,26 @@ def eav_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a7_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    per_group = e.groupBy(F.col("event_type").alias("scope")).agg(
-        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    # per-group AND global ranges from ONE rollup aggregation (one scan,
+    # one shuffle) — the union-of-two-aggregations form executes the
+    # corpus scan once per branch (Spark does not share subplans across
+    # union branches, and exchange reuse is not guaranteed here);
+    # grouping() distinguishes the rollup total from a real NULL key
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.grouping("event_type").alias("__g"),
+        )
+        .select(
+            F.when(F.col("__g") == 1, F.lit("__global__"))
+            .otherwise(F.col("event_type"))
+            .alias("scope"),
+            "vmin",
+            "vmax",
+        )
     )
-    overall = e.agg(
-        F.min("value").alias("vmin"), F.max("value").alias("vmax")
-    ).select(F.lit("__global__").alias("scope"), "vmin", "vmax")
-    return per_group.unionByName(overall)
 
 
 # --------------------------------------------------------------------------
