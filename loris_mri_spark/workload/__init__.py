@@ -228,7 +228,12 @@ R6_WINDOW: list[str] = [
 #         bx- leftovers), dedup_semdedup (row-blocked kernel + cell cap).
 #   11-44 top-up: the 34 remaining queries whose latest driver green is
 #         r3 (every other registered query holds an r4+ row).
-#   45-49 top-up: the five oldest r4 greens.
+#   45-48 top-up: four of the five oldest r4 greens.
+#   49    dedup_ngram_jaccard_pairs — its operator (jaccard_pairs) gained
+#         prefix filtering mid-round (SCALE.md finding 2), so the
+#         changed-code re-green outranks the fifth r4 top-up
+#         (j8_asof_purchase_last_click -> R9_TOPUP_FIRST, re-enters r9
+#         first, same promise R8_TOPUP_FIRST carried).
 R8_WINDOW: list[str] = [
     # -- r7 certification gap: _parse_partition changed post-window --
     "s1_dicom_series_summary",
@@ -285,6 +290,14 @@ R8_WINDOW: list[str] = [
     "j7_scan_type_rollup",
     "j7_violation_rows",
     "qc_checks_violations",
+    # -- changed-code re-green (prefix-filtered jaccard_pairs) --
+    "dedup_ngram_jaccard_pairs",
+]
+
+
+# Rotated out of the r8 top-up tail to fund the jaccard_pairs re-green;
+# re-enters the r9 window first (the R8_TOPUP_FIRST promise pattern).
+R9_TOPUP_FIRST: list[str] = [
     "j8_asof_purchase_last_click",
 ]
 
