@@ -291,6 +291,112 @@ def kmeans_cells_arrow(
     return assignment, centroids
 
 
+def kmeans_cells_two_level(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_coarse: int,
+    k_fine: int,
+    n_iter: int = 2,
+    coarse_cell_cap: int = 4_000_000,
+) -> "tuple[DataFrame, DataFrame]":
+    """Two-level (coarse -> fine) trained quantizer — the standard remedy
+    (IMI / coarse-then-fine, Babenko & Lempitsky 2012) for the
+    single-level k ~ sqrt(n) training cost SCALE.md measured as an
+    O(n^1.5) tail on `dedup_semdedup_sqrtk`.
+
+    Level 1: `kmeans_cells_arrow` over the corpus with ``k_coarse`` cells
+    (O(n x k_coarse) matmul work per round). Level 2: INSIDE each coarse
+    cell, an independent local spherical k-means with
+    min(k_fine, |cell|) seeds, run as ONE applyInPandas grouped-map
+    stage parallelized over coarse cells. Each fine kernel applies the
+    exact `kmeans_cells_arrow` contract to its slice: seeds = first k
+    vectors by id within the cell, cell label = seed vector id (globally
+    unique across coarse cells, because a vector id seeds at most one
+    cell), argmax-cosine assignment with first-max / lowest-label ties,
+    float64 component-mean updates, dead seeds dropped.
+
+    Cost: per-vector assignment is O(k_coarse + k_fine) instead of the
+    flat quantizer's O(k_coarse x k_fine). For k_total ~ sqrt(n) cells
+    (the SemDeDup sizing) pick k_coarse = k_fine = ceil(sqrt(k_total)):
+    total work O(n^(5/4)) vs single-level O(n^(3/2)).
+
+    Scale contract: the fine stage holds ONE coarse cell per task;
+    ``coarse_cell_cap`` RAISES (never truncates) when a coarse cell
+    exceeds it — the remedy is raising k_coarse (cells average
+    n / k_coarse rows; Level 1's cost is linear in k_coarse so headroom
+    is cheap). Returns (assignment (id_col, cell), centroids
+    (__cell, __centroid)) where ``cell`` is the FINE label — the same
+    shape as the flat trainers, so SemDeDup / IVF consume it unchanged.
+    """
+    coarse_assign, _ = kmeans_cells_arrow(
+        vectors, id_col=id_col, vec_col=vec_col,
+        n_cells=k_coarse, n_iter=n_iter,
+    )
+    v = vectors.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
+    )
+    tagged = v.join(
+        coarse_assign.select(
+            F.col(id_col).alias("__id"), F.col("cell").alias("__coarse")
+        ),
+        "__id",
+    )
+
+    def _unit(m: "np.ndarray") -> "np.ndarray":
+        n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        n_[n_ == 0] = 1.0
+        return m / n_
+
+    def fine_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > coarse_cell_cap:
+            raise ValueError(
+                f"coarse cell {int(pdf['__coarse'].iloc[0])} has "
+                f"{len(pdf)} rows, over the {coarse_cell_cap}-row task "
+                "cap: raise k_coarse so fine training fits one task"
+            )
+        pdf = pdf.sort_values("__id")
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+        k = min(k_fine, len(ids))
+        cell_ids = ids[:k].copy()
+        cent = mat[:k].copy()
+        for _ in range(n_iter):
+            a = np.argmax(_unit(mat) @ _unit(cent).T, axis=1)
+            alive = sorted(set(a.tolist()))
+            cent = np.array([mat[a == ci].mean(axis=0) for ci in alive])
+            cell_ids = cell_ids[alive]
+        a = np.argmax(_unit(mat) @ _unit(cent).T, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": [int(cell_ids[ci]) for ci in range(len(cell_ids))],
+                "centroid": [cent[ci].tolist() for ci in range(len(cell_ids))],
+                "member_ids": [
+                    ids[a == ci].tolist() for ci in range(len(cell_ids))
+                ],
+            }
+        )
+
+    # One summary row per alive fine cell (O(sqrt n) ids each at the
+    # SemDeDup sizing); lazily pinned because BOTH outputs read it and
+    # the fine-training stage must not run twice.
+    summary = (
+        tagged.groupBy("__coarse")
+        .applyInPandas(
+            fine_kernel,
+            "cell long, centroid array<double>, member_ids array<long>",
+        )
+        .localCheckpoint(eager=False)
+    )
+    assignment = summary.select(
+        "cell", F.explode("member_ids").alias("__id")
+    ).select(F.col("__id").alias(id_col), "cell")
+    centroids = summary.select(
+        F.col("cell").alias("__cell"), F.col("centroid").alias("__centroid")
+    )
+    return assignment, centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

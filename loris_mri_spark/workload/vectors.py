@@ -483,6 +483,7 @@ def dedup_semdedup(
     sf_dir: str,
     n_cells: int = 8,
     use_arrow_trainer: bool = False,
+    two_level: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings (spherical k-means, the S-IVF
@@ -504,6 +505,7 @@ def dedup_semdedup(
     from loris_mri_spark.operators.vectors import (
         kmeans_cells,
         kmeans_cells_arrow,
+        kmeans_cells_two_level,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -511,11 +513,23 @@ def dedup_semdedup(
     # kmeans_cells; use_arrow_trainer=True is the corpus-scale path
     # (raise n_cells ~ sqrt(n) AND train with float64 Arrow matmuls —
     # the fold-expression trainer is what turns raise-k super-linear,
-    # BENCH_SF1.json r8)
-    trainer = kmeans_cells_arrow if use_arrow_trainer else kmeans_cells
-    assignment, centroids = trainer(
-        e, id_col="vec_id", vec_col="embedding", n_cells=n_cells, n_iter=2
-    )
+    # BENCH_SF1.json r8); two_level=True additionally splits the trained
+    # quantizer coarse->fine (k_coarse = k_fine = ceil(sqrt(n_cells))),
+    # dropping assignment cost from O(n*k) to O(n*sqrt(k)) — the remedy
+    # SCALE.md names for the sqrt-k trainer's O(n^1.5) tail.
+    if two_level:
+        import math as _math
+
+        kc = max(2, _math.isqrt(max(n_cells - 1, 0)) + 1)
+        assignment, centroids = kmeans_cells_two_level(
+            e, id_col="vec_id", vec_col="embedding",
+            k_coarse=kc, k_fine=kc, n_iter=2,
+        )
+    else:
+        trainer = kmeans_cells_arrow if use_arrow_trainer else kmeans_cells
+        assignment, centroids = trainer(
+            e, id_col="vec_id", vec_col="embedding", n_cells=n_cells, n_iter=2
+        )
     # ccos (the keep-rule key) stays JVM-side — identical fold order to
     # the oracle's _SQL_COS, so keep ranking compares bit-identical
     # doubles on both sides.

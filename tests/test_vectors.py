@@ -393,3 +393,128 @@ def test_kmeans_cells_arrow_matches_numpy_reference(spark, sf_dir):
         np.testing.assert_allclose(
             got_cent[int(c)], cent[i], rtol=0, atol=1e-12
         )
+
+
+def test_kmeans_cells_two_level_matches_numpy_reference(spark, sf_dir):
+    """The two-level quantizer must reproduce a pure-numpy replay of its
+    contract: coarse = the kmeans_cells_arrow procedure at k_coarse, then
+    per coarse cell the SAME procedure locally at min(k_fine, |cell|)
+    seeds (first ids in the cell, label = seed id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from loris_mri_spark.catalog import load_table, table_path
+    from loris_mri_spark.operators.vectors import kmeans_cells_two_level
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignment, centroids = kmeans_cells_two_level(
+        e, id_col="vec_id", vec_col="embedding", k_coarse=4, k_fine=3,
+        n_iter=2,
+    )
+    got = {r["vec_id"]: r["cell"] for r in assignment.collect()}
+    got_cent = {
+        r["__cell"]: np.array(r["__centroid"]) for r in centroids.collect()
+    }
+
+    tb = pq.read_table(
+        table_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(tb.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tb.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    def unit(m):
+        n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        n_[n_ == 0] = 1.0
+        return m / n_
+
+    def train(ids_, mat_, k, n_iter=2):
+        k = min(k, len(ids_))
+        cell_ids = ids_[:k].copy()
+        cent = mat_[:k].copy()
+        for _ in range(n_iter):
+            a = np.argmax(unit(mat_) @ unit(cent).T, axis=1)
+            alive = sorted(set(a.tolist()))
+            cent = np.array([mat_[a == ci].mean(axis=0) for ci in alive])
+            cell_ids = cell_ids[alive]
+        a = np.argmax(unit(mat_) @ unit(cent).T, axis=1)
+        return cell_ids, cent, a
+
+    c_ids, _, c_a = train(ids, mat, 4)
+    expect = {}
+    expect_cent = {}
+    for ci in range(len(c_ids)):
+        sel = c_a == ci
+        f_ids, f_cent, f_a = train(ids[sel], mat[sel], 3)
+        for i, fc in zip(ids[sel], f_a):
+            expect[int(i)] = int(f_ids[fc])
+        for fi, fc in enumerate(f_ids):
+            expect_cent[int(fc)] = f_cent[fi]
+
+    assert got == expect
+    assert sorted(got_cent) == sorted(expect_cent)
+    for c in expect_cent:
+        np.testing.assert_allclose(
+            got_cent[c], expect_cent[c], rtol=0, atol=1e-12
+        )
+
+
+def test_kmeans_cells_two_level_partition_invariants(spark, sf_dir):
+    """Every vector lands in exactly one fine cell; labels are vector ids
+    (globally unique); the fine partition is strictly finer than coarse
+    could be alone (cell count > k_coarse on this corpus)."""
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.operators.vectors import kmeans_cells_two_level
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    assignment, centroids = kmeans_cells_two_level(
+        e, id_col="vec_id", vec_col="embedding", k_coarse=4, k_fine=4,
+    )
+    rows = assignment.collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    cells = {r["cell"] for r in rows}
+    assert len(cells) > 4  # finer than the coarse level alone
+    assert len(cells) <= 16
+    # labels are ids of member vectors of the corpus
+    all_ids = {r["vec_id"] for r in rows}
+    assert cells <= all_ids
+    # every member's cell has a centroid row
+    assert cells <= {r["__cell"] for r in centroids.collect()}
+
+
+def test_kmeans_cells_two_level_cap_raises(spark, sf_dir):
+    """A coarse cell over the task cap must RAISE, never truncate."""
+    import pytest as _pytest
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.operators.vectors import kmeans_cells_two_level
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assignment, _ = kmeans_cells_two_level(
+        e, id_col="vec_id", vec_col="embedding", k_coarse=2, k_fine=2,
+        coarse_cell_cap=5,
+    )
+    with _pytest.raises(Exception, match="over the 5-row task cap"):
+        assignment.count()
+
+
+def test_semdedup_two_level_invariants(spark, sf_dir):
+    """dedup_semdedup(two_level=True) composes: output invariants hold
+    (component = min member id, exactly one keep per component, keep is
+    the min-centroid-cosine member with ties to lowest id)."""
+    from loris_mri_spark.workload.vectors import dedup_semdedup
+
+    df = dedup_semdedup(spark, sf_dir, n_cells=9, two_level=True).collect()
+    by_comp = {}
+    for r in df:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert by_comp, "testdata contains semantic dups; expected groups"
+    for comp, members in by_comp.items():
+        assert comp == min(m["vec_id"] for m in members)
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1
+        lo = min((m["cos_centroid_r"], m["vec_id"]) for m in members)
+        assert (keeps[0]["cos_centroid_r"], keeps[0]["vec_id"]) == lo

@@ -51,12 +51,29 @@ COPY_TABLES = [
 
 
 def _rot_sql(text_expr: str, k: int) -> str:
-    """Caesar-rotate long words by k (identity for k == 0)."""
+    """Substitution-cipher long words by a copy-keyed alphabet mapping
+    (identity for k == 0).
+
+    Copies 1..25 keep the original Caesar rotation by k (so every
+    K <= 25 dataset is byte-identical to what this tool first produced
+    and the recorded 3x/10x numbers stay comparable); copies >= 26 use
+    a seeded GENERAL substitution permutation — Caesar has only 26
+    keys, so at K > 26 it silently hands rotation-class copies
+    identical text (copy 26 was byte-identical to copy 0!), i.e. the
+    exact cross-copy duplicates this transform exists to destroy. A
+    26!-key permutation makes every copy distinct at any K."""
     if k == 0:
         return text_expr
-    r = k % 26
     src = LOWER + UPPER
-    dst = LOWER[r:] + LOWER[:r] + UPPER[r:] + UPPER[:r]
+    if k < 26:
+        dst = LOWER[k:] + LOWER[:k] + UPPER[k:] + UPPER[:k]
+    else:
+        import random
+
+        letters = list(LOWER)
+        random.Random(k).shuffle(letters)
+        low = "".join(letters)
+        dst = low + low.upper()
     return (
         "list_aggregate(list_transform(string_split("
         f"{text_expr}, ' '), w -> CASE WHEN length(w) >= 5 THEN "
@@ -88,8 +105,12 @@ def scale_embeddings(k_total: int, out: Path) -> None:
         v = vec.copy()
         if k:
             # deterministic, copy-keyed sign flips: norm-preserving,
-            # decorrelates cosine across copies
-            flip = ((np.arange(dim) * 2654435761 + k * 40503) % 5) < 2
+            # decorrelates cosine across copies. Seeded-rng mask (not a
+            # small modular pattern — the previous (i + 3k) % 5 formula
+            # had only 5 distinct flip classes, so copies k and k+5 were
+            # IDENTICAL, quietly re-introducing the cross-copy exact
+            # dups this transform exists to prevent).
+            flip = np.random.default_rng(k).random(dim) < 0.5
             v[:, flip] *= -1.0
         parts.append(
             pa.table(
