@@ -302,6 +302,17 @@ R9_TOPUP_FIRST: list[str] = [
 ]
 
 
+# Registered late-r8 AFTER the 50-slot window was fixed (the R7_QUEUE
+# pattern): enter the r9 window right after R9_TOPUP_FIRST. Both carry
+# full import-time golden oracles (workload/vectors.py, self-guarded on
+# training-margin ties) and greened on the local gate mirror at
+# registration.
+R9_QUEUE: list[str] = [
+    "ann_imi_topk",
+    "dedup_semdedup_twolevel",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []
