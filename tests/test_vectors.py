@@ -518,3 +518,53 @@ def test_semdedup_two_level_invariants(spark, sf_dir):
         assert len(keeps) == 1
         lo = min((m["cos_centroid_r"], m["vec_id"]) for m in members)
         assert (keeps[0]["cos_centroid_r"], keeps[0]["vec_id"]) == lo
+
+
+def test_two_level_queries_bit_stable_across_partitioning(spark, sf_dir):
+    """The golden-oracle safety argument for ann_imi_topk /
+    dedup_semdedup_twolevel rests on the claim that the coarse trainer's
+    partial-sum combine cannot change results (any wobble would have to
+    flip a margin-guarded argmax). Test the claim directly: run both
+    queries with the embeddings table pre-split into 1 / 3 / 7 input
+    partitions (different Arrow batch boundaries -> different partial
+    sums) and require BIT-IDENTICAL collected outputs."""
+    import pyspark.sql.functions as SF
+
+    from loris_mri_spark import workload
+    from loris_mri_spark.catalog import load_table
+
+    base = load_table(spark, sf_dir, "embeddings")
+
+    def run(name, n_parts):
+        import loris_mri_spark.catalog as catalog
+
+        orig = catalog.load_table
+
+        def patched(s, d, t):
+            df = orig(s, d, t)
+            if t == "embeddings":
+                df = df.repartition(n_parts)
+            return df
+
+        catalog.load_table = patched
+        # workload modules captured load_table by from-import at module
+        # load; patch those references too
+        import loris_mri_spark.workload.vectors as wv
+
+        wv_orig = wv.load_table
+        wv.load_table = patched
+        try:
+            rows = workload.QUERIES[name](spark, sf_dir).collect()
+        finally:
+            catalog.load_table = orig
+            wv.load_table = wv_orig
+        return sorted(tuple(r) for r in rows)
+
+    assert base.count() > 0
+    for name in ("ann_imi_topk", "dedup_semdedup_twolevel"):
+        outs = [run(name, p) for p in (1, 3, 7)]
+        assert outs[0] == outs[1] == outs[2], (
+            f"{name} output varies with input partitioning — the "
+            "golden-oracle margin guard premise is violated"
+        )
+        assert outs[0], f"{name} returned no rows"
