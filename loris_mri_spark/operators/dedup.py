@@ -91,9 +91,21 @@ def jaccard_pairs(
     hot posting lists at corpus scale; trades recall only on pairs whose
     entire overlap is stop-shingles).
     """
+    # HASHED posting table: candidate generation runs entirely on
+    # xxhash64(shingle) int64s — the word-3-gram strings (~25 B each)
+    # never enter the df aggregation, the rank sort, or the candidate
+    # self-join, cutting those shuffles ~3x (at 100x data the string
+    # pipeline was spill-bound — BENCH_SF1.json sf10_heap_retry).
+    # LOSSLESS: the hash image of a shingle set can only merge items, so
+    # |hash(A) ∩ hash(B)| >= |A ∩ B| and |hash(A ∪ B)| <= |A ∪ B| —
+    # J_hash >= J, every qualifying pair survives the hash-level prefix
+    # filter, and verification below computes J exactly on the ORIGINAL
+    # arrays. The per-doc distinct() guards the one edge (two shingles
+    # of one doc colliding would otherwise double-count a posting row).
     posts = shingled.select(
-        F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
-    )
+        F.col(id_col).alias("i"),
+        F.explode(shingle_col).alias("__sv"),
+    ).select("i", F.xxhash64("__sv").alias("s")).distinct()
     if max_shingle_df is not None:
         keep = (
             posts.groupBy("s")
@@ -103,11 +115,14 @@ def jaccard_pairs(
         )
         posts = posts.join(keep, "s")
 
-    # Lazy localCheckpoint: the posting list feeds BOTH self-join sides
-    # AND the per-doc size aggregate — without it the shingle pipeline
-    # (n-gram explode over the corpus) is evaluated three times.
-    posts = posts.localCheckpoint(eager=False)
-
+    # No checkpoint needed: distinct() ends in a hash exchange, and every
+    # consumer (df aggregate, rank window, per-doc sizes) embeds the
+    # identical subplan, so Spark materializes the posting shuffle ONCE
+    # and the others read it back as ReusedExchange — compute-once
+    # semantics with zero storage pinning (the old string pipeline had
+    # no exchange to reuse, hence its localCheckpoint; pinned blocks
+    # from a prior run were exactly what pushed the 100x warm run into
+    # a broadcast OOM).
     sizes = posts.groupBy("i").agg(F.count("*").alias("n"))
 
     # PREFIX FILTERING (All-Pairs / PPJoin family, exact for J >= t):
@@ -149,25 +164,13 @@ def jaccard_pairs(
         .distinct()
     )
 
-    # exact verification of the (few) candidates against the FULL sets
-    pi = posts.select(F.col("i"), F.col("s"))
-    pj = posts.select(F.col("i").alias("__j"), F.col("s").alias("__sj"))
-    common = (
-        cand.join(pi, "i")
-        .join(pj, (F.col("j") == F.col("__j")) & (F.col("s") == F.col("__sj")))
-        .groupBy("i", "j")
-        .agg(F.count("*").alias("common"))
-    )
-    ni = sizes.select(F.col("i"), F.col("n").alias("ni"))
-    nj = sizes.select(F.col("i").alias("j"), F.col("n").alias("nj"))
-    return (
-        common.join(ni, "i")
-        .join(nj, "j")
-        .withColumn(
-            "jaccard", F.col("common") / (F.col("ni") + F.col("nj") - F.col("common"))
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("i", "j", "jaccard")
+    # exact verification of the (few) candidates against the FULL
+    # ORIGINAL shingle arrays (array_intersect on strings — the hashed
+    # table above is candidate-generation only, so a hash collision can
+    # never inflate the reported Jaccard): each doc's array ships to its
+    # candidate pairs, bounded per-pair work
+    return _pair_jaccard(cand, shingled, id_col, shingle_col).filter(
+        F.col("jaccard") >= threshold
     )
 
 

@@ -229,11 +229,14 @@ R6_WINDOW: list[str] = [
 #   11-44 top-up: the 34 remaining queries whose latest driver green is
 #         r3 (every other registered query holds an r4+ row).
 #   45-48 top-up: four of the five oldest r4 greens.
-#   49    dedup_ngram_jaccard_pairs — its operator (jaccard_pairs) gained
-#         prefix filtering mid-round (SCALE.md finding 2), so the
-#         changed-code re-green outranks the fifth r4 top-up
-#         (j8_asof_purchase_last_click -> R9_TOPUP_FIRST, re-enters r9
-#         first, same promise R8_TOPUP_FIRST carried).
+#   49    dedup_ngram_jaccard_pairs — its operator (jaccard_pairs)
+#         changed TWICE mid-round (prefix filtering, SCALE.md finding 2;
+#         then hashed-int64 candidate postings + array verification,
+#         SCALE.md 100x section), so the changed-code re-green outranks
+#         the fifth r4 top-up (j8_asof_purchase_last_click ->
+#         R9_TOPUP_FIRST, re-enters r9 first, same promise
+#         R8_TOPUP_FIRST carried). Both changes land before the r8
+#         check, so one green row certifies current code.
 R8_WINDOW: list[str] = [
     # -- r7 certification gap: _parse_partition changed post-window --
     "s1_dicom_series_summary",
