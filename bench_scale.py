@@ -158,7 +158,15 @@ def main() -> None:
             n for n, s in summary.items() if s.get("super_linear")
         ),
     }
-    Path(_REPO, "BENCH_SF1.json").write_text(json.dumps(out, indent=1))
+    # merge-preserve extension keys other tools own (sf3_extension,
+    # sf10_extension, two_level_remedy, ...) — a refresh of the main
+    # table must not destroy the rest of the record
+    path = Path(_REPO, "BENCH_SF1.json")
+    if path.exists():
+        prev = json.loads(path.read_text())
+        prev.update(out)
+        out = prev
+    path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
     spark.stop()
 
