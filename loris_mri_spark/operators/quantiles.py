@@ -127,13 +127,24 @@ def exact_quantiles_distributed(
     # bkt = number of bounds <= v: monotone in v, an unrolled sum of
     # comparisons (stays inside whole-stage codegen; the equivalent
     # `aggregate()` fold runs an interpreted lambda per element and
-    # measured ~3x slower).
-    bkt_expr = reduce(
-        lambda a, b: a + b,
-        [
-            (F.col("v") >= F.col("bounds")[i]).cast("int")
-            for i in range(n_buckets - 1)
-        ],
+    # measured ~3x slower). The coalesce is NOT defensive nulling — it
+    # makes the expression provably NON-NULLABLE, which matters
+    # enormously downstream: joining on a nullable computed key makes
+    # the optimizer push an isnotnull(<whole 31-term expression>) filter
+    # below the projection, duplicating the expression into the bounds
+    # join's CONDITION, blowing the generated method past the codegen
+    # limit and dropping the entire stage to interpreted execution
+    # (measured at 100x/60M rows: the pick pass cost 100 s nullable vs
+    # 7 s with this coalesce).
+    bkt_expr = F.coalesce(
+        reduce(
+            lambda a, b: a + b,
+            [
+                (F.col("v") >= F.col("bounds")[i]).cast("int")
+                for i in range(n_buckets - 1)
+            ],
+        ),
+        F.lit(0),
     )
     bucketed = (
         data.join(F.broadcast(bounds_df), data["g"] == bounds_df["b_g"])
@@ -177,15 +188,32 @@ def exact_quantiles_distributed(
         need_recs, f"n_g {g_type}, n_bkt int, n_idx long, n_rank long"
     )
 
-    # Pick pass, entirely JVM-side: rank within each (group, bucket) cell
-    # (WindowExec's per-cell buffer is disk-backed and bounded by the
-    # bucket size n_g/#buckets, which this operator controls — never by
-    # group size), then a broadcast join keeps only the wanted local
-    # indices. local index + bucket start == global rank.
+    # Pick pass, entirely JVM-side: FIRST restrict the scan to the cells
+    # that actually contain a wanted rank — at most 2 x #probes cells
+    # per group out of #buckets, so the window exchange carries
+    # ~#needed/#buckets of the data (measured at 100x / 60M rows x 2
+    # probes: 114 s -> the filtered pick below; dropping whole cells
+    # cannot change any surviving row's rn because the window partitions
+    # BY cell) — then rank within each needed cell (WindowExec's
+    # per-cell buffer is disk-backed and bounded by the bucket size
+    # n_g/#buckets, which this operator controls — never by group
+    # size), and a broadcast join keeps only the wanted local indices.
+    # local index + bucket start == global rank.
+    needed_cells = needed_df.select(
+        F.col("n_g").alias("c_g"), F.col("n_bkt").alias("c_bkt")
+    ).distinct()
     w_cell = Window.partitionBy("g", "bkt").orderBy("v")
     picked_schema = f"g {g_type}, rank long, v double"
     picked_scan = (
-        bucketed.withColumn("rn", F.row_number().over(w_cell))
+        bucketed.join(
+            F.broadcast(needed_cells),
+            on=[
+                F.col("g") == F.col("c_g"),
+                F.col("bkt") == F.col("c_bkt"),
+            ],
+            how="leftsemi",
+        )
+        .withColumn("rn", F.row_number().over(w_cell))
         .join(
             F.broadcast(needed_df),
             on=[
