@@ -228,15 +228,19 @@ R6_WINDOW: list[str] = [
 #         bx- leftovers), dedup_semdedup (row-blocked kernel + cell cap).
 #   11-44 top-up: the 34 remaining queries whose latest driver green is
 #         r3 (every other registered query holds an r4+ row).
-#   45-48 top-up: four of the five oldest r4 greens.
-#   49    dedup_ngram_jaccard_pairs — its operator (jaccard_pairs)
+#   45-47 top-up: three of the five oldest r4 greens.
+#   48    dedup_ngram_jaccard_pairs — its operator (jaccard_pairs)
 #         changed TWICE mid-round (prefix filtering, SCALE.md finding 2;
 #         then hashed-int64 candidate postings + array verification,
-#         SCALE.md 100x section), so the changed-code re-green outranks
-#         the fifth r4 top-up (j8_asof_purchase_last_click ->
-#         R9_TOPUP_FIRST, re-enters r9 first, same promise
-#         R8_TOPUP_FIRST carried). Both changes land before the r8
+#         SCALE.md 100x section). Both changes land before the r8
 #         check, so one green row certifies current code.
+#   49    profile_percentiles_distributed — its operator
+#         (exact_quantiles_distributed) changed mid-round (non-nullable
+#         bucket key + needed-cell pick filter, SCALE.md finding 3).
+#         The two changed-code re-greens outrank the fourth/fifth r4
+#         top-ups (j8_asof_purchase_last_click, qc_checks_violations ->
+#         R9_TOPUP_FIRST, re-enter r9 first, same promise
+#         R8_TOPUP_FIRST carried).
 R8_WINDOW: list[str] = [
     # -- r7 certification gap: _parse_partition changed post-window --
     "s1_dicom_series_summary",
@@ -288,20 +292,24 @@ R8_WINDOW: list[str] = [
     "sql_surface_pricing",
     "codec_typed_views",
     "profile_percentiles",
-    # -- top-up: the five oldest r4 greens --
+    # -- top-up: three of the five oldest r4 greens --
     "j7_protocol_identification",
     "j7_scan_type_rollup",
     "j7_violation_rows",
-    "qc_checks_violations",
-    # -- changed-code re-green (prefix-filtered jaccard_pairs) --
+    # -- changed-code re-greens (operators changed mid-round) --
     "dedup_ngram_jaccard_pairs",
+    "profile_percentiles_distributed",
 ]
 
 
-# Rotated out of the r8 top-up tail to fund the jaccard_pairs re-green;
-# re-enters the r9 window first (the R8_TOPUP_FIRST promise pattern).
+# Rotated out of the r8 top-up tail to fund the changed-code re-greens
+# (jaccard_pairs prefix filtering + hashed postings;
+# exact_quantiles_distributed non-nullable bucket key + needed-cell
+# pick filter); re-enter the r9 window first (the R8_TOPUP_FIRST
+# promise pattern).
 R9_TOPUP_FIRST: list[str] = [
     "j8_asof_purchase_last_click",
+    "qc_checks_violations",
 ]
 
 
