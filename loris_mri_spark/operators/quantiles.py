@@ -67,6 +67,7 @@ def exact_quantiles_distributed(
     n_buckets: int = 32,
     group_buffer_threshold: int = 8_000_000,
     force_distributed: bool = False,
+    _debug_plans: "dict | None" = None,
 ) -> DataFrame:
     """Exact linear-interpolated quantiles of ``value_col`` per
     ``group_col``: returns (group, p, quantile). Null values are excluded
@@ -227,6 +228,11 @@ def exact_quantiles_distributed(
     # picked is O(#groups x #probes x 2) rows. Pin it as a literal so the
     # lo- and hi-side joins below don't each re-run the pick scan (the
     # data itself is deliberately never cached/checkpointed).
+    if _debug_plans is not None:
+        # test hook: the pick scan is where the nullable-key codegen
+        # hazard lives (see bkt_expr comment) — expose its plan so
+        # tests/test_plans.py can pin non-duplication
+        _debug_plans["picked_scan"] = picked_scan
     picked = spark.createDataFrame(picked_scan.collect(), picked_schema)
 
     # Interpolate as a join: params x picked(lo) x picked(hi). picked is

@@ -312,3 +312,34 @@ def test_x5_grouped_agg_single_pandas_aggregate(spark, sf_dir):
     assert plan.count("ArrowAggregatePython") == 1
     assert "BatchEvalPython" not in plan
     assert "ReadSchema: struct<l_extendedprice:double" in plan
+
+
+def test_quantile_bucket_expression_not_duplicated_into_join(spark, sf_dir):
+    """Pin the non-nullable-bucket-key fix (SCALE.md finding 3): joining
+    on a NULLABLE computed key pushes isnotnull(<whole expression>)
+    below the projection, duplicating the 31-term bucket expression
+    into the bounds join's condition — past codegen method limits, the
+    stage runs interpreted (measured 100 s vs 7 s at 100x). With the
+    coalesce'd non-nullable key the expression must appear in the pick
+    scan EXACTLY once (its defining projection): 31 unrolled
+    comparisons, not 62+."""
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.operators.quantiles import (
+        exact_quantiles_distributed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dbg = {}
+    exact_quantiles_distributed(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9],
+        force_distributed=True, _debug_plans=dbg,
+    )
+    # AQE's toString prints the Initial Plan after the Final Plan —
+    # inspect only the final one (each holds one full copy legitimately)
+    plan = _plan(dbg["picked_scan"]).split("== Initial Plan ==")[0]
+    n_terms = plan.count(">= bounds#")
+    assert 0 < n_terms <= 31, (
+        f"bucket expression appears {n_terms} times in the pick scan - "
+        "more than one full copy means a pushed null filter duplicated "
+        "it into a join condition (the interpreted-stage hazard)"
+    )
