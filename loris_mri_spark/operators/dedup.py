@@ -562,3 +562,49 @@ def duplicate_token_spans(
         )
         .select("i", "span_start", "span_end")
     )
+
+
+def simhash60_arrow(
+    df: DataFrame,
+    id_col: str,
+    hashes_col: str,
+) -> DataFrame:
+    """Arrow/numpy variant of :func:`simhash60` — the corpus-scale path
+    (the kmeans_cells_arrow pattern: the pinned query keeps the
+    Catalyst-fold version as its oracle anchor; this one exists for
+    throughput). Returns (id_col, simhash).
+
+    BIT-IDENTICAL to the fold by construction: a SimHash vote is an
+    integer sum of +-1 terms and the output bit is `vote >= 0` — pure
+    integer arithmetic, order-independent, so unlike float means there
+    is no combine-order surface at all. The 60 per-bit Catalyst
+    `aggregate` folds are interpreted lambdas (an 18 kB expression
+    outside whole-stage codegen — the plan sweep's biggest non-codegen
+    node); here the same votes are three vectorized numpy passes per
+    Arrow batch: bit-unpack, segment-sum, repack.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):  # noqa: ANN001
+        shifts = np.arange(60, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = pdf[hashes_col]
+            lens = rows.map(len).to_numpy(dtype=np.int64)
+            n = len(pdf)
+            votes = np.zeros((n, 60), dtype=np.int64)
+            if lens.sum():
+                h = np.concatenate(
+                    [np.asarray(r, dtype=np.int64) for r in rows]
+                )
+                seg = np.repeat(np.arange(n, dtype=np.int64), lens)
+                bits = (h[:, None] >> shifts) & 1  # (m, 60)
+                np.add.at(votes, seg, 2 * bits - 1)
+            sim = ((votes >= 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sim})
+
+    return df.select(id_col, hashes_col).mapInPandas(
+        kernel, f"{id_col} long, simhash long"
+    )

@@ -146,3 +146,33 @@ def test_jaccard_pairs_prefix_filter_matches_brute_force(spark):
             if jac >= t:
                 expect.add((i, j, round(jac, 9)))
         assert got == expect, f"threshold {t}"
+
+
+def test_simhash60_arrow_bit_identical_to_fold(spark, sf_dir):
+    """The Arrow simhash variant must equal the Catalyst-fold version
+    EXACTLY on every document — integer votes have no combine-order
+    surface, so this is equality, not tolerance."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.functions.texthash import md5_60
+    from loris_mri_spark.operators.dedup import simhash60, simhash60_arrow
+    from loris_mri_spark.workload.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    token_hashes = F.transform(
+        F.array_distinct(tokens("text")), lambda tok: md5_60(tok)
+    )
+    fold = {
+        r["doc_id"]: r["simhash"]
+        for r in d.select(
+            "doc_id", simhash60(token_hashes).alias("simhash")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash60_arrow(
+            d.select("doc_id", token_hashes.alias("th")), "doc_id", "th"
+        ).collect()
+    }
+    assert fold == arrow
