@@ -101,24 +101,49 @@ def budget_shards(
     any earlier dedup/curriculum ordering) intact.
 
     Scale shape (the distributed-quantiles contract): NO global-order
-    window (that is a single-partition sort). Ids bucket by
-    ``id div bucket_width`` — a deterministic, order-preserving function
-    — per-bucket weight sums are collected (O(#buckets), metadata-sized),
-    exclusive bucket offsets are computed driver-side and broadcast, and
-    the per-row running sum is a window WITHIN each bucket (bounded by
-    bucket_width rows) plus its bucket's offset. Weights must be
-    non-negative integers; ids non-negative."""
-    spark = df.sparkSession
-    data = df.select(
-        _c(id_col).alias("__id").cast("long"),
-        _c(weight_col).cast("long").alias("__w"),
-    ).withColumn("__b", F.expr(f"__id div {int(bucket_width)}"))
-    sums = data.groupBy("__b").agg(F.sum("__w").alias("__bw")).collect()
-    offs, run = [], 0
-    for r in sorted(sums, key=lambda r: r["__b"]):
-        offs.append((r["__b"], run))
-        run += r["__bw"]
-    off_df = spark.createDataFrame(offs, "__ob long, __off long")
+    window over the DATA (that is a single-partition sort of every row).
+    Ids bucket by ``id div bucket_width`` — a deterministic,
+    order-preserving function — per-bucket weight sums are aggregated,
+    the exclusive bucket offsets are a prefix-sum window over the
+    BUCKET-SUMS DataFrame (O(#buckets) rows — metadata-sized, one
+    partition is fine, and it never touches the driver), and the per-row
+    running sum is a window WITHIN each bucket (bounded by bucket_width
+    rows) plus its bucket's broadcast offset. Weights must be
+    non-negative integers; ids non-negative.
+
+    Cost shape: two passes over (id, weight) — the bucket-sums branch
+    and the data branch prune different columns, so their exchange
+    subtrees don't canonicalize equal and the scan isn't shared (same
+    cost as the previous collect-based shape, minus the driver
+    materialization). Callers with an expensive weight expression should
+    pre-materialize it."""
+    data = (
+        df.select(
+            _c(id_col).alias("__id").cast("long"),
+            _c(weight_col).cast("long").alias("__w"),
+        )
+        # coalesce makes the bucket key provably NON-NULLABLE: a nullable
+        # computed join key gets an isnotnull() filter pushed below the
+        # probe-side scan only, duplicating the defining expression and
+        # (at worst) blowing codegen limits — the r8 percentile-pick
+        # lesson. Null ids are out of contract; -1 keeps them inert.
+        # No repartition anchor here: the bucket-sums branch must keep
+        # its map-side partial aggregation (pre-shuffle partial_sum per
+        # bucket — #buckets rows per mapper, not n), and the data branch
+        # gets its hash(__b) exchange from the window's own requirement.
+        .withColumn(
+            "__b",
+            F.coalesce(
+                F.expr(f"__id div {int(bucket_width)}"), F.lit(-1)
+            ),
+        )
+    )
+    sums = data.groupBy("__b").agg(F.sum("__w").alias("__bw"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = sums.select(
+        F.col("__b").alias("__ob"),
+        F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
+    )
     w_in_bucket = (
         Window.partitionBy("__b")
         .orderBy("__id")

@@ -87,9 +87,16 @@ def jaccard_pairs(
     Returns (i, j, jaccard) for i < j with jaccard >= threshold.
 
     ``max_shingle_df``: optionally drop shingles appearing in more than
-    this many documents (stop-shingle cap — bounds the quadratic blowup of
-    hot posting lists at corpus scale; trades recall only on pairs whose
-    entire overlap is stop-shingles).
+    this many documents from the CANDIDATE INDEX (stop-shingle cap —
+    bounds the quadratic blowup of hot posting lists at corpus scale).
+    Contract when set: the reported jaccard is still EXACT, computed on
+    the full original arrays, but candidate recall is bounded by the
+    df-filtered prefix index — a pair is surfaced only if it shares an
+    indexed rare-prefix shingle of the FILTERED sets. Pairs whose
+    full-array jaccard >= t can be missed when their rare-shingle prefix
+    overlap (after the df filter) falls below the prefix rule — a broader
+    recall trade than stop-shingle-only overlap. Callers needing
+    df-insensitive recall use minhash_lsh_pairs.
     """
     # HASHED posting table: candidate generation runs entirely on
     # xxhash64(shingle) int64s — the word-3-gram strings (~25 B each)
@@ -207,9 +214,16 @@ def capped_jaccard_pairs(
 
     Returns (i, j, jaccard) for i < j with jaccard >= threshold.
     """
+    # Explicit-exchange anchors, NOT lazy checkpoints: three consumers
+    # (posts, fa, fb) embed the identical repartition subplan, so the
+    # caller's feature-extraction pipeline runs ONCE inside the
+    # exchange's map stage and the others read the shuffle files back as
+    # ReusedExchange — materialization on disk, zero heap pinning (lazy
+    # localCheckpoint pins blocks across runs in a session; the 100x
+    # post-mortem in SCALE.md showed that cascading into broadcast OOMs).
     docs = shingled.select(
         F.col(id_col).alias("__id"), F.col(shingle_col).alias("__fp")
-    ).localCheckpoint(eager=False)
+    ).repartition("__id")
     posts = docs.select(F.col("__id").alias("i"), F.explode("__fp").alias("s"))
     keep = (
         posts.groupBy("s")
@@ -217,7 +231,8 @@ def capped_jaccard_pairs(
         .filter(F.col("__df") <= max_df)
         .select("s")
     )
-    capped = posts.join(keep, "s").localCheckpoint(eager=False)
+    # same pattern: both candidate-join sides reuse one (i, s) exchange
+    capped = posts.join(keep, "s").repartition("s", "i")
     a = capped.alias("a")
     b = capped.select(F.col("i").alias("j"), F.col("s")).alias("b")
     cand = (
@@ -259,12 +274,13 @@ def capped_index_coverage(
     Returns one row: (n_docs, n_docs_covered, n_docs_uncovered,
     n_rare_features, n_hot_features); n_docs counts documents with >= 1
     feature. Cost: one feature-extraction pass (the posting table is
-    lazily checkpointed — it feeds three aggregates, and without the pin
-    the caller's shingle expression would re-evaluate per branch) + tiny
-    aggs."""
+    anchored by an explicit exchange — it feeds three aggregates, which
+    all embed the identical repartition subplan and read it back as
+    ReusedExchange, so the caller's shingle expression evaluates once,
+    on disk, with zero heap pinning) + tiny aggs."""
     posts = shingled.select(
         F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
-    ).localCheckpoint(eager=False)
+    ).repartition("i", "s")
     dfs = posts.groupBy("s").agg(F.count("*").alias("__df"))
     covered = (
         posts.join(dfs.filter(F.col("__df") <= max_df).select("s"), "s")
@@ -343,10 +359,13 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select(
         "i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    ).localCheckpoint(eager=False)
-    # ^ lazy checkpoint: both candidate-join sides read the materialized
-    #   band rows; the minhash signature (num_hashes xxhash64 folds over
-    #   every shingle) would otherwise compute twice.
+    ).repartition("band", "bkey")
+    # ^ explicit-exchange anchor on the join keys: both candidate-join
+    #   sides embed the identical repartition subplan, so the minhash
+    #   signature (num_hashes xxhash64 folds over every shingle) runs
+    #   once in the exchange's map stage and the right side reads the
+    #   shuffle files back (ReusedExchange) — and the join itself needs
+    #   no further shuffle since the data already hashes on its keys.
 
     cand = (
         band_tbl.alias("x")
@@ -441,17 +460,18 @@ def simhash_pairs(
             ),
         ).alias("__s"),
     )
-    # Lazy localCheckpoint: both sides of the pigeonhole self-join consume
-    # this table, and the renamed right side defeats subplan reuse — the
-    # upstream simhash pipeline (tokenize + per-token md5 + 60 bit-folds)
-    # would otherwise run twice. Rows are (id, hash, band, bval) — narrow.
+    # Explicit-exchange anchor on the join keys: both sides of the
+    # pigeonhole self-join embed the identical repartition subplan, so
+    # the upstream simhash pipeline runs once (the right side reads the
+    # shuffle files back as ReusedExchange) and the equi-join needs no
+    # further shuffle. Rows are (id, hash, band, bval) — narrow.
     band_tbl = packed.select(
         "i",
         F.col("__s.h").alias("__h"),
         F.explode("__s.bands").alias("bb"),
     ).select(
         "i", "__h", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval")
-    ).localCheckpoint(eager=False)
+    ).repartition("band", "bval")
 
     pairs = (
         band_tbl.alias("x")
@@ -582,6 +602,11 @@ def simhash60_arrow(
     outside whole-stage codegen — the plan sweep's biggest non-codegen
     node); here the same votes are three vectorized numpy passes per
     Arrow batch: bit-unpack, segment-sum, repack.
+
+    Null/empty rows replicate the fold exactly (pinned in
+    tests/test_dedup.py): a NULL hash array folds to 0 (every per-bit
+    `aggregate` is null, so every `when` takes the 0 branch) and an
+    EMPTY array folds to all-60-bits-set (vote 0 >= 0 for every bit).
     """
     import numpy as np
     import pandas as pd
@@ -592,17 +617,26 @@ def simhash60_arrow(
             if not len(pdf):
                 continue
             rows = pdf[hashes_col]
-            lens = rows.map(len).to_numpy(dtype=np.int64)
+            null_mask = rows.isna().to_numpy()
+            lens = np.array(
+                [0 if m else len(r) for r, m in zip(rows, null_mask)],
+                dtype=np.int64,
+            )
             n = len(pdf)
             votes = np.zeros((n, 60), dtype=np.int64)
             if lens.sum():
                 h = np.concatenate(
-                    [np.asarray(r, dtype=np.int64) for r in rows]
+                    [
+                        np.asarray(r, dtype=np.int64)
+                        for r, m in zip(rows, null_mask)
+                        if not m and len(r)
+                    ]
                 )
                 seg = np.repeat(np.arange(n, dtype=np.int64), lens)
                 bits = (h[:, None] >> shifts) & 1  # (m, 60)
                 np.add.at(votes, seg, 2 * bits - 1)
             sim = ((votes >= 0).astype(np.int64) << shifts).sum(axis=1)
+            sim[null_mask] = 0  # fold semantics: null array -> 0
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": sim})
 
     return df.select(id_col, hashes_col).mapInPandas(

@@ -378,15 +378,18 @@ def kmeans_cells_two_level(
         )
 
     # One summary row per alive fine cell (O(sqrt n) ids each at the
-    # SemDeDup sizing); lazily pinned because BOTH outputs read it and
-    # the fine-training stage must not run twice.
+    # SemDeDup sizing). Explicit-exchange anchor: BOTH outputs embed the
+    # identical repartition subplan, so the fine-training stage runs once
+    # and the second consumer reads the shuffle files back
+    # (ReusedExchange) — no lazy checkpoint, no heap pinning. The rows
+    # are O(k) summaries, so the extra exchange is metadata-sized.
     summary = (
         tagged.groupBy("__coarse")
         .applyInPandas(
             fine_kernel,
             "cell long, centroid array<double>, member_ids array<long>",
         )
-        .localCheckpoint(eager=False)
+        .repartition("cell")
     )
     assignment = summary.select(
         "cell", F.explode("member_ids").alias("__id")
@@ -531,14 +534,15 @@ def hyperplane_lsh_pairs(
         ]
         return pd.Series(out)
 
-    # Lazy localCheckpoint: the band table feeds BOTH sides of the
-    # candidate self-join, and the renamed right side makes the subplans
-    # non-canonical — without this the signature matmul (the expensive
-    # stage) executes twice. Checkpoint blocks are (id, band, key) rows —
-    # narrow, spill-to-disk safe at corpus scale.
+    # Explicit-exchange anchor on the join keys: both candidate-join
+    # sides embed the identical repartition subplan, so the signature
+    # matmul (the expensive stage) executes once in the exchange's map
+    # stage and the renamed right side reads the shuffle files back as
+    # ReusedExchange — and the equi-join itself needs no further shuffle.
+    # Shuffle rows are (id, band, key) — narrow, on disk, no heap pin.
     band_tbl = v.select(
         "i", F.posexplode(band_keys(F.col("__v"))).alias("band", "bkey")
-    ).localCheckpoint(eager=False)
+    ).repartition("band", "bkey")
 
     cand = (
         band_tbl.alias("x")

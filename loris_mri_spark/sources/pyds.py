@@ -232,12 +232,18 @@ def register(spark) -> None:
 import json
 import shutil
 import struct as _struct
+import time
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
 CHUNKS_FORMAT = "loris_chunks"
+
+# Staged "bx-" files (no batch-id local property at write time) are only
+# swept once older than this — a live concurrent writer's in-flight files
+# are minutes old at most, while true orphans persist across sessions.
+_BX_SWEEP_AGE_SEC = 3600.0
 
 # Input contract: (index long, downsampling long, cutoff long,
 #                  samples array<float>) — the FloatChunk fields.
@@ -402,14 +408,24 @@ class _ChunksStreamWriter(DataSourceStreamWriter):
         # committed attempt, so the staging dir never grows unboundedly —
         # while files of OTHER batches/writers sharing the dir are untouched.
         # "bx-" files (written when the runtime exposed no batch-id local
-        # property) can never belong to a concurrent batch — any writer
-        # with a real id stages under "b{N}-" — so they are swept here too
-        # rather than accreting forever.
-        prefixes = (f"b{batchId}-", "bx-")
+        # property) are swept only past an AGE threshold: when NO writer
+        # sees a batch id, two concurrent writers sharing the path both
+        # stage under "bx-", and an unconditional sweep here would delete
+        # the other writer's in-flight task files, failing ITS commit's
+        # os.replace. Age-gating keeps the no-accretion guarantee (true
+        # orphans are old) without ever matching a live writer's files.
+        now = time.time()
         try:
             for leftover in os.listdir(self.staging):
-                if leftover.startswith(prefixes):
-                    os.unlink(os.path.join(self.staging, leftover))
+                full = os.path.join(self.staging, leftover)
+                if leftover.startswith(f"b{batchId}-"):
+                    os.unlink(full)
+                elif leftover.startswith("bx-"):
+                    try:
+                        if now - os.path.getmtime(full) > _BX_SWEEP_AGE_SEC:
+                            os.unlink(full)
+                    except OSError:
+                        pass
         except OSError:
             pass
 

@@ -324,6 +324,97 @@ R9_QUEUE: list[str] = [
 ]
 
 
+# r9 window layout (tests/test_oracle_parity.py pins it):
+#   0-1   R9_TOPUP_FIRST — the promised first re-entries (displaced from
+#         the r8 tail by that round's changed-code re-greens).
+#   2-3   R9_QUEUE — registered late-r8 after the window was fixed; the
+#         only queries never driver-checked.
+#   4     new this round: ann_imi_recall (IMI recall parity vs exact
+#         brute force at the IVF probe budget — VERDICT r8 item 5).
+#   5-20  code-changed re-greens (the rotation rule: any operator code
+#         change re-windows EVERY query whose plan touches it):
+#         - dedup_simhash / dedup_simhash_pairs: simhash60_arrow is now
+#           the plan of record (+ null guard; + band-table exchange
+#           anchor replacing the lazy checkpoint in simhash_pairs);
+#         - dedup_minhash_lsh_pairs / dedup_minhash_clusters /
+#           dedup_keep_best / split_cluster_safe / pipeline_corpus_select
+#           / pipeline_pretraining_data: minhash band-table exchange
+#           anchor (operators/dedup.py);
+#         - dedup_winnow_pairs / dedup_winnow_coverage: capped-index
+#           exchange anchors (capped_jaccard_pairs, capped_index_coverage);
+#         - vec_cosine_pairs_lsh / vec_cosine_clusters: hyperplane
+#           band-table exchange anchor (operators/vectors.py);
+#         - graph_triangle_count: edge/orientation exchange anchors;
+#         - pack_token_budget_shards: bucket-offset prefix sum moved off
+#           the driver (window over the bucket-sums DF, operators/corpus.py);
+#         - pipeline_non_minc_insertion: part-join-miss coalesce (r8
+#           ADVICE — a miss no longer erases the entity's rows);
+#         - t13_stream_custom_sink: age-gated "bx-" staging sweep (r8
+#           ADVICE — never deletes a live concurrent writer's files).
+#         (ann_imi_topk / dedup_semdedup_twolevel / ann_imi_recall also
+#         consume kmeans_cells_two_level, whose summary anchor changed —
+#         they sit at positions 2-4.)
+#   21-49 top-up rotation: all 29 remaining r4-latest greens — after this
+#         round every registered query's last green is r5 or newer.
+R9_WINDOW: list[str] = [
+    # -- promised first re-entry (R9_TOPUP_FIRST) --
+    "j8_asof_purchase_last_click",
+    "qc_checks_violations",
+    # -- R9_QUEUE: registered late-r8, never driver-checked --
+    "ann_imi_topk",
+    "dedup_semdedup_twolevel",
+    # -- new this round --
+    "ann_imi_recall",
+    # -- code changed this round: re-green --
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "dedup_keep_best",
+    "split_cluster_safe",
+    "pipeline_corpus_select",
+    "pipeline_pretraining_data",
+    "dedup_winnow_pairs",
+    "dedup_winnow_coverage",
+    "vec_cosine_pairs_lsh",
+    "vec_cosine_clusters",
+    "graph_triangle_count",
+    "pack_token_budget_shards",
+    "pipeline_non_minc_insertion",
+    "t13_stream_custom_sink",
+    # -- top-up: every remaining r4-latest green --
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact",
+    "dedup_exact_bow",
+    "j10_get_or_create",
+    "j9_transitive_closure",
+    "mm_binary_metadata",
+    "mm_decode_png_roundtrip",
+    "mm_frame_sample",
+    "o2_sort_by_series",
+    "o3_sort_by_acq_time",
+    "pipeline_nifti_insertion",
+    "profile_approx_distinct",
+    "profile_approx_percentiles",
+    "profile_rollup_revenue",
+    "s4_nifti_headers",
+    "s7_ctf_channels",
+    "s7_ctf_headers",
+    "s7_edf_channels",
+    "s8_bids_events",
+    "s8_bids_participants",
+    "s8_sidecar_json",
+    "t2_upload_state_machine",
+    "t3_stream_dedup_watermark",
+    "t6_stateful_running_index",
+    "t7_stream_stream_join",
+    "w2_lead_next_event",
+    "x1_session_config_hook",
+    "x2_legacy_profile_hook",
+    "x4_hed_parse",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []
@@ -337,7 +428,7 @@ def _first_occurrence(names: "list[str]") -> "list[str]":
 # The current window leads; prior windows follow for priority continuity.
 # First occurrence wins, so a query re-windowed this round appears ONCE,
 # at its new position (the layout test asserts the invariant).
-PRIORITY_ORDER: list[str] = _first_occurrence(R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
+PRIORITY_ORDER: list[str] = _first_occurrence(R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",

@@ -358,9 +358,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        # three consumers (degrees, orientation, edge count): materialize
-        # the distinct-edge build once instead of re-running the self-join
-        .localCheckpoint(eager=False)
+        # three consumers (degrees, orientation, edge count): the
+        # explicit exchange is the compute-once anchor — each consumer
+        # embeds the identical repartition subplan and reads the
+        # distinct-edge build back as ReusedExchange (shuffle files on
+        # disk, no lazy-checkpoint heap pinning)
+        .repartition("u", "v")
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -385,7 +388,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s.x", "s.y")
     )
-    ranked = ranked.localCheckpoint(eager=False)  # three consumers below
+    # three consumers below — same explicit-exchange anchor pattern
+    ranked = ranked.repartition("x", "y")
     w1 = ranked.select(F.col("x"), F.col("y").alias("y1"))
     w2 = ranked.select(F.col("x"), F.col("y").alias("y2"))
     wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
@@ -396,12 +400,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closing, ["y1", "y2"], "left_semi")
     # left_semi would collapse duplicate wedges; wedge pairs are unique
     # by construction ((x,y1,y2) distinct), so a plain count is exact.
-    n_tri = tri.count()
-    n_edges = e.count()
-    n_nodes = deg.count()
-    return spark.createDataFrame(
-        [(n_nodes, n_edges, n_tri)],
-        "n_nodes long, n_edges long, n_triangles long",
+    # ONE declarative plan for all three counts (no driver-side .count()
+    # actions): within a single job AQE reuses the anchored edge and
+    # orientation exchanges across the branches, so the distinct-edge
+    # build runs exactly once — the cross-action reuse the old lazy
+    # checkpoint provided, without its heap pinning.
+    return (
+        deg.agg(F.count("*").cast("long").alias("n_nodes"))
+        .crossJoin(e.agg(F.count("*").cast("long").alias("n_edges")))
+        .crossJoin(
+            tri.agg(F.count("*").cast("long").alias("n_triangles"))
+        )
     )
 
 
@@ -1886,10 +1895,20 @@ def pipeline_non_minc_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
             row("file", "acquisition_date", F.col("o_orderdate")),
             row("file", "file_type", F.col("ext")),
         ),
-        F.transform(
-            F.map_entries(F.from_json("md_json", "map<string,string>")),
-            lambda e: row(
-                "parameter", F.concat(F.lit("md:"), e["key"]), e["value"]
+        # coalesce: a part-join miss nulls md_json and the whole
+        # transform chain would otherwise null the OUTER concat, erasing
+        # the entity's file/status rows too — degrade to "no parameter
+        # rows" instead (the oracle inner-joins part only for parameter
+        # rows, so file rows must survive a miss)
+        F.coalesce(
+            F.transform(
+                F.map_entries(F.from_json("md_json", "map<string,string>")),
+                lambda e: row(
+                    "parameter", F.concat(F.lit("md:"), e["key"]), e["value"]
+                ),
+            ),
+            F.array().cast(
+                "array<struct<kind:string,name:string,value:string>>"
             ),
         ),
     )

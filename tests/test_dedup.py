@@ -176,3 +176,31 @@ def test_simhash60_arrow_bit_identical_to_fold(spark, sf_dir):
         ).collect()
     }
     assert fold == arrow
+
+
+def test_simhash60_arrow_null_and_empty_rows_match_fold(spark):
+    """The r8 ADVICE edge: a NULL hash array must not crash the Arrow
+    kernel and must replicate the fold's semantics exactly — null
+    array folds to 0 (every per-bit aggregate is null, every `when`
+    takes the 0 branch) and an EMPTY array folds to all-60-bits-set
+    (vote 0 >= 0 for every bit). Pinned against the fold itself."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.operators.dedup import simhash60, simhash60_arrow
+
+    df = spark.createDataFrame(
+        [(1, None), (2, []), (3, [7, 9]), (4, None), (5, [1 << 59])],
+        "doc_id long, hs array<long>",
+    )
+    fold = {
+        r["doc_id"]: r["simhash"]
+        for r in df.select(
+            "doc_id", simhash60(F.col("hs")).alias("simhash")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash60_arrow(df, "doc_id", "hs").collect()
+    }
+    assert fold == arrow
+    assert fold[1] == 0 and fold[2] == (1 << 60) - 1

@@ -30,6 +30,26 @@ def _formatted(df) -> str:
     return buf.getvalue()
 
 
+def test_no_lazy_local_checkpoint_in_package():
+    """localCheckpoint(eager=False) is banned (r8 VERDICT item 7): lazy
+    checkpoints pin storage blocks across query runs within a session —
+    freed only on RDD GC — and at 100x data a pinned posting table
+    cascaded the next run into a broadcast OOM (SCALE.md post-mortem).
+    Compute-once now uses the explicit-exchange anchor pattern (an
+    identical .repartition(keys) subplan per consumer -> ReusedExchange:
+    shuffle files on disk, zero heap pinning). Eager localCheckpoint
+    stays allowed for iterative lineage truncation."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "loris_mri_spark"
+    offenders = [
+        str(p)
+        for p in pkg.rglob("*.py")
+        if "eager=False" in p.read_text()
+    ]
+    assert offenders == [], offenders
+
+
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     df = workload.QUERIES["f_predicate_gauntlet"](spark, sf_dir)
     plan = _formatted(df)
@@ -111,12 +131,23 @@ def test_sample_is_pure_filter_no_shuffle_before_agg(spark, sf_dir):
 
 
 def test_budget_shards_no_global_single_partition_sort(spark, sf_dir):
-    """The shard packer must not plan a global-order window (a
-    single-partition Exchange): its windows are partitioned by the id
-    bucket."""
+    """The shard packer must never single-partition the DATA: the
+    per-row running-sum window is partitioned by the id bucket, and the
+    only SinglePartition exchange allowed is the exclusive-offset prefix
+    window over the BUCKET-SUMS aggregate (O(#buckets) metadata rows, on
+    the broadcast side — the r8 VERDICT's no-driver-collect rewrite)."""
     plan = _plan(workload.QUERIES["pack_token_budget_shards"](spark, sf_dir))
-    assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan  # bucket-offset join broadcasts
+    # offsets are part of the composed plan, not a driver-collected
+    # LocalTableScan (the pre-r9 shape)
+    assert "LocalTableScan" not in plan
+    # exactly one SinglePartition exchange, and it feeds the bucket-sums
+    # window: its direct input is the HashAggregate over buckets
+    assert plan.count("Exchange SinglePartition") == 1
+    below_sp = plan.split("Exchange SinglePartition", 1)[1]
+    assert "HashAggregate" in below_sp.split("\n", 2)[1]
+    # the data-side running sum stays bucket-partitioned
+    assert "windowspecdefinition(__b" in plan
 
 
 def test_contamination_broadcasts_eval_side(spark, sf_dir):
@@ -248,6 +279,11 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
         "mm_decode_png_roundtrip",
         "s15_png_preview",
         "s14_chunk_encode",
+        # hyperplane signature matmul (operators/vectors.py band_keys) —
+        # always executed Arrow-batched; visible in the plan since r9
+        # because the band table's lazy checkpoint (which truncated
+        # lineage) became an explicit-exchange anchor
+        "vec_cosine_pairs_lsh",
     }
     offenders, surprise_arrow, cartesian = [], [], []
     for name, fn in workload.QUERIES.items():

@@ -277,6 +277,42 @@ def test_stream_writer_commit_sweep_is_batch_scoped(tmp_path):
     assert left == ["b8-task-00000-cccc.pb"], left  # b7 swept, b8 untouched
 
 
+def test_stream_writer_bx_sweep_is_age_gated(tmp_path):
+    """The r8 ADVICE fix: "bx-" files (staged when the runtime exposed no
+    batch-id local property) are swept only past an age threshold — when
+    NO writer sees a batch id, two concurrent writers sharing the path
+    both stage under "bx-", and an unconditional sweep would delete the
+    other writer's in-flight files, failing ITS commit's os.replace. A
+    fresh bx- file (a live concurrent writer) must survive; a stale one
+    (a true orphan) must be swept."""
+    import os
+
+    from loris_mri_spark.sources import pyds
+    from loris_mri_spark.sources.pyds import _ChunkCommit, _ChunksStreamWriter
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    w = _ChunksStreamWriter({"path": sink})
+    os.makedirs(w.staging, exist_ok=True)
+
+    def stage(name: str) -> None:
+        with open(os.path.join(w.staging, name), "wb") as fh:
+            fh.write(b"\x02\x08\x01")
+
+    stage("b7-task-00000-aaaa.pb")   # batch 7's winning attempt
+    stage("bx-task-00000-live.pb")   # concurrent no-batch-id writer, fresh
+    stage("bx-task-00000-old0.pb")   # true orphan from a dead session
+    old = os.path.join(w.staging, "bx-task-00000-old0.pb")
+    past = os.path.getmtime(old) - pyds._BX_SWEEP_AGE_SEC - 60
+    os.utime(old, (past, past))
+    w.commit(
+        [_ChunkCommit(filename="b7-task-00000-aaaa.pb", n_records=1, n_bytes=3)],
+        7,
+    )
+    left = sorted(os.listdir(w.staging))
+    assert left == ["bx-task-00000-live.pb"], left  # orphan swept, live kept
+
+
 def test_run_external_classifies_null_content(spark):
     """Oversized-archive-member inventory rows carry content=None
     (sources/archive.py caps extraction): the external-binary operator

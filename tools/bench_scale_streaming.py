@@ -1,0 +1,140 @@
+"""Scale-sweep the STREAMING and EAV families at 10x / 100x data
+(.scale/sf1, .scale/sf10 — run `tools/make_scale_data.py 10 100` first)
+and merge warm timings into BENCH_SF1.json under
+`streaming_eav_extension` (the r8 VERDICT's item 3: SCALE.md covered 27
+batch queries; none of t1-t14 nor the EAV pivot had a growth curve).
+
+What each row certifies at 100x:
+- t6 (applyInPandasWithState running index): state is O(users), work is
+  O(events) — the stateful shuffle must grow linearly, not with state
+  replay.
+- t7 (watermarked stream-stream interval join): join state is
+  O(watermark window), not O(stream) — the 100 TB requirement stated in
+  its docstring, now measured instead of asserted.
+- t8 (persistent fingerprint-store anti-join): the production
+  incremental-dedup path — the store-so-far probe must stay
+  footer/bloom-bounded as the store grows (reference semantics:
+  `python/lib/database_lib/files.py:40-101`).
+- t13 (custom protobuf stream sink): micro-batch fixed cost must stay
+  fixed; bytes scale the encode kernel linearly.
+- eav_pivot_user_event_matrix: the EAV melt/pivot — groupBy-pivot over
+  a fixed attribute vocabulary must stay one shuffle.
+
+Streaming queries are measured on their SECOND run (same-session rerun:
+fresh scratch/checkpoint dirs, shared JVM warmth) — micro-batch
+schedulers have high fixed cost, so the exponent, not the absolute
+time, is the signal.
+
+Usage: python tools/bench_scale_streaming.py   (~10-20 min on local[32])
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+QUERIES = [
+    "t6_stateful_running_index",
+    "t7_stream_stream_join",
+    "t8_incremental_store_dedup",
+    "t13_stream_custom_sink",
+    "eav_pivot_user_event_matrix",
+]
+
+SF_DIRS = [
+    ("1", str(Path(_REPO, ".scale", "sf1")), 10),
+    ("10", str(Path(_REPO, ".scale", "sf10")), 100),
+]
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from loris_mri_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="loris-mri-spark-bench-streaming-scale",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * int(cpus),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from loris_mri_spark import workload
+    from loris_mri_spark.catalog import TESTDATA_TABLES, load_table
+
+    workload.load_all()
+    only = set(sys.argv[1:])
+    runners = {
+        name: workload.QUERIES[name]
+        for name in QUERIES
+        if not only or name in only
+    }
+
+    results: dict[str, dict[str, float]] = {n: {} for n in runners}
+    for sf_label, sf_dir, ratio in SF_DIRS:
+        if not os.path.isdir(sf_dir):
+            print(f"missing {sf_dir}; run tools/make_scale_data.py first",
+                  file=sys.stderr)
+            sys.exit(2)
+        for t in TESTDATA_TABLES:
+            if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+                load_table(spark, sf_dir, t).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+        for name, fn in runners.items():
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                cold = time.perf_counter() - t0
+                t1 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warm = time.perf_counter() - t1
+                results[name][sf_label] = round(warm, 3)
+                results[name][f"cold_{sf_label}"] = round(cold, 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"streaming-bench: {name}@sf{sf_label} failed: "
+                      f"{exc!r}", file=sys.stderr)
+                results[name][sf_label] = -1.0
+            print(f"sf{sf_label} (x{ratio}) {name}: "
+                  f"{results[name].get(sf_label)}s", flush=True)
+
+    summary = {}
+    for name, r in results.items():
+        t10, t100 = r.get("1", -1), r.get("10", -1)
+        if min(t10, t100) <= 0:
+            summary[name] = {"status": "failed", **r}
+            continue
+        summary[name] = {
+            "warm_sf1_sec": t10,
+            "warm_sf10_sec": t100,
+            "ratio_10x_to_100x": round(t100 / t10, 2),
+            "exponent_10_to_100": round(
+                math.log(t100 / t10) / math.log(10), 3
+            ),
+            "super_linear": bool(t100 / t10 > 13.0),
+        }
+    out = {
+        "data_ratios": [10, 100],
+        "queries": summary,
+        "super_linear": sorted(
+            n for n, s in summary.items() if s.get("super_linear")
+        ),
+    }
+    path = Path(_REPO, "BENCH_SF1.json")
+    doc = json.loads(path.read_text())
+    doc["streaming_eav_extension"] = out
+    path.write_text(json.dumps(doc, indent=1))
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
