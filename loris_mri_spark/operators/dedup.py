@@ -214,16 +214,26 @@ def capped_jaccard_pairs(
 
     Returns (i, j, jaccard) for i < j with jaccard >= threshold.
     """
-    # Explicit-exchange anchors, NOT lazy checkpoints: three consumers
-    # (posts, fa, fb) embed the identical repartition subplan, so the
-    # caller's feature-extraction pipeline runs ONCE inside the
-    # exchange's map stage and the others read the shuffle files back as
-    # ReusedExchange — materialization on disk, zero heap pinning (lazy
-    # localCheckpoint pins blocks across runs in a session; the 100x
-    # post-mortem in SCALE.md showed that cascading into broadcast OOMs).
-    docs = shingled.select(
-        F.col(id_col).alias("__id"), F.col(shingle_col).alias("__fp")
-    ).repartition("__id")
+    # Explicit-exchange anchors, NOT lazy checkpoints: four consumers
+    # (posts probe, df-cap aggregate, fa, fb) embed the identical
+    # repartition subplan, so the caller's feature-extraction pipeline
+    # runs ONCE inside the exchange's map stage and the others read the
+    # shuffle files back as ReusedExchange — materialization on disk,
+    # zero heap pinning (lazy localCheckpoint pins blocks across runs in
+    # a session; the 100x post-mortem in SCALE.md showed that cascading
+    # into broadcast OOMs). The explicit null filter is a semantic no-op
+    # (a null id or null array can never form a pair) whose REAL job is
+    # canonicalization: without it each consumer pushes its OWN
+    # isnotnull() subset below the exchange, the subtrees stop
+    # canonicalizing equal, and the pipeline silently evaluates once per
+    # consumer (measured: three materializations).
+    docs = (
+        shingled.select(
+            F.col(id_col).alias("__id"), F.col(shingle_col).alias("__fp")
+        )
+        .filter(F.col("__id").isNotNull() & F.col("__fp").isNotNull())
+        .repartition("__id")
+    )
     posts = docs.select(F.col("__id").alias("i"), F.explode("__fp").alias("s"))
     keep = (
         posts.groupBy("s")
@@ -231,8 +241,10 @@ def capped_jaccard_pairs(
         .filter(F.col("__df") <= max_df)
         .select("s")
     )
-    # same pattern: both candidate-join sides reuse one (i, s) exchange
-    capped = posts.join(keep, "s").repartition("s", "i")
+    # anchor the capped postings on the candidate join's own key: both
+    # self-join sides reuse this one exchange AND the equi-join on s
+    # needs no further shuffle
+    capped = posts.join(keep, "s").repartition("s")
     a = capped.alias("a")
     b = capped.select(F.col("i").alias("j"), F.col("s")).alias("b")
     cand = (

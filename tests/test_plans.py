@@ -50,6 +50,22 @@ def test_no_lazy_local_checkpoint_in_package():
     assert offenders == [], offenders
 
 
+def test_winnow_pairs_single_scan_and_exchange_reuse(spark, sf_dir):
+    """The capped-jaccard anchors must actually fire: the fingerprint
+    pipeline (one parquet scan) evaluates ONCE and every other consumer
+    reads it back as ReusedExchange. Regression mode (SCALE.md Finding
+    5): a consumer-specific isnotnull() pushed below the anchor exchange
+    de-canonicalizes the subtrees and the pipeline silently evaluates
+    per consumer — correct results, 3x the scan cost. AQE finalizes
+    reuse only at execution, so run the plan first."""
+    df = workload.QUERIES["dedup_winnow_pairs"](spark, sf_dir)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
+    assert final.count("ReusedExchange") >= 3
+
+
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     df = workload.QUERIES["f_predicate_gauntlet"](spark, sf_dir)
     plan = _formatted(df)

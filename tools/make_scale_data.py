@@ -21,6 +21,15 @@ the corpus looks like Kx more independent data, not K identical shards:
   untouched original).
 - lineitem / orders: orderkey' = orderkey * K + copy — key density and
   the under-5000-key seed slice stay populated at every scale.
+- events: event_id' = event_id + copy*n, user_id' = user_id + copy*1500
+  (each copy is a fresh user population, so per-user event density —
+  and thus stateful-operator state PER KEY — stays constant while key
+  cardinality and volume grow Kx: the realistic growth mode for the
+  streaming family; ts is left untouched, so per-instant event density
+  grows Kx and watermark state is genuinely Kx bigger). Added in r9 —
+  events was previously a byte-identical copy, which made every
+  streaming growth curve a flat lie (t6 measured 1.42 s at "10x" and
+  1.22 s at "100x" on identical data before this fix caught it).
 - all other tables: byte-identical copies of sf0.1 (constant dims stay
   broadcast-sized by design, like TPC-H's nation/region).
 
@@ -46,8 +55,12 @@ LOWER = "abcdefghijklmnopqrstuvwxyz"
 UPPER = LOWER.upper()
 
 COPY_TABLES = [
-    "customer", "supplier", "part", "nation", "region", "events",
+    "customer", "supplier", "part", "nation", "region",
 ]
+
+# sf0.1 has 1500 distinct user_ids (0..1499); each copy gets a fresh
+# disjoint user block so per-user density is scale-invariant.
+EVENTS_USER_STRIDE = 1500
 
 
 def _rot_sql(text_expr: str, k: int) -> str:
@@ -126,6 +139,23 @@ def scale_embeddings(k_total: int, out: Path) -> None:
     pq.write_table(pa.concat_tables(parts), out / "embeddings.parquet")
 
 
+def scale_events(
+    con: duckdb.DuckDBPyConnection, k_total: int, out: Path
+) -> None:
+    n = con.sql(f"SELECT COUNT(*) FROM '{SRC}/events.parquet'").fetchone()[0]
+    branches = [
+        f"SELECT event_id + {k * n} AS event_id, ts,"
+        f" user_id + {k * EVENTS_USER_STRIDE} AS user_id,"
+        f" event_type, value, props FROM '{SRC}/events.parquet'"
+        for k in range(k_total)
+    ]
+    con.sql(
+        f"COPY (SELECT * FROM ({' UNION ALL '.join(branches)})"
+        " ORDER BY ts, event_id)"
+        f" TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
+
+
 def scale_orders_lineitem(
     con: duckdb.DuckDBPyConnection, k_total: int, out: Path
 ) -> None:
@@ -159,6 +189,7 @@ def main() -> None:
         scale_documents(con, k_total, out)
         scale_embeddings(k_total, out)
         scale_orders_lineitem(con, k_total, out)
+        scale_events(con, k_total, out)
         for t in COPY_TABLES:
             shutil.copyfile(SRC / f"{t}.parquet", out / f"{t}.parquet")
         print(f"wrote {out} (x{k_total} of sf0.1)")
