@@ -289,10 +289,19 @@ def capped_index_coverage(
     anchored by an explicit exchange — it feeds three aggregates, which
     all embed the identical repartition subplan and read it back as
     ReusedExchange, so the caller's shingle expression evaluates once,
-    on disk, with zero heap pinning) + tiny aggs."""
-    posts = shingled.select(
-        F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
-    ).repartition("i", "s")
+    on disk, with zero heap pinning) + tiny aggs. The explicit null
+    filter exists for canonicalization (SCALE.md Finding 5): the
+    covered-join consumer pushes isnotnull(s) below the exchange while
+    the two counts don't, and the divergent subtrees would otherwise
+    evaluate the shingle pipeline twice; a null feature is not a
+    feature, so the filter doesn't change any count."""
+    posts = (
+        shingled.select(
+            F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")
+        )
+        .filter(F.col("i").isNotNull() & F.col("s").isNotNull())
+        .repartition("i", "s")
+    )
     dfs = posts.groupBy("s").agg(F.count("*").alias("__df"))
     covered = (
         posts.join(dfs.filter(F.col("__df") <= max_df).select("s"), "s")
@@ -340,9 +349,22 @@ def minhash_lsh_pairs(
 
     from loris_mri_spark.functions.texthash import let
 
-    docs = shingled.filter(F.size(shingle_col) > 0).select(
-        F.col(id_col).alias("i"),
-        F.col(shingle_col).alias("__sh"),
+    # Explicit-exchange anchor (the capped_jaccard_pairs shape): the
+    # shingle pipeline — usually an inlined tokenize + n-gram transform,
+    # the scan's dominant cost — evaluates ONCE; the signature build and
+    # both exact-verify array joins read this exchange back as
+    # ReusedExchange (one parquet scan total, plan-pinned). The explicit
+    # null filter is the Finding-5 canonicalization guard: without it
+    # the verify joins push isnotnull(i) below the exchange and the
+    # subtrees stop matching.
+    docs = (
+        shingled.filter(F.size(shingle_col) > 0)
+        .select(
+            F.col(id_col).alias("i"),
+            F.col(shingle_col).alias("__sh"),
+        )
+        .filter(F.col("i").isNotNull() & F.col("__sh").isNotNull())
+        .repartition("i")
     )
     # let-bind the shingle array: the signature's outer transform would
     # otherwise re-evaluate the (inlined) shingle pipeline once per hash.
@@ -391,8 +413,13 @@ def minhash_lsh_pairs(
         .select("i", "j")
         .distinct()
     )
+    # verify against the SAME anchored docs (a candidate's members have
+    # >= 1 shingle by construction, so docs' size>0 filter drops nothing)
+    verify_src = docs.select(
+        F.col("i").alias(id_col), F.col("__sh").alias(shingle_col)
+    )
     return (
-        _pair_jaccard(cand, shingled, id_col, shingle_col)
+        _pair_jaccard(cand, verify_src, id_col, shingle_col)
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )

@@ -58,12 +58,19 @@ def test_winnow_pairs_single_scan_and_exchange_reuse(spark, sf_dir):
     de-canonicalizes the subtrees and the pipeline silently evaluates
     per consumer — correct results, 3x the scan cost. AQE finalizes
     reuse only at execution, so run the plan first."""
-    df = workload.QUERIES["dedup_winnow_pairs"](spark, sf_dir)
-    df.collect()
-    final = _plan(df).split("== Initial Plan ==")[0]
-    assert "isFinalPlan=true" in final
-    assert final.count("Scan parquet") == 1, final.count("Scan parquet")
-    assert final.count("ReusedExchange") >= 3
+    for name, min_reuse in [
+        ("dedup_winnow_pairs", 3),
+        ("dedup_winnow_coverage", 3),
+        ("dedup_minhash_lsh_pairs", 3),
+    ]:
+        df = workload.QUERIES[name](spark, sf_dir)
+        df.collect()
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final, name
+        assert final.count("Scan parquet") == 1, (
+            name, final.count("Scan parquet")
+        )
+        assert final.count("ReusedExchange") >= min_reuse, name
 
 
 def test_predicate_pushdown_reaches_scan(spark, sf_dir):
