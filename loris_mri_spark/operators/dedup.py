@@ -114,20 +114,32 @@ def jaccard_pairs(
     # (the old string pipeline's localCheckpoint held blocks across
     # runs — exactly what pushed the 100x warm session into a
     # broadcast OOM).
+    # Upstream docs anchor (the minhash_lsh_pairs shape, added after the
+    # posts anchor below): the shingle pipeline itself — usually an
+    # inlined tokenize + n-gram transform, the scan's dominant cost —
+    # previously still evaluated THREE times (posts build + both
+    # exact-verify array joins). One array-payload exchange computes it
+    # once; the null filter is the Finding-5 canonicalization guard.
+    docs = (
+        shingled.select(
+            F.col(id_col).alias("__id"), F.col(shingle_col).alias("__fp")
+        )
+        .filter(F.col("__id").isNotNull() & F.col("__fp").isNotNull())
+        .repartition("__id")
+    )
     hset = F.array_distinct(
-        F.transform(F.col(shingle_col), lambda x: F.xxhash64(x))
+        F.transform(F.col("__fp"), lambda x: F.xxhash64(x))
     )
     # The explicit repartition is the compute-once anchor: three
     # consumers (df aggregate, rank window, per-doc sizes) embed the
-    # identical exchange subplan, so the shingle pipeline (string
-    # splits, 3-grams, hashes) runs ONCE inside the exchange's map
-    # stage and the others read the shuffle files back as
-    # ReusedExchange — materialization on disk with zero storage
-    # pinning (measured at 100x: without the exchange the pipeline
-    # re-evaluates per consumer, 75 s; with it, 47 s).
+    # identical exchange subplan, so the hashed posting build runs ONCE
+    # inside the exchange's map stage and the others read the shuffle
+    # files back as ReusedExchange — materialization on disk with zero
+    # storage pinning (measured at 100x: without the exchange the
+    # pipeline re-evaluates per consumer, 75 s; with it, 47 s).
     posts = (
-        shingled.select(
-            F.col(id_col).alias("i"), F.explode(hset).alias("s")
+        docs.select(
+            F.col("__id").alias("i"), F.explode(hset).alias("s")
         )
         .repartition("i", "s")
     )
@@ -185,8 +197,12 @@ def jaccard_pairs(
     # ORIGINAL shingle arrays (array_intersect on strings — the hashed
     # table above is candidate-generation only, so a hash collision can
     # never inflate the reported Jaccard): each doc's array ships to its
-    # candidate pairs, bounded per-pair work
-    return _pair_jaccard(cand, shingled, id_col, shingle_col).filter(
+    # candidate pairs, bounded per-pair work. Reads the SAME anchored
+    # docs as the posting build — one shingle evaluation total.
+    verify_src = docs.select(
+        F.col("__id").alias(id_col), F.col("__fp").alias(shingle_col)
+    )
+    return _pair_jaccard(cand, verify_src, id_col, shingle_col).filter(
         F.col("jaccard") >= threshold
     )
 

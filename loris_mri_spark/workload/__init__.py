@@ -410,8 +410,19 @@ R9_WINDOW: list[str] = [
     "t7_stream_stream_join",
     "w2_lead_next_event",
     "x1_session_config_hook",
-    "x2_legacy_profile_hook",
     "x4_hed_parse",
+    # -- changed-code re-green (jaccard_pairs gained the shared-docs
+    # anchor mid-round; the rotation rule re-windows its one consumer,
+    # displacing x2_legacy_profile_hook -> R10_TOPUP_FIRST) --
+    "dedup_ngram_jaccard_pairs",
+]
+
+
+# Rotated out of the r9 top-up tail to fund the jaccard changed-code
+# re-green; re-enters the r10 window first (the R8/R9_TOPUP_FIRST
+# promise pattern).
+R10_TOPUP_FIRST: list[str] = [
+    "x2_legacy_profile_hook",
 ]
 
 

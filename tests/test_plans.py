@@ -62,6 +62,7 @@ def test_winnow_pairs_single_scan_and_exchange_reuse(spark, sf_dir):
         ("dedup_winnow_pairs", 3),
         ("dedup_winnow_coverage", 3),
         ("dedup_minhash_lsh_pairs", 3),
+        ("dedup_ngram_jaccard_pairs", 4),
     ]:
         df = workload.QUERIES[name](spark, sf_dir)
         df.collect()
