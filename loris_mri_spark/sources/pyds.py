@@ -38,6 +38,7 @@ import os
 from typing import Any, Iterator, Sequence
 
 from pyspark.sql.datasource import (
+    DataSourceStreamArrowWriter,
     DataSourceStreamWriter,
     DataSource,
     DataSourceReader,
@@ -275,6 +276,90 @@ def _encode_chunk_row(row) -> bytes:
     )
 
 
+def _encode_chunk_record_batch(batch) -> "tuple[bytes, int, int]":
+    """Vectorized varint-delimited FloatChunk stream encoding of one
+    Arrow RecordBatch — BYTE-IDENTICAL to framing each row with
+    `pb_encode_float_chunk` (equivalence pinned in tests/test_pyds.py,
+    incl. zero/negative/null/empty-array edges). The win over the row
+    path: the float payload is the Arrow child buffer itself (already
+    little-endian float32 — sliced per row, never converted
+    float-by-float through Python), and rows never materialize as
+    pyspark Row objects at all. Returns (framed bytes, n_records,
+    message_bytes) — message_bytes excludes the frame varints, matching
+    the row path's commit-manifest accounting.
+
+    Falls back to the row encoder when the batch has null sample LISTS
+    (Arrow's flatten drops null slots, which would desync the offsets) —
+    the contract treats a null list as empty, a case the row path
+    already handles and real chunk streams never produce."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from loris_mri_spark.sinks import _pb_varint, pb_encode_float_chunk
+
+    n = batch.num_rows
+    if n == 0:
+        return b"", 0, 0
+    samp = batch.column("samples")
+    if samp.null_count:
+        out = bytearray()
+        msg_total = 0
+        for row in batch.to_pylist():
+            msg = pb_encode_float_chunk(
+                int(row["index"] or 0),
+                int(row["downsampling"] or 0),
+                int(row["cutoff"] or 0),
+                list(row["samples"] or []),
+            )
+            out += _pb_varint_local(len(msg)) + msg
+            msg_total += len(msg)
+        return bytes(out), n, msg_total
+
+    def _ints(name: str) -> "np.ndarray":
+        return np.asarray(
+            pc.fill_null(batch.column(name), 0).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+
+    idx, ds, cut = _ints("index"), _ints("downsampling"), _ints("cutoff")
+    lengths = np.asarray(
+        pc.fill_null(pc.list_value_length(samp), 0).to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.int64,
+    )
+    flat = samp.flatten()
+    payload = (
+        flat.to_numpy(zero_copy_only=False)
+        .astype(np.float32, copy=False)
+        .tobytes()
+    )
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    out = bytearray()
+    msg_total = 0
+    for i in range(n):
+        msg = bytearray()
+        if idx[i]:
+            msg += b"\x08" + _pb_varint(int(idx[i]))
+        if ds[i]:
+            msg += b"\x10" + _pb_varint(int(ds[i]))
+        if cut[i]:
+            msg += b"\x18" + _pb_varint(int(cut[i]))
+        if lengths[i]:
+            nb = int(lengths[i]) * 4
+            msg += (
+                b"\x22"
+                + _pb_varint(nb)
+                + payload[int(starts[i]) * 4 : int(ends[i]) * 4]
+            )
+        out += _pb_varint_local(len(msg)) + msg
+        msg_total += len(msg)
+    return bytes(out), n, msg_total
+
+
 @dataclass
 class _ChunkCommit(WriterCommitMessage):
     filename: str
@@ -441,6 +526,35 @@ class _ChunksStreamWriter(DataSourceStreamWriter):
                     pass
 
 
+class _ChunksStreamArrowWriter(_ChunksStreamWriter, DataSourceStreamArrowWriter):
+    """Arrow-batched variant of the streaming chunk writer — the
+    registered stream path since r9. Identical staging/commit/abort
+    protocol (inherited); only write() differs: tasks receive pyarrow
+    RecordBatches instead of pyspark Rows, and each batch encodes via
+    the vectorized `_encode_chunk_record_batch` (byte-identical framing,
+    float payload sliced straight from the Arrow child buffer). At 100x
+    event volume the per-row Python path — Row materialization plus a
+    per-float struct.pack — was the sink's measured throughput ceiling
+    (SCALE.md: t13 ~linear at 147 s)."""
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        bid = (ctx.getLocalProperty("streaming.sql.batchId") if ctx else None) or "x"
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"b{bid}-task-{part:05d}-{uuid.uuid4().hex[:8]}.pb"
+        n, total = 0, 0
+        with open(os.path.join(self.staging, fname), "wb") as fh:
+            for batch in iterator:
+                data, nrec, msg_bytes = _encode_chunk_record_batch(batch)
+                fh.write(data)
+                n += nrec
+                total += msg_bytes
+        return _ChunkCommit(filename=fname, n_records=n, n_bytes=total)
+
+
 class ChunksDataSource(DataSource):
     """`loris_chunks`: the FloatChunk protobuf sink as a write format —
     batch (two-phase staging commit + _SUCCESS manifest) AND streaming
@@ -457,7 +571,10 @@ class ChunksDataSource(DataSource):
         return _ChunksWriter(dict(self.options), overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
-        return _ChunksStreamWriter(dict(self.options))
+        # Arrow-batched since r9 (see _ChunksStreamArrowWriter); the Row
+        # writer remains the protocol reference and the null-list
+        # fallback's byte-parity twin.
+        return _ChunksStreamArrowWriter(dict(self.options))
 
 
 def decode_chunk_stream(data: bytes) -> list[dict]:

@@ -277,6 +277,62 @@ def test_stream_writer_commit_sweep_is_batch_scoped(tmp_path):
     assert left == ["b8-task-00000-cccc.pb"], left  # b7 swept, b8 untouched
 
 
+def test_arrow_batch_chunk_encoding_is_byte_identical(tmp_path):
+    """The r9 Arrow stream writer's vectorized batch encoder must frame
+    EXACTLY the bytes the per-row pb_encode_float_chunk path produces —
+    including proto3 zero-field omission, empty sample arrays, and the
+    null-list fallback (contract: null list == empty list)."""
+    import pyarrow as pa
+
+    from loris_mri_spark.sinks import pb_encode_float_chunk
+    from loris_mri_spark.sources.pyds import (
+        _encode_chunk_record_batch,
+        _pb_varint_local,
+    )
+
+    rows = [
+        (9, 4, 2, [3.25, -1.5]),
+        (0, 1, 2, []),           # zero index omitted; empty samples omitted
+        (300, 0, 0, [0.0]),      # multi-byte varint; zero float kept
+        (7, 0, 5, [1.0, 2.0, 3.14159, -0.5]),
+    ]
+    batch = pa.RecordBatch.from_pydict(
+        {
+            "index": pa.array([r[0] for r in rows], pa.int64()),
+            "downsampling": pa.array([r[1] for r in rows], pa.int64()),
+            "cutoff": pa.array([r[2] for r in rows], pa.int64()),
+            "samples": pa.array(
+                [r[3] for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    expected = bytearray()
+    exp_msg_total = 0
+    for i, d, c, s in rows:
+        msg = pb_encode_float_chunk(i, d, c, s)
+        expected += _pb_varint_local(len(msg)) + msg
+        exp_msg_total += len(msg)
+    data, n, msg_total = _encode_chunk_record_batch(batch)
+    assert data == bytes(expected)
+    assert n == len(rows) and msg_total == exp_msg_total
+
+    # null-list fallback path: null == empty, same bytes either way
+    batch_null = pa.RecordBatch.from_pydict(
+        {
+            "index": pa.array([5, 6], pa.int64()),
+            "downsampling": pa.array([1, 1], pa.int64()),
+            "cutoff": pa.array([0, 0], pa.int64()),
+            "samples": pa.array([None, [2.5]], pa.list_(pa.float32())),
+        }
+    )
+    expected2 = bytearray()
+    for i, d, c, s in [(5, 1, 0, []), (6, 1, 0, [2.5])]:
+        msg = pb_encode_float_chunk(i, d, c, s)
+        expected2 += _pb_varint_local(len(msg)) + msg
+    data2, n2, _ = _encode_chunk_record_batch(batch_null)
+    assert data2 == bytes(expected2) and n2 == 2
+
+
 def test_stream_writer_bx_sweep_is_age_gated(tmp_path):
     """The r8 ADVICE fix: "bx-" files (staged when the runtime exposed no
     batch-id local property) are swept only past an age threshold — when

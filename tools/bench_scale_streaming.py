@@ -130,6 +130,15 @@ def main() -> None:
     }
     path = Path(_REPO, "BENCH_SF1.json")
     doc = json.loads(path.read_text())
+    # merge per-query so a filtered re-run (argv names) refreshes only
+    # its own rows instead of clobbering the full extension
+    prev = doc.get("streaming_eav_extension", {})
+    merged_queries = dict(prev.get("queries", {}))
+    merged_queries.update(out["queries"])
+    out["queries"] = merged_queries
+    out["super_linear"] = sorted(
+        n for n, s in merged_queries.items() if s.get("super_linear")
+    )
     doc["streaming_eav_extension"] = out
     path.write_text(json.dumps(doc, indent=1))
     print(json.dumps(out))
