@@ -237,7 +237,11 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceArrowWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 CHUNKS_FORMAT = "loris_chunks"
 
@@ -425,6 +429,31 @@ class _ChunksWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
+class _ChunksArrowWriter(_ChunksWriter, DataSourceArrowWriter):
+    """Arrow-batched variant of the batch chunk writer — the registered
+    batch path since r9 (same rationale and encoder as the streaming
+    `_ChunksStreamArrowWriter`: the batch sink is what a corpus-scale
+    pipeline actually writes through, and the per-row Row + per-float
+    struct.pack path was its measured throughput ceiling). Staging,
+    two-phase commit, and _SUCCESS manifest are inherited unchanged."""
+
+    def write(self, iterator) -> _ChunkCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{part:05d}.pb"
+        n, total = 0, 0
+        with open(os.path.join(self.staging, fname), "wb") as fh:
+            for batch in iterator:
+                data, nrec, msg_bytes = _encode_chunk_record_batch(batch)
+                fh.write(data)
+                n += nrec
+                total += msg_bytes
+        return _ChunkCommit(filename=fname, n_records=n, n_bytes=total)
+
+
 class _ChunksStreamWriter(DataSourceStreamWriter):
     """STREAMING form of the chunk sink: each micro-batch's task files
     stage under a task-unique name (carried in the commit message), and
@@ -568,7 +597,9 @@ class ChunksDataSource(DataSource):
         return CHUNK_WRITE_SCHEMA
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _ChunksWriter(dict(self.options), overwrite)
+        # Arrow-batched since r9 (see _ChunksArrowWriter); the Row
+        # writer remains the protocol reference.
+        return _ChunksArrowWriter(dict(self.options), overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
         # Arrow-batched since r9 (see _ChunksStreamArrowWriter); the Row
