@@ -59,6 +59,15 @@ SCALE_QUERIES = [
     "graph_triangle_count",
     "split_cluster_safe",
     "profile_percentiles_distributed",
+    # widened in r10 (VERDICT item 5): the documents-bound multimodal
+    # decode queries scale with the table tiers and belong in this sweep
+    # (the fixture-bound jpeg/video/audio family has its own genuinely
+    # scaled binary tiers — tools/bench_scale_media.py); plus the
+    # 12-branch ingestion pipeline, absent from every earlier sweep
+    "mm_decode_png_roundtrip",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "pipeline_non_minc_insertion",
 ]
 
 SF_DIRS = [

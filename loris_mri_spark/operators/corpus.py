@@ -122,11 +122,17 @@ def budget_shards(
             _c(id_col).alias("__id").cast("long"),
             _c(weight_col).cast("long").alias("__w"),
         )
+        # Null ids are out of contract and are FILTERED here: bucket -1
+        # would sort first in the offset prefix-sum window, so a null-id
+        # row's weight would silently offset every real bucket and shift
+        # all shard_ids (the pre-r9 collect shape failed loudly on None).
+        .filter(F.col("__id").isNotNull())
         # coalesce makes the bucket key provably NON-NULLABLE: a nullable
         # computed join key gets an isnotnull() filter pushed below the
         # probe-side scan only, duplicating the defining expression and
         # (at worst) blowing codegen limits — the r8 percentile-pick
-        # lesson. Null ids are out of contract; -1 keeps them inert.
+        # lesson. (Post-filter the coalesce is belt-and-braces for the
+        # optimizer's nullability inference, never taken at runtime.)
         # No repartition anchor here: the bucket-sums branch must keep
         # its map-side partial aggregation (pre-shuffle partial_sum per
         # bucket — #buckets rows per mapper, not n), and the data branch

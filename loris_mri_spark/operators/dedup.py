@@ -309,8 +309,12 @@ def capped_index_coverage(
     filter exists for canonicalization (SCALE.md Finding 5): the
     covered-join consumer pushes isnotnull(s) below the exchange while
     the two counts don't, and the divergent subtrees would otherwise
-    evaluate the shingle pipeline twice; a null feature is not a
-    feature, so the filter doesn't change any count."""
+    evaluate the shingle pipeline twice. Null features are excluded BY
+    CONTRACT: a null element inside a feature array previously grouped
+    as a feature value in the df aggregate (and could be a doc's only
+    posting), so for degenerate inputs carrying null elements the
+    counts change — real shingle/fingerprint pipelines never emit
+    null features, and the filter makes that contract explicit."""
     posts = (
         shingled.select(
             F.col(id_col).alias("i"), F.explode(shingle_col).alias("s")

@@ -383,6 +383,13 @@ def kmeans_cells_two_level(
     # and the second consumer reads the shuffle files back
     # (ReusedExchange) — no lazy checkpoint, no heap pinning. The rows
     # are O(k) summaries, so the extra exchange is metadata-sized.
+    # ONE-JOB ASSUMPTION: ReusedExchange dedups within a single job, so
+    # the compute-once guarantee holds only when a caller consumes both
+    # returned DataFrames in one plan (every current caller does —
+    # assignment joins centroids downstream). A caller triggering them
+    # as SEPARATE actions re-runs coarse+fine training per action
+    # (identical results — the kernels are deterministic); such callers
+    # should persist/checkpoint `summary` themselves before splitting.
     summary = (
         tagged.groupBy("__coarse")
         .applyInPandas(

@@ -25,6 +25,7 @@ import struct
 import zlib
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -156,21 +157,110 @@ def pb_encode_float_chunk(
     return bytes(out)
 
 
+def pb_encode_float_chunk_vec(idx, ds, cut, samp) -> "tuple[list[bytes], int]":
+    """Vectorized FloatChunk message encoding — the single buffer-slicing
+    core shared by the expression-level encoder (encode_float_chunk,
+    below) and both ``loris_chunks`` Arrow writers (sources/pyds.py).
+    ``idx``/``ds``/``cut`` are int64 numpy arrays; ``samp`` is a pyarrow
+    ListArray (or ChunkedArray) of floats with NO null lists or null
+    elements — callers guard and fall back to the row encoder. The float
+    payload is the Arrow child buffer itself (already little-endian
+    float32 after one whole-buffer astype) — sliced per row, never
+    converted float-by-float through Python. Per-row work is only the
+    tag/varint headers. Byte-identical to pb_encode_float_chunk per row
+    (pinned in tests/test_pyds.py and tests/test_sinkops.py).
+
+    Returns (messages, total_message_bytes)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(samp, pa.ChunkedArray):
+        samp = samp.combine_chunks()
+    lengths = np.asarray(
+        pc.list_value_length(samp).to_numpy(zero_copy_only=False),
+        dtype=np.int64,
+    )
+    payload = (
+        samp.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float32, copy=False)
+        .tobytes()
+    )
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    msgs: list[bytes] = []
+    total = 0
+    for i in range(len(lengths)):
+        msg = bytearray()
+        if idx[i]:
+            msg += b"\x08" + _pb_varint(int(idx[i]))
+        if ds[i]:
+            msg += b"\x10" + _pb_varint(int(ds[i]))
+        if cut[i]:
+            msg += b"\x18" + _pb_varint(int(cut[i]))
+        if lengths[i]:
+            nb = int(lengths[i]) * 4
+            msg += (
+                b"\x22"
+                + _pb_varint(nb)
+                + payload[int(starts[i]) * 4 : int(ends[i]) * 4]
+            )
+        msgs.append(bytes(msg))
+        total += len(msg)
+    return msgs, total
+
+
 def encode_float_chunk(
     index_col: Column, downsampling_col: Column, samples_col: Column
 ) -> Column:
     """S14: FloatChunk protobuf sink encoding (see pb_encode_float_chunk);
-    cutoff = len(samples), mirroring encode_chunk(chunking.py:134-138)."""
-    from pyspark.sql.functions import pandas_udf
+    cutoff = len(samples), mirroring encode_chunk(chunking.py:134-138).
+    Arrow-batched since r10: an ``arrow_udf`` receiving pyarrow Arrays
+    directly and delegating to pb_encode_float_chunk_vec — the same
+    buffer-slicing core as the ``loris_chunks`` writers (the per-row
+    pandas_udf loop calling pb_encode_float_chunk with ``list(s)`` per
+    row was the expression path's measured throughput ceiling, the same
+    class the t13 sink writers graduated from in r9). Null lists/elements
+    or null index/downsampling fall back to the row encoder, which raises
+    — a null sample is malformed input, not data (the pre-r10 loop raised
+    the same way)."""
+    from pyspark.sql.functions import arrow_udf
 
-    @pandas_udf(BinaryType())
-    def _enc(idx: pd.Series, ds: pd.Series, samples: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                pb_encode_float_chunk(int(i), int(d), len(s), list(s))
-                for i, d, s in zip(idx, ds, samples)
-            ]
+    @arrow_udf(BinaryType())
+    def _enc(idx: pa.Array, ds: pa.Array, samples: pa.Array) -> pa.Array:
+        import numpy as np
+        import pyarrow as _pa
+
+        if isinstance(samples, _pa.ChunkedArray):
+            samples = samples.combine_chunks()
+        if (
+            idx.null_count
+            or ds.null_count
+            or samples.null_count
+            or samples.flatten().null_count
+        ):
+            return _pa.array(
+                [
+                    pb_encode_float_chunk(int(i), int(d), len(s), list(s))
+                    for i, d, s in zip(
+                        idx.to_pylist(), ds.to_pylist(), samples.to_pylist()
+                    )
+                ],
+                type=_pa.binary(),
+            )
+        idx_np = np.asarray(
+            idx.to_numpy(zero_copy_only=False), dtype=np.int64
         )
+        ds_np = np.asarray(ds.to_numpy(zero_copy_only=False), dtype=np.int64)
+        lengths = np.asarray(
+            pa.compute.list_value_length(samples).to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.int64,
+        )
+        msgs, _ = pb_encode_float_chunk_vec(idx_np, ds_np, lengths, samples)
+        return _pa.array(msgs, type=_pa.binary())
 
     return _enc(index_col, downsampling_col, samples_col)
 

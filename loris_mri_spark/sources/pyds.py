@@ -293,19 +293,24 @@ def _encode_chunk_record_batch(batch) -> "tuple[bytes, int, int]":
     the row path's commit-manifest accounting.
 
     Falls back to the row encoder when the batch has null sample LISTS
-    (Arrow's flatten drops null slots, which would desync the offsets) —
-    the contract treats a null list as empty, a case the row path
-    already handles and real chunk streams never produce."""
+    (Arrow's flatten drops null slots, which would desync the offsets)
+    OR null float ELEMENTS inside a list (flatten().to_numpy() would
+    surface those as NaN and silently encode them; the row path raises
+    on a null element, which is the contract — a null sample is
+    malformed input, not data). Real chunk streams produce neither."""
     import numpy as np
     import pyarrow.compute as pc
 
-    from loris_mri_spark.sinks import _pb_varint, pb_encode_float_chunk
+    from loris_mri_spark.sinks import (
+        pb_encode_float_chunk,
+        pb_encode_float_chunk_vec,
+    )
 
     n = batch.num_rows
     if n == 0:
         return b"", 0, 0
     samp = batch.column("samples")
-    if samp.null_count:
+    if samp.null_count or samp.flatten().null_count:
         out = bytearray()
         msg_total = 0
         for row in batch.to_pylist():
@@ -328,39 +333,13 @@ def _encode_chunk_record_batch(batch) -> "tuple[bytes, int, int]":
         )
 
     idx, ds, cut = _ints("index"), _ints("downsampling"), _ints("cutoff")
-    lengths = np.asarray(
-        pc.fill_null(pc.list_value_length(samp), 0).to_numpy(
-            zero_copy_only=False
-        ),
-        dtype=np.int64,
-    )
-    flat = samp.flatten()
-    payload = (
-        flat.to_numpy(zero_copy_only=False)
-        .astype(np.float32, copy=False)
-        .tobytes()
-    )
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
+    # buffer-slicing core shared with the expression-level encoder
+    # (sinks.pb_encode_float_chunk_vec) — framing stays here because
+    # only the file writers varint-delimit their message streams
+    msgs, msg_total = pb_encode_float_chunk_vec(idx, ds, cut, samp)
     out = bytearray()
-    msg_total = 0
-    for i in range(n):
-        msg = bytearray()
-        if idx[i]:
-            msg += b"\x08" + _pb_varint(int(idx[i]))
-        if ds[i]:
-            msg += b"\x10" + _pb_varint(int(ds[i]))
-        if cut[i]:
-            msg += b"\x18" + _pb_varint(int(cut[i]))
-        if lengths[i]:
-            nb = int(lengths[i]) * 4
-            msg += (
-                b"\x22"
-                + _pb_varint(nb)
-                + payload[int(starts[i]) * 4 : int(ends[i]) * 4]
-            )
+    for msg in msgs:
         out += _pb_varint_local(len(msg)) + msg
-        msg_total += len(msg)
     return bytes(out), n, msg_total
 
 

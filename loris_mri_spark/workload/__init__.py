@@ -426,6 +426,106 @@ R10_TOPUP_FIRST: list[str] = [
 ]
 
 
+# r10 window: delivers every r9 VERDICT demand.
+#   0     x2_legacy_profile_hook — the twice-displaced promise
+#         (R10_TOPUP_FIRST; last driver-green r4), leading as required.
+#   1-2   new this round:
+#         - s14b_chunks_batch_write: the 4th connector quadrant — batch
+#           write through the Arrow `_ChunksArrowWriter` with the t13
+#           distributed decode-back + manifest cross-check;
+#         - t3c_stream_dedup_disk_sink: the PRODUCTION streaming-dedup
+#           shape (foreachBatch parquet spool; SCALE.md Finding 6's
+#           twin), now driver-checked instead of bench-only.
+#   3-5   code changed this round: re-green per the rotation rule —
+#         - s14_chunk_encode: encode_float_chunk converted from the
+#           per-row pandas_udf loop to an arrow_udf over the shared
+#           buffer-slicing core (sinks.pb_encode_float_chunk_vec);
+#         - t13_stream_custom_sink: both chunk writers now delegate to
+#           that shared core, and the Arrow fast-path guard extends to
+#           null float ELEMENTS (r9 ADVICE);
+#         - pack_token_budget_shards: null ids now filtered instead of
+#           silently offsetting every shard (r9 ADVICE).
+#         (operators/dedup.py and operators/vectors.py changed
+#         DOCSTRINGS only this round — no behavior, no re-window.)
+#   6-45  top-up: 40 of the 41 remaining r5-latest greens
+#         (a10_statistical_aggregates is displaced to fund the
+#         mm_decode_jpeg_color changed-code re-green below and re-enters
+#         first in r11 — R11_TOPUP_FIRST, the established promise
+#         pattern; after this round it is the only query whose last
+#         green predates r6).
+#   46-49 the fixture-reading multimodal family: _media_dir() (the
+#         LORIS_MM_FIXTURES override powering the new media scale
+#         sweep, VERDICT item 5) touches mm_decode_jpeg_baseline,
+#         mm_video_mjpeg_frames, mm_decode_jpeg_color and
+#         mm_audio_features (mm_audio_wav_meta too — already above in
+#         the r5 top-ups), so all five re-green per the rotation rule.
+R10_WINDOW: list[str] = [
+    # -- promised first re-entry (R10_TOPUP_FIRST) --
+    "x2_legacy_profile_hook",
+    # -- new this round --
+    "s14b_chunks_batch_write",
+    "t3c_stream_dedup_disk_sink",
+    # -- code changed this round: re-green --
+    "s14_chunk_encode",
+    "t13_stream_custom_sink",
+    "pack_token_budget_shards",
+    # -- top-up: the remaining r5-latest greens (a10 displaced -> r11) --
+    "ann_matryoshka_recall",
+    "ann_recall_at_k",
+    "c3b_calendar_functions",
+    "c5_blake2b_hash",
+    "c7b_variant_json",
+    "c8b_mapinarrow_vector_stats",
+    "cohort_retention",
+    "dedup_substring_hotspans",
+    "dq_constraint_report",
+    "er_fuzzy_name_pairs",
+    "f11_null_semantics",
+    "f5_visit_window_validation",
+    "funnel_conversion",
+    "funnel_sessionized",
+    "j12_salted_skew_join",
+    "j13_band_join_bucketed",
+    "j14_interval_overlap_join",
+    "mm_audio_wav_meta",
+    "pipeline_gdpr_erasure",
+    "profile_histogram",
+    "profile_hll_union",
+    "profile_skew_report",
+    "s12c_merge_upsert",
+    "s12d_version_diff",
+    "s5b_minc2_headers",
+    "s9b_schema_evolution",
+    "s9c_compaction_plan",
+    "scd2_state_history",
+    "sql_exists_correlated",
+    "sql_pivot_unpivot",
+    "t10_incremental_mv",
+    "t11_late_data_drop",
+    "t12_checkpoint_restart",
+    "t14_stream_static_join",
+    "t5d_dynamic_session_window",
+    "text_lm_quality",
+    "u4_intersect_except_all",
+    "w6_rank_variants",
+    "w7_forward_fill",
+    "x3b_udtf_tar_members",
+    # -- code changed (fixture-dir helper): the mm decode family --
+    "mm_decode_jpeg_baseline",
+    "mm_video_mjpeg_frames",
+    "mm_decode_jpeg_color",
+    "mm_audio_features",
+]
+
+
+# Displaced from the r10 top-up tail to fund the mm_decode_jpeg_color
+# changed-code re-green; re-enters the r11 window first (the
+# R9/R10_TOPUP_FIRST promise pattern).
+R11_TOPUP_FIRST: list[str] = [
+    "a10_statistical_aggregates",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []
@@ -439,7 +539,7 @@ def _first_occurrence(names: "list[str]") -> "list[str]":
 # The current window leads; prior windows follow for priority continuity.
 # First occurrence wins, so a query re-windowed this round appears ONCE,
 # at its new position (the layout test asserts the invariant).
-PRIORITY_ORDER: list[str] = _first_occurrence(R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
+PRIORITY_ORDER: list[str] = _first_occurrence(R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",

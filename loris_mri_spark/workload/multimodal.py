@@ -6,12 +6,28 @@ binary path exactly)."""
 
 from __future__ import annotations
 
+import os as _osmod
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from loris_mri_spark.catalog import load_table
 from loris_mri_spark.operators.media import extract_features, sample_frames
 from loris_mri_spark.workload import query
+
+
+def _media_dir(sub: str) -> str:
+    """Committed media fixture dir for ``sub`` (jpeg/video/audio),
+    overridable via LORIS_MM_FIXTURES: the media scale sweep
+    (tools/bench_scale_media.py) points the REGISTERED queries at
+    genuinely scaled binary inputs (.scale/media/sfK) without changing
+    their plan shape. Correctness runs never set the env var, so the
+    golden oracles always see the committed fixtures."""
+    base = _osmod.environ.get("LORIS_MM_FIXTURES") or _osmod.path.join(
+        _osmod.path.dirname(_osmod.path.dirname(_osmod.path.dirname(__file__))),
+        "tests", "fixtures",
+    )
+    return _osmod.path.join(base, sub)
 
 
 @query(
@@ -76,14 +92,9 @@ def mm_audio_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata + exact-integer RMS over the int16 samples. Compressed
     codecs are the injected-decoder boundary, same as images; the golden
     oracle pins the committed fixtures' independently computed values."""
-    import os
-
     from loris_mri_spark.operators.media import read_wav_meta
 
-    fixtures = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "tests", "fixtures", "audio",
-    )
+    fixtures = _media_dir("audio")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.wav")
@@ -246,10 +257,7 @@ def mm_decode_jpeg_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from loris_mri_spark.operators.media import decode_jpeg_baseline
 
-    fixtures = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
-        "tests", "fixtures", "jpeg",
-    )
+    fixtures = _media_dir("jpeg")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "img-*.jpg")
@@ -328,10 +336,7 @@ def mm_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         parse_avi_mjpeg,
     )
 
-    fixtures = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
-        "tests", "fixtures", "video",
-    )
+    fixtures = _media_dir("video")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avi")
@@ -421,10 +426,7 @@ def mm_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from loris_mri_spark.operators.media import decode_jpeg_baseline
 
-    fixtures = _os.path.join(
-        _os.path.dirname(_os.path.dirname(_os.path.dirname(__file__))),
-        "tests", "fixtures", "jpeg",
-    )
+    fixtures = _media_dir("jpeg")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "color-*.jpg")
@@ -484,14 +486,9 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/media.py:wav_signal_features, vectorized numpy inside
     the same Arrow-batched scan). Golden oracle pins the committed
     fixtures' independently computed values."""
-    import os
-
     from loris_mri_spark.operators.media import read_wav_features
 
-    fixtures = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        "tests", "fixtures", "audio",
-    )
+    fixtures = _media_dir("audio")
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.wav")

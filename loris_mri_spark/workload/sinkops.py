@@ -171,6 +171,109 @@ def s14_chunk_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s14b_chunks_batch_write",
+    oracle="""
+    SELECT COUNT(*) AS n_chunks,
+           CAST(SUM(vec_id * 4 + c) AS BIGINT) AS sum_index,
+           CAST(COUNT(*) * 16 AS BIGINT) AS n_floats,
+           COUNT(*) AS n_manifest_records
+    FROM embeddings, unnest(range(0, 4)) t(c)
+    """,
+)
+def s14b_chunks_batch_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 BATCH WRITE through the registered ``loris_chunks`` Python
+    Data Source — the connector quadrant a corpus pipeline actually
+    writes through (t13 covers the stream quadrant; s14_chunk_encode
+    covers the expression-level encoder). Embedding signals chunk into
+    16-float FloatChunks and land via ``df.write.format("loris_chunks")``
+    — the Arrow-batched `_ChunksArrowWriter` (sources/pyds.py): staged
+    part files, two-phase commit, `_SUCCESS` manifest. Verification is
+    the t13 recipe: decode every landed protobuf back on the EXECUTORS
+    (binaryFile scan + per-file pure-python reader, never a driver loop
+    over blobs — at 100 TB the audit pass is itself a job) and
+    cross-check the totals against BOTH the source table (the oracle)
+    and the commit manifest (n_manifest_records). Mirrors the reference
+    chunk writer's bulk path (`chunking.py:134-157`)."""
+    import json
+
+    import pandas as pd
+
+    from loris_mri_spark.sources.pyds import (
+        decode_chunk_stream,
+        register_chunks,
+    )
+
+    register_chunks(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    chunks = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, 3),"
+                    " c -> slice(embedding, c * 16 + 1, 16))"
+                )
+            ).alias("c", "samples"),
+        )
+        .select(
+            (F.col("vec_id") * 4 + F.col("c")).cast("long").alias("index"),
+            F.lit(1).cast("long").alias("downsampling"),
+            F.size("samples").cast("long").alias("cutoff"),
+            F.col("samples"),
+        )
+        # fixed fan-in: one staged part file per partition, so the
+        # manifest shape is deterministic across runs
+        .repartition(8)
+    )
+    sink = _run_dir("s14b-chunks")
+    chunks.write.format("loris_chunks").mode("overwrite").save(sink)
+
+    def decode_files(batches):
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                n = si = nf = 0
+                for rec in decode_chunk_stream(bytes(blob)):
+                    n += 1
+                    si += rec["index"]
+                    nf += len(rec["samples"])
+                rows.append((n, si, nf))
+            yield pd.DataFrame(
+                rows, columns=["n_chunks", "sum_index", "n_floats"]
+            )
+
+    landed = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(sink, "*.pb"))
+        .select("content")
+        .mapInPandas(
+            decode_files, "n_chunks long, sum_index long, n_floats long"
+        )
+        .agg(
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("sum_index").alias("sum_index"),
+            F.sum("n_floats").alias("n_floats"),
+        )
+        .first()
+    )
+    with open(os.path.join(sink, "_SUCCESS")) as fh:
+        manifest = json.load(fh)
+    n_manifest = sum(f["n_records"] for f in manifest["files"])
+    return spark.createDataFrame(
+        [
+            (
+                landed["n_chunks"],
+                landed["sum_index"],
+                landed["n_floats"],
+                n_manifest,
+            )
+        ],
+        "n_chunks long, sum_index long, n_floats long,"
+        " n_manifest_records long",
+    )
+
+
+@query(
     "s15_png_preview",
     oracle="""
     SELECT doc_id,

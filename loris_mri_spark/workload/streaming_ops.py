@@ -93,6 +93,36 @@ def t3_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t3c_stream_dedup_disk_sink",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+)
+def t3c_stream_dedup_disk_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 PRODUCTION SHAPE: the identical watermark + dropDuplicates
+    plan as t3_stream_dedup_watermark, landing via foreachBatch parquet
+    (the t4 idempotent ``bid=<batch_id>`` spool) instead of a memory
+    sink. The memory-sink t3 stays as the gate vehicle, but it holds the
+    ENTIRE dedup output in the driver JVM — at the 100x scale sweep that
+    OOMs the local harness (SCALE.md Finding 6) while this shape holds
+    exponent 0.45, because a real deployment streams dedup output to a
+    distributed sink and only the watermark-bounded state store stays
+    resident. This is the query a 100-TB deployment would actually run;
+    the driver now checks it end-to-end (stream -> state store ->
+    idempotent disk spool -> batch read-back)."""
+    sdf = stream_events(spark, sf_dir, tag="t3c-incoming")
+    doubled = sdf.unionByName(sdf)
+    deduped = (
+        doubled.withWatermark("ts", "30 days")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    sink = scratch_dir("t3c-sink")
+    run_foreach_batch_append(deduped, sink, "t3c")
+    return spark.read.parquet(sink).drop("bid")
+
+
+@query(
     "t4_notification_append_log",
     oracle="""
     SELECT event_id, user_id,

@@ -27,24 +27,22 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_r9_correctness_window_layout():
+def test_r10_correctness_window_layout():
     """The external driver hash-checks only the FIRST 50 registry entries.
-    Pin the declared r9 window (the promised R9_TOPUP_FIRST re-entries +
-    R9_QUEUE + this round's new query + code-changed re-greens +
+    Pin the declared r10 window (the twice-displaced R10_TOPUP_FIRST
+    promise leading + this round's new queries + code-changed re-greens +
     oldest-green rotation) as exactly those 50 — a late registration
     must not silently displace a promised query. Also pin the hygiene
     invariants the r7 ADVICE asked for: the window and the full priority
     order are duplicate-free, and every priority entry is registered.
-    The window leads with R9_TOPUP_FIRST then R9_QUEUE — the r8 VERDICT's
-    item 1."""
+    The window leads with R10_TOPUP_FIRST — the r9 VERDICT's item 2."""
     first50 = list(workload.QUERIES)[:50]
-    assert len(workload.R9_WINDOW) == 50
-    assert first50 == workload.R9_WINDOW, [
-        (a, b) for a, b in zip(first50, workload.R9_WINDOW) if a != b
+    assert len(workload.R10_WINDOW) == 50
+    assert first50 == workload.R10_WINDOW, [
+        (a, b) for a, b in zip(first50, workload.R10_WINDOW) if a != b
     ]
-    assert len(set(workload.R9_WINDOW)) == 50
-    assert workload.R9_WINDOW[:2] == workload.R9_TOPUP_FIRST
-    assert workload.R9_WINDOW[2:4] == workload.R9_QUEUE
+    assert len(set(workload.R10_WINDOW)) == 50
+    assert workload.R10_WINDOW[:1] == workload.R10_TOPUP_FIRST
     assert len(workload.PRIORITY_ORDER) == len(set(workload.PRIORITY_ORDER))
     unregistered = [
         n for n in workload.PRIORITY_ORDER if n not in workload.QUERIES

@@ -42,6 +42,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 QUERIES = [
+    "t3c_stream_dedup_disk_sink",
     "t5_tumbling_window_agg",
     "t6_stateful_running_index",
     "t7_stream_stream_join",
@@ -50,35 +51,15 @@ QUERIES = [
     "eav_pivot_user_event_matrix",
 ]
 
-# t3 is measured through a DISK-sink twin instead of its registered
-# form: the registered query returns its result via a memory sink (the
-# correctness-gate vehicle), which at 100x means 10M deduped rows held
-# in the single local-mode JVM heap — an OOM of the HARNESS, not the
-# operator (a cluster writes dedup output to a real sink; state lives
-# per-executor). The twin runs the identical watermark+dropDuplicates
-# plan and lands output via foreachBatch parquet (the t4 shape), so the
-# row measures exactly the state-store growth the operator owns.
-
-
-def _t3_watermark_dedup_disk(spark, sf_dir):  # noqa: ANN001
-    from pyspark.sql import functions as F
-
-    from loris_mri_spark.streaming.incremental import (
-        run_foreach_batch_append,
-        scratch_dir,
-        stream_events,
-    )
-
-    sdf = stream_events(spark, sf_dir)
-    doubled = sdf.unionByName(sdf)
-    deduped = (
-        doubled.withWatermark("ts", "30 days")
-        .dropDuplicates(["event_id"])
-        .select("event_id", "user_id", "event_type")
-    )
-    sink = scratch_dir("t3-scale-sink")
-    run_foreach_batch_append(deduped, sink, "t3scale")
-    return spark.read.parquet(sink).drop("bid")
+# t3 is measured through its registered DISK-sink twin
+# (t3c_stream_dedup_disk_sink, workload/streaming_ops.py — driver-checked
+# since r10) instead of the memory-sink form: the memory sink holds the
+# entire dedup output in the single local-mode JVM heap, which at 100x
+# is an OOM of the HARNESS, not the operator (a cluster writes dedup
+# output to a real sink; state lives per-executor). The twin runs the
+# identical watermark+dropDuplicates plan through foreachBatch parquet
+# (the t4 shape), so its row measures exactly the state-store growth
+# the operator owns.
 
 SF_DIRS = [
     ("1", str(Path(_REPO, ".scale", "sf1")), 10),
@@ -108,9 +89,6 @@ def main() -> None:
         for name in QUERIES
         if not only or name in only
     }
-    if not only or "t3_watermark_dedup_disk" in only:
-        runners["t3_watermark_dedup_disk"] = _t3_watermark_dedup_disk
-
     results: dict[str, dict[str, float]] = {n: {} for n in runners}
     for sf_label, sf_dir, ratio in SF_DIRS:
         if not os.path.isdir(sf_dir):
