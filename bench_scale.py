@@ -108,8 +108,14 @@ def main() -> None:
             spark, sf_dir, n_cells=int(math.sqrt(n)), use_arrow_trainer=True
         )
 
-    runners = {name: workload.QUERIES[name] for name in SCALE_QUERIES}
-    runners["dedup_semdedup_sqrtk"] = semdedup_sqrtk
+    only = set(sys.argv[1:])
+    runners = {
+        name: workload.QUERIES[name]
+        for name in SCALE_QUERIES
+        if not only or name in only
+    }
+    if not only or "dedup_semdedup_sqrtk" in only:
+        runners["dedup_semdedup_sqrtk"] = semdedup_sqrtk
 
     results: dict[str, dict[str, float]] = {n: {} for n in runners}
     for sf_label, sf_dir in SF_DIRS:
@@ -169,10 +175,18 @@ def main() -> None:
     }
     # merge-preserve extension keys other tools own (sf3_extension,
     # sf10_extension, two_level_remedy, ...) — a refresh of the main
-    # table must not destroy the rest of the record
+    # table must not destroy the rest of the record; and merge the main
+    # `queries` table PER QUERY so a filtered re-run (argv names)
+    # refreshes only its own rows instead of clobbering the full sweep
     path = Path(_REPO, "BENCH_SF1.json")
     if path.exists():
         prev = json.loads(path.read_text())
+        merged_queries = dict(prev.get("queries", {}))
+        merged_queries.update(out["queries"])
+        out["queries"] = merged_queries
+        out["super_linear"] = sorted(
+            n for n, s in merged_queries.items() if s.get("super_linear")
+        )
         prev.update(out)
         out = prev
     path.write_text(json.dumps(out, indent=1))

@@ -526,6 +526,17 @@ R11_TOPUP_FIRST: list[str] = [
 ]
 
 
+# Registered late-r10, after the 50-entry window filled: the SQ8
+# codec-loss eval and the marginal-novelty curriculum signal. Never
+# driver-checked yet (local oracle parity + /verify green at sf0.01);
+# they enter the r11 window right after R11_TOPUP_FIRST — the same
+# R9_QUEUE pattern that carried ann_imi_topk/dedup_semdedup_twolevel.
+R11_QUEUE: list[str] = [
+    "ann_sq8_recall",
+    "corpus_ngram_novelty",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []

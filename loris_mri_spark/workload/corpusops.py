@@ -315,3 +315,79 @@ def corpus_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_tokens"),
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+_NOVELTY_SQL = f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM}, ' ') AS t
+                  FROM documents),
+    grams AS (SELECT doc_id, unnest({sql_shingles(3)}) AS g FROM toks),
+    firsts AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+              FROM firsts GROUP BY first_doc)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN NULL
+                ELSE ROUND(COALESCE(v.n_novel, 0) * 1.0 / p.n_grams, 4)
+           END AS novelty_r
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    LEFT JOIN novel v ON v.doc_id = d.doc_id
+"""
+
+
+@query("corpus_ngram_novelty", oracle=_NOVELTY_SQL)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-NOVELTY scoring: per document, the fraction of its
+    distinct word 3-grams whose FIRST owner (minimum doc_id) is the
+    document itself — the curriculum/selection signal behind
+    novelty-weighted data ordering (late near-copies of earlier content
+    score ~0 without being hard-deleted, complementing the dedup family
+    which only emits keep/drop decisions).
+
+    100-TB shape: no gram-level join at all. Novel-gram counts are read
+    off the first-owner table itself (a gram's min(doc_id) IS the only
+    doc credited with it), so the plan is three partial-agg shuffles —
+    grams by doc (per-doc totals), grams by gram (min owner, map-side
+    combined to vocabulary size), first-owners by doc — then two
+    doc-cardinality joins against the documents base. The shingle
+    expression evaluates once per aggregation branch by design: the r10
+    anchor probe (SCALE.md, BENCH_SF1.text_anchor_probe) measured that
+    exchanging raw exploded tokens to save a duplicate codegen scan
+    LOSES — all shuffles here stay post-partial-agg."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("g")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias(
+                "n_novel"
+            ),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("n_novel"), F.lit(0))
+                    / F.col("n_grams"),
+                    4,
+                )
+            )
+            .alias("novelty_r"),
+        )
+    )

@@ -1590,3 +1590,125 @@ def ann_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall_r"),
     )
+
+
+_SQ8_SQL = f"""
+    WITH {_V_CTE},
+    dims AS (
+      SELECT i AS dim, MIN(v.emb[i]) AS mn, MAX(v.emb[i]) AS mx
+      FROM v, unnest(range(1, 65)) t(i)
+      GROUP BY i),
+    b AS (SELECT list(mn ORDER BY dim) AS mns,
+                 list(mx ORDER BY dim) AS mxs
+          FROM dims),
+    vq AS (
+      SELECT v.vec_id,
+             [CASE WHEN b.mxs[i] = b.mns[i] THEN b.mns[i]
+                   ELSE b.mns[i]
+                        + floor((v.emb[i] - b.mns[i]) * CAST(255 AS DOUBLE)
+                                / (b.mxs[i] - b.mns[i])
+                                + CAST(0.5 AS DOUBLE))
+                          * (b.mxs[i] - b.mns[i]) / CAST(255 AS DOUBLE)
+              END
+              for i in range(1, 65)] AS emb
+      FROM v CROSS JOIN b),
+    q AS (SELECT vec_id AS query_id, emb AS qv FROM v WHERE vec_id < 10),
+    ex_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN v c ON c.vec_id <> q.query_id),
+    ex_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM ex_scored),
+    ex_top AS (SELECT query_id, neighbor_id FROM ex_ranked WHERE rank <= 5),
+    sq_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_COS.format(a='q.qv', b='c.emb')} AS cos
+      FROM q JOIN vq c ON c.vec_id <> q.query_id),
+    sq_ranked AS (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM sq_scored),
+    sq_top AS (SELECT query_id, neighbor_id FROM sq_ranked WHERE rank <= 5),
+    hits AS (
+      SELECT s.query_id, COUNT(*) AS n_hits
+      FROM sq_top s JOIN ex_top e
+        ON e.query_id = s.query_id AND e.neighbor_id = s.neighbor_id
+      GROUP BY s.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 5.0, 4) AS recall_r
+    FROM (SELECT DISTINCT query_id FROM ex_top) q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+"""
+
+
+@query("ann_sq8_recall", oracle=_SQ8_SQL)
+def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR QUANTIZATION (SQ8) ANN with in-engine recall@5: each
+    dimension is linearly quantized to one of 256 levels between the
+    corpus-wide per-dimension min/max (the classic SQ8 codec — 4x
+    smaller than float32, the standard first compression step before
+    PQ), search is ASYMMETRIC distance computation (exact query floats
+    against dequantized corpus codes), and the query reports recall@5
+    against exact brute force — the compression-loss eval an ML
+    platform runs before adopting the codec.
+
+    100-TB shape: the per-dimension bounds come from ONE partial-agg
+    shuffle of (dim, partial-min/max) pairs (64 rows per mapper, never
+    the vectors), the 64-entry bounds table broadcasts, quantize +
+    dequantize + cosine are a single codegen'd projection (no Python),
+    and both retrievals share the TakeOrdered/window top-k shape of
+    ann_cosine_topk_exact. Tie policy on the quantization boundary is
+    floor(x + 0.5) — written identically in both engines, so code
+    assignment is bit-deterministic (Spark round() and DuckDB round()
+    disagree on .5 ties; floor(+0.5) cannot)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", as_double("embedding").alias("emb"))
+    dims = (
+        ed.select(F.posexplode("emb").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    bounds = (
+        dims.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias(
+                "b"
+            )
+        )
+        .select(
+            F.expr("transform(b, s -> s.mn)").alias("mns"),
+            F.expr("transform(b, s -> s.mx)").alias("mxs"),
+        )
+    )
+    corpus_sq = ed.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        F.expr(
+            "transform(emb, (x, i) -> "
+            "CASE WHEN mxs[i] = mns[i] THEN mns[i] "
+            "ELSE mns[i] + floor((x - mns[i]) * CAST(255 AS DOUBLE)"
+            " / (mxs[i] - mns[i]) + CAST(0.5 AS DOUBLE))"
+            " * (mxs[i] - mns[i]) / CAST(255 AS DOUBLE) END)"
+        ).alias("embedding"),
+    )
+    qset = e.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(
+        qset, e, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    approx = cosine_topk(
+        qset, corpus_sq, id_col="vec_id", vec_col="embedding", k=5
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = exact.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall_r"),
+    )

@@ -89,3 +89,27 @@ def test_contamination_screen_matches_brute_force(spark, sf_dir):
             ref.add((r["doc_id"], hits, hits >= 2))
     assert got == ref
     assert any(c for (_, _, c) in got)  # at least one contaminated doc
+
+
+def test_ngram_novelty_first_owner_semantics(spark, monkeypatch):
+    """Novelty unit contract on a 3-doc corpus: the earliest doc owns
+    all its grams (novelty 1.0), an exact later copy owns none (0.0),
+    a doc with no 3-grams reports 0 grams and NULL ratio."""
+    import loris_mri_spark.workload.corpusops as co
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "s"),
+            (2, "alpha beta gamma delta", "s"),
+            (3, "tiny doc", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(co, "load_table", lambda s, d, t: docs)
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_r"])
+        for r in co.corpus_ngram_novelty(spark, "unused").collect()
+    }
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 0, 0.0)
+    assert out[3] == (0, 0, None)

@@ -568,3 +568,60 @@ def test_two_level_queries_bit_stable_across_partitioning(spark, sf_dir):
             "golden-oracle margin guard premise is violated"
         )
         assert outs[0], f"{name} returned no rows"
+
+
+def test_sq8_quantization_levels_and_constant_dim(spark):
+    """SQ8 unit contract on a hand-built corpus: (a) a CONSTANT
+    dimension (mx == mn) dequantizes to that constant (the CASE branch
+    the star-schema corpus never exercises); (b) codes are exact
+    255-level grid points: dequantized values reconstruct mn + c*step
+    for integer c in [0, 255]; (c) the min and max vectors reconstruct
+    EXACTLY (grid endpoints)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, [0.0, 7.5, -1.0]),
+        (1, [1.0, 7.5, 3.0]),
+        (2, [0.25, 7.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    bounds = (
+        df.select(F.posexplode("emb").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("b")
+        )
+        .select(
+            F.expr("transform(b, s -> s.mn)").alias("mns"),
+            F.expr("transform(b, s -> s.mx)").alias("mxs"),
+        )
+    )
+    got = {
+        r["vec_id"]: list(r["q"])
+        for r in df.crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(emb, (x, i) -> "
+                "CASE WHEN mxs[i] = mns[i] THEN mns[i] "
+                "ELSE mns[i] + floor((x - mns[i]) * CAST(255 AS DOUBLE)"
+                " / (mxs[i] - mns[i]) + CAST(0.5 AS DOUBLE))"
+                " * (mxs[i] - mns[i]) / CAST(255 AS DOUBLE) END)"
+            ).alias("q"),
+        )
+        .collect()
+    }
+    # constant dim reconstructs exactly; endpoints reconstruct exactly
+    assert all(got[v][1] == 7.5 for v in (0, 1, 2))
+    assert got[0][0] == 0.0 and got[1][0] == 1.0
+    assert got[0][2] == -1.0 and got[1][2] == 3.0
+    # interior values sit on the 255-step grid within one step
+    for v, emb in rows:
+        for d in (0, 2):
+            mn = min(r[1][d] for r in rows)
+            mx = max(r[1][d] for r in rows)
+            step = (mx - mn) / 255.0
+            c = (got[v][d] - mn) / step
+            assert abs(c - round(c)) < 1e-9
+            assert abs(got[v][d] - emb[d]) <= step / 2 + 1e-12
