@@ -68,6 +68,10 @@ SCALE_QUERIES = [
     "mm_decode_features",
     "mm_frame_sample",
     "pipeline_non_minc_insertion",
+    # registered late-r10 (R11_QUEUE): measured at registration time so
+    # the growth curve exists before their first driver row
+    "ann_sq8_recall",
+    "corpus_ngram_novelty",
 ]
 
 SF_DIRS = [

@@ -403,3 +403,32 @@ def test_quantile_bucket_expression_not_duplicated_into_join(spark, sf_dir):
         "more than one full copy means a pushed null filter duplicated "
         "it into a join condition (the interpreted-stage hazard)"
     )
+
+
+def test_ngram_novelty_partial_aggs_and_no_gram_join(spark, sf_dir):
+    """corpus_ngram_novelty's 100-TB contract: every shuffle carries
+    PARTIAL-aggregated rows (partial_min for the first-owner pass,
+    partial_count for both counts — map-side combine bounds exchange
+    volume by vocabulary/doc cardinality, not gram occurrences), the
+    final per-doc joins broadcast, and there is NO gram-keyed join
+    (novel counts are read off the first-owner table itself)."""
+    from loris_mri_spark import workload
+
+    plan = _plan(workload.QUERIES["corpus_ngram_novelty"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    # the only joins are the doc-cardinality assemble joins
+    assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_sq8_bounds_broadcast_and_codegen_codec(spark, sf_dir):
+    """ann_sq8_recall's 100-TB contract: the 64-entry per-dimension
+    bounds table reaches the quantizer via BroadcastExchange (never a
+    shuffle of the vectors against it), and the quantize/dequantize/
+    cosine pipeline is pure codegen — no Python evaluation anywhere."""
+    from loris_mri_spark import workload
+
+    plan = _plan(workload.QUERIES["ann_sq8_recall"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
