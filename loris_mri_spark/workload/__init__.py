@@ -436,7 +436,7 @@ R10_TOPUP_FIRST: list[str] = [
 #         - t3c_stream_dedup_disk_sink: the PRODUCTION streaming-dedup
 #           shape (foreachBatch parquet spool; SCALE.md Finding 6's
 #           twin), now driver-checked instead of bench-only.
-#   3-5   code changed this round: re-green per the rotation rule —
+#   3-6   code changed this round: re-green per the rotation rule —
 #         - s14_chunk_encode: encode_float_chunk converted from the
 #           per-row pandas_udf loop to an arrow_udf over the shared
 #           buffer-slicing core (sinks.pb_encode_float_chunk_vec);
@@ -444,15 +444,25 @@ R10_TOPUP_FIRST: list[str] = [
 #           that shared core, and the Arrow fast-path guard extends to
 #           null float ELEMENTS (r9 ADVICE);
 #         - pack_token_budget_shards: null ids now filtered instead of
-#           silently offsetting every shard (r9 ADVICE).
+#           silently offsetting every shard (r9 ADVICE);
+#         - text_quality_score: punct_ratio INVERSION fixed (the old
+#           formula measured the KEPT-character ratio, making `good`
+#           unreachable; both engines carried the same inversion, so
+#           oracle parity never caught it — composing t15's streaming
+#           gate, which returned 0 rows, did). Consumers project only
+#           n_tokens/stop_ratio, so their results AND executed plans are
+#           unchanged (verified: the punct regex does not appear in
+#           pipeline_corpus_select's pruned plan) — no consumer
+#           re-window.
 #         (operators/dedup.py and operators/vectors.py changed
 #         DOCSTRINGS only this round — no behavior, no re-window.)
-#   6-45  top-up: 40 of the 41 remaining r5-latest greens
-#         (a10_statistical_aggregates is displaced to fund the
-#         mm_decode_jpeg_color changed-code re-green below and re-enters
-#         first in r11 — R11_TOPUP_FIRST, the established promise
-#         pattern; after this round it is the only query whose last
-#         green predates r6).
+#   7-45  top-up: 39 of the 41 remaining r5-latest greens
+#         (a10_statistical_aggregates and ann_matryoshka_recall are
+#         displaced to fund the mm_decode_jpeg_color and
+#         text_quality_score changed-code re-greens and re-enter first
+#         in r11 — R11_TOPUP_FIRST, the established promise pattern;
+#         after this round they are the only queries whose last green
+#         predates r6).
 #   46-49 the fixture-reading multimodal family: _media_dir() (the
 #         LORIS_MM_FIXTURES override powering the new media scale
 #         sweep, VERDICT item 5) touches mm_decode_jpeg_baseline,
@@ -469,8 +479,9 @@ R10_WINDOW: list[str] = [
     "s14_chunk_encode",
     "t13_stream_custom_sink",
     "pack_token_budget_shards",
-    # -- top-up: the remaining r5-latest greens (a10 displaced -> r11) --
-    "ann_matryoshka_recall",
+    "text_quality_score",
+    # -- top-up: the remaining r5-latest greens (a10 + matryoshka
+    # displaced -> r11, funding mm_decode_jpeg_color + the punct fix) --
     "ann_recall_at_k",
     "c3b_calendar_functions",
     "c5_blake2b_hash",
@@ -523,6 +534,7 @@ R10_WINDOW: list[str] = [
 # R9/R10_TOPUP_FIRST promise pattern).
 R11_TOPUP_FIRST: list[str] = [
     "a10_statistical_aggregates",
+    "ann_matryoshka_recall",
 ]
 
 
@@ -534,6 +546,7 @@ R11_TOPUP_FIRST: list[str] = [
 R11_QUEUE: list[str] = [
     "ann_sq8_recall",
     "corpus_ngram_novelty",
+    "t15_stream_corpus_gate_dedup",
 ]
 
 

@@ -733,3 +733,91 @@ def t3b_dedup_within_watermark_api(
         .select("event_id", "user_id", "event_type")
     )
     return run_to_memory(deduped, "append", "t3b")
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str, tag: str) -> DataFrame:
+    """The documents table as a file-source STREAM (the corpus landing
+    directory shape): staged into a 4-file scratch dir so availableNow
+    drains through 4 real micro-batches."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    landing = scratch_dir(tag)
+    batch.repartition(4).write.mode("overwrite").parquet(landing)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+
+
+def _t15_oracle() -> str:
+    from loris_mri_spark.functions.texthash import SQL_NORM
+    from loris_mri_spark.workload.text import _EN_LIST_SQL
+
+    norm = SQL_NORM.format(col="text")
+    return f"""
+    WITH n AS (SELECT doc_id, {norm} AS norm,
+                      string_split({norm}, ' ') AS t
+               FROM documents)
+    SELECT doc_id, md5(norm) AS text_md5,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm
+    FROM n
+    WHERE len(t) BETWEEN 5 AND 1000
+      AND length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+          * 1.0 / length(norm) < 0.1
+      AND len(list_filter(t, x -> list_contains([{_EN_LIST_SQL}], x)))
+          * 1.0 / len(t) BETWEEN 0.01 AND 0.7
+    """
+
+
+@query("t15_stream_corpus_gate_dedup", oracle=_t15_oracle())
+def t15_stream_corpus_gate_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T15: the STREAMING corpus-ingestion pipeline composed end-to-end
+    — the production landing-zone shape (documents arrive as files ->
+    quality gate -> content-hash dedup -> idempotent parquet spool)
+    that the batch compositions (pipeline_corpus_select et al.) mirror
+    offline. The stream is self-unioned (every row a duplicate, the t3
+    recipe) so the dedup stage provably drops to exactly-once; the
+    quality gate is the text_quality_score rule set evaluated INSIDE
+    the stream (pure codegen expressions — no extra state); dedup keys
+    on md5(normalized text), so re-uploads and cross-batch duplicates
+    collapse; output lands through the t4 bid-keyed foreachBatch spool
+    (retry-idempotent, the disk-sink shape the 100x sweep certifies).
+    Drained with availableNow it must equal the batch gate + distinct.
+    State note for 100 TB: content-hash dedup state grows with the
+    unique corpus — the bounded-state production variant is
+    dropDuplicatesWithinWatermark (t3b) keyed the same way, or the
+    persistent fingerprint store (t8) when dedup must survive the
+    stream's lifetime."""
+    from loris_mri_spark.functions.texthash import norm_text, tokens
+    from loris_mri_spark.workload.text import _EN_STOPS
+
+    sdf = _stream_documents(spark, sf_dir, "t15-landing")
+    doubled = sdf.unionByName(sdf)
+    n = doubled.select(
+        "doc_id", norm_text("text").alias("norm"), tokens("text").alias("t")
+    )
+    stops = F.array(*[F.lit(w) for w in _EN_STOPS])
+    punct = F.length(F.regexp_replace("norm", "[a-z0-9 ]", "")) / F.length(
+        "norm"
+    )
+    stop_ratio = F.size(
+        F.filter("t", lambda x: F.array_contains(stops, x))
+    ) / F.size("t")
+    good = (
+        F.size("t").between(5, 1000)
+        & (punct < 0.1)
+        & stop_ratio.between(0.01, 0.7)
+    )
+    gated = n.filter(good).select(
+        "doc_id",
+        F.md5(F.encode("norm", "utf-8")).alias("text_md5"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.length("norm").cast("long").alias("n_chars_norm"),
+    )
+    deduped = gated.dropDuplicates(["text_md5"])
+    sink = scratch_dir("t15-sink")
+    run_foreach_batch_append(deduped, sink, "t15")
+    return spark.read.parquet(sink).drop("bid")

@@ -145,14 +145,14 @@ _EN_LIST_SQL = ", ".join(f"'{w}'" for w in _EN_STOPS)
     SELECT doc_id,
            CAST(length(norm) AS BIGINT) AS n_chars_norm,
            CAST(len(t) AS BIGINT)       AS n_tokens,
-           ROUND((length(norm) - length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')))
+           ROUND(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
                  * 1.0 / length(norm), 4) AS punct_ratio,
            ROUND((length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')))
                  * 1.0 / length(norm), 4) AS digit_ratio,
            ROUND(len(list_filter(t, x -> list_contains([{_EN_LIST_SQL}], x)))
                  * 1.0 / len(t), 4) AS stop_ratio,
            CASE WHEN len(t) BETWEEN 5 AND 1000
-                 AND (length(norm) - length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')))
+                 AND length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
                      * 1.0 / length(norm) < 0.1
                  AND len(list_filter(t, x -> list_contains([{_EN_LIST_SQL}], x)))
                      * 1.0 / len(t) BETWEEN 0.01 AND 0.7
@@ -163,15 +163,27 @@ _EN_LIST_SQL = ", ".join(f"'{w}'" for w in _EN_STOPS)
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality profile: length, punctuation/digit ratios,
     stopword ratio, and a rule-based good/suspect flag (the classic
-    pre-training corpus filter shape)."""
+    pre-training corpus filter shape).
+
+    r10 fix (found composing t15): punct_ratio was INVERTED — stripping
+    [a-z0-9 ] leaves only punctuation, so the ratio is
+    len(stripped)/len(norm); the old `(len - len(stripped))/len` measured
+    the KEPT-character ratio (~1.0 on clean text), which made the `good`
+    branch unreachable and labeled every document 'suspect'. Both engines
+    carried the same inversion, so oracle parity never caught it — the
+    composed streaming pipeline returning 0 rows did. digit_ratio was
+    always correct (its regex strips the digits themselves). Downstream
+    consumers (pipeline_corpus_select, pipeline_pretraining_data) project
+    only n_tokens/stop_ratio, so their results and executed plans are
+    unchanged (punct never enters their pruned plans)."""
     d = load_table(spark, sf_dir, "documents")
     n = d.select(
         "doc_id", norm_text("text").alias("norm"), tokens("text").alias("t")
     )
     stops = F.array(*[F.lit(w) for w in _EN_STOPS])
-    punct = (
-        F.length("norm") - F.length(F.regexp_replace("norm", "[a-z0-9 ]", ""))
-    ) / F.length("norm")
+    punct = F.length(F.regexp_replace("norm", "[a-z0-9 ]", "")) / F.length(
+        "norm"
+    )
     digit = (
         F.length("norm") - F.length(F.regexp_replace("norm", "[0-9]", ""))
     ) / F.length("norm")

@@ -122,3 +122,43 @@ def test_write_keyed_store_embeds_bloom_filter(spark, tmp_path):
     )
     # an ndv=2000 split-block bloom adds >= 1 KiB per file
     assert size(bloomed) >= size(plain) + 1024
+
+
+def test_encode_float_chunk_arrow_matches_row_encoder(spark):
+    """The r10 arrow_udf expression encoder must be BYTE-IDENTICAL to
+    pb_encode_float_chunk per row across the wire-format edges: zero
+    index (field omitted), varint boundaries (127/128/300), empty
+    sample arrays, negative/zero/fractional float32 values, and ragged
+    lengths — the same equivalence contract the writer kernels pin in
+    tests/test_pyds.py, here for the Column path."""
+    import struct as _struct
+
+    from loris_mri_spark.sinks import pb_encode_float_chunk
+
+    rows = [
+        (0, 1, [1.5, -2.25, 0.0]),
+        (1, 0, []),
+        (127, 2, [3.14159, 2.71828]),
+        (128, 300, [0.0]),
+        (300, 7, [float(i) * 0.5 - 8.0 for i in range(37)]),
+        (2**33, 1, [1e-30, -1e30]),
+        (5, 5, [0.1]),
+    ]
+    df = spark.createDataFrame(
+        rows, "index long, downsampling long, samples array<float>"
+    )
+    got = {
+        r["index"]: bytes(r["payload"])
+        for r in df.select(
+            "index",
+            encode_float_chunk(
+                F.col("index"), F.col("downsampling"), F.col("samples")
+            ).alias("payload"),
+        ).collect()
+    }
+    for idx, ds, samples in rows:
+        f32 = [
+            _struct.unpack("<f", _struct.pack("<f", x))[0] for x in samples
+        ]
+        expected = pb_encode_float_chunk(idx, ds, len(f32), f32)
+        assert got[idx] == expected, (idx, ds, len(samples))
