@@ -42,7 +42,22 @@ def main() -> None:
         app_name="loris-mri-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * int(cpus),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # SESSION-AGING guard (r10): one JVM executes ~900 query runs
+            # (230 queries x cold + warm/median-of-3) plus sharedCache
+            # persists; at the 8g default the tail of the run slows
+            # 2-8x from GC thrash (measured: s19b 8.7 s at bench
+            # position ~150, 1.9 s in a fresh session on a SLOWER
+            # host). 16g is 1/8 of the harness box and representative
+            # of any real driver; periodic ContextCleaner GC releases
+            # broadcast/RDD refs every 5min instead of the 30min
+            # default so cleanup lands within the run.
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            ),
+            "spark.cleaner.periodicGC.interval": "5min",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     # Benchmark context: contract-independent queries sharing an expensive
@@ -104,6 +119,7 @@ def main() -> None:
     # regressions can be re-measured in place (see below).
     prev_path = Path(_REPO, "BENCH_DETAIL.json")
     prev: dict[str, float] = {}
+    prev_calib = 0.0
     host_ratio = 1.0
     if prev_path.exists():
         try:
@@ -114,11 +130,39 @@ def main() -> None:
                 host_ratio = min(max(calib_jvm / prev_calib, 1 / 3), 3.0)
         except (json.JSONDecodeError, OSError):
             prev = {}
+            prev_calib = 0.0
+
+    # MID-RUN host recalibration (r10): the start-of-run ratio is not
+    # enough — this container's clock throttles WITHIN a session (the
+    # fixed JVM calib measured 0.77 s at bench start and 3.5 s an hour
+    # later on identical code), so late-alphabet queries get inflated
+    # against a stale fast-host ratio and flag spuriously (r10 first
+    # run: three late-alphabet sub-3s write-path queries, all of which
+    # bracket at prior-round times standalone). When a median-of-3 warm
+    # STILL flags, re-measure the calib workload at that instant and
+    # judge against the CURRENT ratio; per-query recalibrations are
+    # recorded for transparency.
+    ratio_at: dict[str, float] = {}
+    recalibs: dict[str, float] = {}
+
+    def _ratio_for(name: str) -> float:
+        return ratio_at.get(name, host_ratio)
 
     def _would_flag(name: str, now: float) -> bool:
         was = prev.get(name, -1.0)
-        scaled = was * host_ratio
+        scaled = was * _ratio_for(name)
         return was > 0 and now > 0 and now > 1.4 * scaled and now - scaled > 0.3
+
+    def _recalibrate(name: str) -> None:
+        if not prev_calib:
+            return
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id % 1000000) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        now_calib = round(time.perf_counter() - t0, 3)
+        recalibs[name] = now_calib
+        ratio_at[name] = min(max(now_calib / prev_calib, 1 / 3), 3.0)
 
     # Streaming / micro-batch / subprocess-bound queries are dominated by
     # fixed per-trigger overhead, not plan cost, so their sub-second warm
@@ -133,6 +177,13 @@ def main() -> None:
             or name.startswith("x3b_")
             or name.startswith("s16_")
         )
+
+    # LORIS_BENCH_ALL_MEDIAN3=1: median-of-3 warm for EVERY query (~3x
+    # bench runtime). The r10 recalibration data showed this host's
+    # throttle is BURSTY at sub-query timescales — a calib probe run
+    # seconds after a 2x-slow query measures FAST — so a uniform host
+    # ratio cannot normalize it; only per-query medians can damp it.
+    all_median3 = os.environ.get("LORIS_BENCH_ALL_MEDIAN3", "") == "1"
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -154,8 +205,10 @@ def main() -> None:
             # warm time that WOULD flag as a regression is re-run twice
             # and replaced by the median of the three warms, so only
             # reproducible slowdowns reach regressions_vs_prev.
-            if _would_flag(name, warm) or (
-                _timing_sensitive(name) and warm < 1.0
+            if (
+                all_median3
+                or _would_flag(name, warm)
+                or (_timing_sensitive(name) and warm < 1.0)
             ):
                 warms = [warm]
                 for _ in range(2):
@@ -166,6 +219,10 @@ def main() -> None:
                     warms.append(round(time.perf_counter() - t2, 3))
                 warm = statistics.median(warms)
                 remeasured.append(name)
+                # still flagging after the median? judge against the
+                # host speed NOW, not at bench start (see _recalibrate)
+                if _would_flag(name, warm):
+                    _recalibrate(name)
             timings[name] = warm
         except Exception as exc:  # a broken query must not kill the bench
             print(f"bench: {name} failed: {exc!r}", file=sys.stderr)
@@ -228,6 +285,14 @@ def main() -> None:
         # threshold multiplier applied to the regression diff above
         # (calib_jvm now / calib_jvm of the committed detail, clamped)
         "host_speed_ratio_vs_prev": round(host_ratio, 3),
+        # mid-run recalibrations: for each query whose median-of-3 still
+        # flagged against the START-of-run ratio, the JVM calib time
+        # measured at that moment (the ratio actually used for its
+        # flag decision) — this host's clock drifts WITHIN a session
+        "midrun_recalib_jvm_sec": recalibs,
+        # true when every warm time in `queries` is a median-of-3
+        # (LORIS_BENCH_ALL_MEDIAN3=1 — the bursty-throttle damper)
+        "all_median3": all_median3,
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     # Per-query map on an EARLIER line; the parseable summary must be LAST.
