@@ -113,3 +113,48 @@ def test_ngram_novelty_first_owner_semantics(spark, monkeypatch):
     assert out[1] == (2, 2, 1.0)
     assert out[2] == (2, 0, 0.0)
     assert out[3] == (0, 0, None)
+
+
+def test_ngram_novelty_matches_bruteforce(spark, monkeypatch):
+    """Property (seeded random corpora): corpus_ngram_novelty equals a
+    brute-force python replay — per doc, distinct word 3-grams; a gram
+    is credited to the LOWEST doc_id containing it."""
+    import random
+
+    import loris_mri_spark.workload.corpusops as co
+
+    rng = random.Random(99)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        docs = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab) for _ in range(rng.randint(0, 8))
+                ),
+                "s",
+            )
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, source string"
+        )
+        monkeypatch.setattr(co, "load_table", lambda s, d, t: df)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_novel"])
+            for r in co.corpus_ngram_novelty(spark, "unused").collect()
+        }
+        grams = {
+            i: set(
+                tuple(t.split()[k:k + 3])
+                for k in range(max(len(t.split()) - 2, 0))
+            )
+            for i, t, _ in docs
+        }
+        first: dict = {}
+        for i in sorted(grams):
+            for g in grams[i]:
+                first.setdefault(g, i)
+        for i in grams:
+            n_novel = sum(1 for g in grams[i] if first[g] == i)
+            assert got[i] == (len(grams[i]), n_novel), (trial, i)

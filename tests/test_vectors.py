@@ -625,3 +625,58 @@ def test_sq8_quantization_levels_and_constant_dim(spark):
             c = (got[v][d] - mn) / step
             assert abs(c - round(c)) < 1e-9
             assert abs(got[v][d] - emb[d]) <= step / 2 + 1e-12
+
+
+def test_sq8_codec_matches_numpy_replay(spark):
+    """Property (seeded grid, exhaustive over generated cases): the SQ8
+    quantize/dequantize Column expression is BIT-IDENTICAL to a pure
+    numpy replay of the same formula — mn + floor((x-mn)*255/(mx-mn)
+    + 0.5) * (mx-mn)/255, IEEE double ops in the same order — and the
+    reconstruction error never exceeds half a quantization step."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    d = 7
+    rows = [
+        (i, [rng.uniform(-100, 100) for _ in range(d)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    bounds = (
+        df.select(F.posexplode("emb").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("b")
+        )
+        .select(
+            F.expr("transform(b, s -> s.mn)").alias("mns"),
+            F.expr("transform(b, s -> s.mx)").alias("mxs"),
+        )
+    )
+    got = {
+        r["vec_id"]: np.array(r["q"])
+        for r in df.crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(emb, (x, i) -> "
+                "CASE WHEN mxs[i] = mns[i] THEN mns[i] "
+                "ELSE mns[i] + floor((x - mns[i]) * CAST(255 AS DOUBLE)"
+                " / (mxs[i] - mns[i]) + CAST(0.5 AS DOUBLE))"
+                " * (mxs[i] - mns[i]) / CAST(255 AS DOUBLE) END)"
+            ).alias("q"),
+        )
+        .collect()
+    }
+    mat = np.array([e for _, e in rows], dtype=np.float64)
+    mn, mx = mat.min(axis=0), mat.max(axis=0)
+    span = mx - mn
+    for i, emb in rows:
+        x = np.array(emb)
+        code = np.floor((x - mn) * 255.0 / span + 0.5)
+        expect = mn + code * span / 255.0
+        assert np.array_equal(got[i], expect), i
+        assert np.all(np.abs(got[i] - x) <= span / 510.0 + 1e-12), i
