@@ -547,6 +547,7 @@ R11_QUEUE: list[str] = [
     "ann_sq8_recall",
     "corpus_ngram_novelty",
     "t15_stream_corpus_gate_dedup",
+    "text_bpe_train_merges",
 ]
 
 

@@ -1048,3 +1048,175 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 6).alias("pmi_r"),
         )
     )
+
+
+_BPE_K = 8
+
+
+def bpe_replay(word_counts: "dict[str, int]", k: int) -> list:
+    """Pure-Python BPE merge-training replay — the oracle twin of
+    text_bpe_train_merges (and the unit tests' reference). Standard BPE
+    trainer over a word-frequency table: symbols start as characters,
+    each round counts adjacent symbol pairs weighted by word frequency,
+    takes the top pair by (count DESC, left ASC, right ASC), and merges
+    its non-overlapping occurrences left-to-right. Returns
+    [(rank, left, right, pair_count)]."""
+    syms = {w: list(w) for w in word_counts}
+    out = []
+    for rank in range(1, k + 1):
+        counts: dict = {}
+        for w, s in syms.items():
+            c = word_counts[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, left, right, n))
+        merged = left + right
+        for w, s in syms.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+    return out
+
+
+def _bpe_merges_values_sql() -> "str | None":
+    """Golden VALUES oracle for the BPE merge table, computed
+    INDEPENDENTLY of Spark at import time from the driver's sf0.01
+    parquet (the vec_cosine_pairs_lsh pattern): the trainer is fully
+    deterministic (integer counts, total-order tie-break), so its exact
+    output is recomputable with a pure-Python replay. Recomputed on
+    every import so a testdata refresh can never strand a stale golden;
+    returns None (rows-only fallback) when the testdata is absent."""
+    import os
+    import re
+    from collections import Counter
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=["text"])
+    wc: Counter = Counter()
+    for text in tb.column("text").to_pylist():
+        norm = re.sub(r"\s+", " ", text or "").strip().lower()
+        for w in norm.split(" "):
+            wc[w] += 1
+    rows = bpe_replay(dict(wc), _BPE_K)
+    if not rows:
+        return None
+    vals = ", ".join(
+        f"(CAST({r} AS BIGINT), '{l}', '{ri}', CAST({n} AS BIGINT))"
+        for r, l, ri, n in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals})"
+        " AS t(rank, left_sym, right_sym, pair_count)"
+    )
+
+
+@query("text_bpe_train_merges", oracle=_bpe_merges_values_sql())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING, the distributed shape: learn the first
+    {k} merge rules from the corpus — the op a training-data platform
+    runs before tokenizing 100 TB (text_bpe_token_count is the APPLY
+    side; this is the TRAIN side).
+
+    100-TB design — the industrial BPE-trainer factorization: the
+    corpus is touched EXACTLY ONCE (tokenize -> word-frequency table,
+    one map-side-combined shuffle bounded by type count, not token
+    count); every merge iteration then runs on the VOCABULARY table
+    (types x avg word length — millions of rows at web scale, never
+    petabytes). Per iteration: adjacent-pair counts (vocab-sized
+    partial-agg shuffle), top-1 by (count DESC, pair ASC) via
+    TakeOrdered limit(1), and the merge applied as a BROADCAST join of
+    that one row + a codegen'd aggregate() fold that rebuilds each
+    symbol array left-to-right (non-overlapping, leftmost-first — the
+    fold's CASE can never re-merge its own output because the merged
+    token no longer equals `left`). No driver collect inside the loop;
+    per-iteration localCheckpoint truncates the growing lineage
+    (vocab-sized — the j9 iterative pattern). Oracle: import-time
+    pure-Python golden replay (deterministic integer counts + total
+    tie-order)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    syms = words.select(
+        "wc", F.split("w", "").alias("s")
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for rank in range(1, _BPE_K + 1):
+        pairs = (
+            # sequence(1, 0) counts DOWN in Spark (the winnow_fingerprint
+            # lesson): single-symbol words must not reach the transform
+            syms.filter(F.size("s") >= 2).select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1),"
+                        " i -> struct(s[i-1] AS l, s[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("wc").alias("n"))
+        )
+        top1 = (
+            pairs.orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .select(
+                F.lit(rank).cast("long").alias("rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("n").cast("long").alias("pair_count"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(top1)
+        syms = (
+            syms.crossJoin(
+                F.broadcast(
+                    top1.select(
+                        F.col("left_sym").alias("__l"),
+                        F.col("right_sym").alias("__r"),
+                    )
+                )
+            )
+            .select(
+                "wc",
+                # leftmost-first non-overlapping merge as a fold:
+                # when the accumulator's LAST symbol is `l` and the
+                # incoming symbol is `r`, replace the last with the
+                # merged token. The fold can never re-merge its own
+                # output (concat(l, r) != l since r is non-empty), and
+                # the l == r chain case folds exactly like the
+                # reference left-to-right scan ("aaaa" -> [aa, aa]).
+                F.expr(
+                    "aggregate(s, CAST(array() AS array<string>),"
+                    " (acc, x) -> CASE WHEN size(acc) > 0"
+                    "   AND element_at(acc, -1) = __l AND x = __r"
+                    " THEN concat(slice(acc, 1, size(acc) - 1),"
+                    "             array(concat(__l, __r)))"
+                    " ELSE concat(acc, array(x)) END)"
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

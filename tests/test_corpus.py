@@ -158,3 +158,48 @@ def test_ngram_novelty_matches_bruteforce(spark, monkeypatch):
         for i in grams:
             n_novel = sum(1 for g in grams[i] if first[g] == i)
             assert got[i] == (len(grams[i]), n_novel), (trial, i)
+
+
+def test_bpe_fold_matches_replay_on_adversarial_corpus(spark, monkeypatch):
+    """The BPE merge fold must equal the left-to-right reference scan on
+    the adversarial shapes: l == r chains (odd/even runs), a merge
+    immediately followed by another trigger, and single-char words
+    contributing no pairs."""
+    import loris_mri_spark.workload.text as tx
+    from loris_mri_spark.workload.text import _BPE_K, bpe_replay
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa aaa aa a", "s"),
+            (2, "abb aab abab", "s"),
+            (3, "aaaa abab", "s"),
+            (4, "x", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, t: docs)
+    got = [
+        tuple(r)
+        for r in tx.text_bpe_train_merges(spark, "unused")
+        .orderBy("rank")
+        .collect()
+    ]
+    wc: dict = {}
+    for _, text, _src in docs.collect():
+        for w in text.lower().split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    assert got == bpe_replay(wc, _BPE_K)
+
+
+def test_bpe_replay_merge_semantics():
+    """Reference-scan unit facts: non-overlapping leftmost-first ('aaaa'
+    counts the aa pair 3 times but merges to exactly [aa, aa]), and the
+    (count DESC, pair ASC) tie order."""
+    from loris_mri_spark.workload.text import bpe_replay
+
+    out = bpe_replay({"aaaa": 1}, 2)
+    # round 1: pair (a,a) count 3 -> merge; round 2: (aa,aa) count 1
+    assert out == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+    # tie: (a,b) and (b,a) both count 2 -> 'a' < 'b' wins
+    out2 = bpe_replay({"abab": 1}, 1)
+    assert out2 == [(1, "a", "b", 2)]
