@@ -1109,7 +1109,9 @@ def _bpe_merges_values_sql() -> "str | None":
     tb = pq.read_table(path, columns=["text"])
     wc: Counter = Counter()
     for text in tb.column("text").to_pylist():
-        norm = re.sub(r"\s+", " ", text or "").strip().lower()
+        if text is None:
+            continue  # Spark's explode(tokens(NULL)) drops the row
+        norm = re.sub(r"\s+", " ", text).strip().lower()
         for w in norm.split(" "):
             wc[w] += 1
     rows = bpe_replay(dict(wc), _BPE_K)
