@@ -117,15 +117,34 @@ def budget_shards(
     cost as the previous collect-based shape, minus the driver
     materialization). Callers with an expensive weight expression should
     pre-materialize it."""
+    import os
+
+    # Null ids are out of contract. The default path FILTERS them (bucket
+    # -1 would sort first in the offset prefix-sum window, so a null-id
+    # row's weight would silently offset every real bucket and shift all
+    # shard_ids) — but a silent filter also means an upstream regression
+    # that starts feeding nulls shrinks the output and the weight budget
+    # with no signal. Verify/debug runs set LORIS_STRICT_CONTRACTS=1 to
+    # FAIL LOUDLY instead: the id goes through a raise_error branch (zero
+    # extra passes — the check rides the existing projection), restoring
+    # the pre-r9 collect shape's fail-on-None behavior.
+    strict = os.environ.get("LORIS_STRICT_CONTRACTS") == "1"
+    id_expr = _c(id_col).cast("long")
+    if strict:
+        id_expr = F.when(
+            id_expr.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"budget_shards: null {id_col} is out of contract"
+                    " (LORIS_STRICT_CONTRACTS=1)"
+                )
+            ).cast("long"),
+        ).otherwise(id_expr)
     data = (
         df.select(
-            _c(id_col).alias("__id").cast("long"),
+            id_expr.alias("__id"),
             _c(weight_col).cast("long").alias("__w"),
         )
-        # Null ids are out of contract and are FILTERED here: bucket -1
-        # would sort first in the offset prefix-sum window, so a null-id
-        # row's weight would silently offset every real bucket and shift
-        # all shard_ids (the pre-r9 collect shape failed loudly on None).
         .filter(F.col("__id").isNotNull())
         # coalesce makes the bucket key provably NON-NULLABLE: a nullable
         # computed join key gets an isnotnull() filter pushed below the

@@ -231,6 +231,11 @@ def encode_float_chunk(
     def _enc(idx: pa.Array, ds: pa.Array, samples: pa.Array) -> pa.Array:
         import numpy as np
         import pyarrow as _pa
+        # `import pyarrow` does NOT import the compute submodule; the
+        # pyspark 4.1 Arrow worker merely happens to have imported it
+        # before user code runs. Import it explicitly so the UDF body
+        # never depends on that side effect.
+        import pyarrow.compute as _pc
 
         if isinstance(samples, _pa.ChunkedArray):
             samples = samples.combine_chunks()
@@ -254,9 +259,7 @@ def encode_float_chunk(
         )
         ds_np = np.asarray(ds.to_numpy(zero_copy_only=False), dtype=np.int64)
         lengths = np.asarray(
-            pa.compute.list_value_length(samples).to_numpy(
-                zero_copy_only=False
-            ),
+            _pc.list_value_length(samples).to_numpy(zero_copy_only=False),
             dtype=np.int64,
         )
         msgs, _ = pb_encode_float_chunk_vec(idx_np, ds_np, lengths, samples)

@@ -758,7 +758,7 @@ def _t15_oracle() -> str:
     WITH n AS (SELECT doc_id, {norm} AS norm,
                       string_split({norm}, ' ') AS t
                FROM documents)
-    SELECT doc_id, md5(norm) AS text_md5,
+    SELECT DISTINCT md5(norm) AS text_md5,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(length(norm) AS BIGINT) AS n_chars_norm
     FROM n
@@ -785,6 +785,14 @@ def t15_stream_corpus_gate_dedup(
     on md5(normalized text), so re-uploads and cross-batch duplicates
     collapse; output lands through the t4 bid-keyed foreachBatch spool
     (retry-idempotent, the disk-sink shape the 100x sweep certifies).
+    The output is CONTENT-ADDRESSED — (text_md5, n_tokens,
+    n_chars_norm), no doc_id: dropDuplicates keeps the FIRST-ARRIVING
+    row per hash, and across micro-batches that arrival order is not
+    deterministic, so any surviving-id column would make the drained
+    result depend on file scheduling the moment the corpus carries two
+    gate-passing docs with identical normalized text (sf0.1 has 8 such
+    groups). All retained columns are functions of the normalized text
+    itself, so every member of a duplicate group yields the same row.
     Drained with availableNow it must equal the batch gate + distinct.
     State note for 100 TB: content-hash dedup state grows with the
     unique corpus — the bounded-state production variant is
@@ -812,7 +820,6 @@ def t15_stream_corpus_gate_dedup(
         & stop_ratio.between(0.01, 0.7)
     )
     gated = n.filter(good).select(
-        "doc_id",
         F.md5(F.encode("norm", "utf-8")).alias("text_md5"),
         F.size("t").cast("long").alias("n_tokens"),
         F.length("norm").cast("long").alias("n_chars_norm"),

@@ -14,6 +14,8 @@ document profiling.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1089,6 +1091,48 @@ def bpe_replay(word_counts: "dict[str, int]", k: int) -> list:
     return out
 
 
+# Java's \s (what Spark's tokens()/norm_text() regex matches) is the
+# ASCII class [ \t\n\x0b\f\r] ONLY — Python's \s additionally matches
+# Unicode whitespace (NBSP, ideographic space, ...), so a replay using
+# Python \s silently diverges the word counts the first time the
+# testdata carries non-ASCII whitespace. Likewise Java's trim() strips
+# every codepoint <= U+0020, not Python str.strip()'s Unicode set.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+
+
+def _word_counts_java_norm(texts: "list") -> "dict[str, int]":
+    """Word-frequency table over raw document texts, normalized EXACTLY
+    like the Spark plan's tokens() (Java-regex whitespace semantics —
+    see _JAVA_WS). Shared by both golden-replay oracle builders."""
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for text in texts:
+        if text is None:
+            continue  # Spark's explode(tokens(NULL)) drops the row
+        norm = _JAVA_WS.sub(" ", text).strip(_JAVA_TRIM).lower()
+        for w in norm.split(" "):
+            wc[w] += 1
+    return dict(wc)
+
+
+def _bpe_values_sql(rows: "list") -> str:
+    """VALUES oracle for a merge-rule list. Symbols are embedded as SQL
+    string literals, so single quotes must be doubled — today's fixtures
+    carry none, but a refresh must not generate broken SQL."""
+    vals = ", ".join(
+        "(CAST({r} AS BIGINT), '{l}', '{ri}', CAST({n} AS BIGINT))".format(
+            r=r, l=l.replace("'", "''"), ri=ri.replace("'", "''"), n=n
+        )
+        for r, l, ri, n in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals})"
+        " AS t(rank, left_sym, right_sym, pair_count)"
+    )
+
+
 def _bpe_merges_values_sql() -> "str | None":
     """Golden VALUES oracle for the BPE merge table, computed
     INDEPENDENTLY of Spark at import time from the driver's sf0.01
@@ -1098,8 +1142,6 @@ def _bpe_merges_values_sql() -> "str | None":
     every import so a testdata refresh can never strand a stale golden;
     returns None (rows-only fallback) when the testdata is absent."""
     import os
-    import re
-    from collections import Counter
 
     path = "/root/testdata/sf0.01/documents.parquet"
     if not os.path.exists(path):
@@ -1107,24 +1149,10 @@ def _bpe_merges_values_sql() -> "str | None":
     import pyarrow.parquet as pq
 
     tb = pq.read_table(path, columns=["text"])
-    wc: Counter = Counter()
-    for text in tb.column("text").to_pylist():
-        if text is None:
-            continue  # Spark's explode(tokens(NULL)) drops the row
-        norm = re.sub(r"\s+", " ", text).strip().lower()
-        for w in norm.split(" "):
-            wc[w] += 1
-    rows = bpe_replay(dict(wc), _BPE_K)
+    rows = bpe_replay(_word_counts_java_norm(tb.column("text").to_pylist()), _BPE_K)
     if not rows:
         return None
-    vals = ", ".join(
-        f"(CAST({r} AS BIGINT), '{l}', '{ri}', CAST({n} AS BIGINT))"
-        for r, l, ri, n in rows
-    )
-    return (
-        f"SELECT * FROM (VALUES {vals})"
-        " AS t(rank, left_sym, right_sym, pair_count)"
-    )
+    return _bpe_values_sql(rows)
 
 
 @query("text_bpe_train_merges", oracle=_bpe_merges_values_sql())

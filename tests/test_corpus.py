@@ -69,6 +69,30 @@ def test_budget_shards_matches_global_window(spark, sf_dir):
     assert min(got.values()) == 0
 
 
+def test_budget_shards_null_id_contract(spark, monkeypatch):
+    """Null ids are out of contract: the default path silently filters
+    them (documented), LORIS_STRICT_CONTRACTS=1 fails loudly instead —
+    the verify-run signal for an upstream null-id regression (r10
+    ADVICE: the silent filter shrinks the weight budget with no error)."""
+    d = spark.createDataFrame(
+        [(1, 10), (None, 99), (2, 20)], "id long, w long"
+    )
+    monkeypatch.delenv("LORIS_STRICT_CONTRACTS", raising=False)
+    rows = budget_shards(d, "id", "w", budget=100).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2]  # filtered, shard math clean
+    assert all(r["shard_id"] == 0 for r in rows)
+
+    monkeypatch.setenv("LORIS_STRICT_CONTRACTS", "1")
+    import pytest
+
+    with pytest.raises(Exception) as exc:
+        budget_shards(d, "id", "w", budget=100).collect()
+    assert "out of contract" in str(exc.value)
+    # strict mode is transparent for in-contract input
+    clean = spark.createDataFrame([(1, 10), (2, 20)], "id long, w long")
+    assert budget_shards(clean, "id", "w", budget=100).count() == 2
+
+
 def test_contamination_screen_matches_brute_force(spark, sf_dir):
     from loris_mri_spark.functions.texthash import tokens, word_shingles
 
