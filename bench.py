@@ -178,12 +178,15 @@ def main() -> None:
             or name.startswith("s16_")
         )
 
-    # LORIS_BENCH_ALL_MEDIAN3=1: median-of-3 warm for EVERY query (~3x
-    # bench runtime). The r10 recalibration data showed this host's
-    # throttle is BURSTY at sub-query timescales — a calib probe run
-    # seconds after a 2x-slow query measures FAST — so a uniform host
-    # ratio cannot normalize it; only per-query medians can damp it.
-    all_median3 = os.environ.get("LORIS_BENCH_ALL_MEDIAN3", "") == "1"
+    # Median-of-3 warm for EVERY query is the DEFAULT since r11 (~3x
+    # bench runtime; set LORIS_BENCH_ALL_MEDIAN3=0 for a quick single
+    # shot). The r10 recalibration data showed this host's throttle is
+    # BURSTY at sub-query timescales — a calib probe run seconds after a
+    # 2x-slow query measures FAST — so a uniform host ratio cannot
+    # normalize it; only per-query medians can damp it. The r10 driver
+    # artifact proved the point: its single-shot run emitted 36
+    # regression flags, every one adjudicated as throttle noise.
+    all_median3 = os.environ.get("LORIS_BENCH_ALL_MEDIAN3", "1") != "0"
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
