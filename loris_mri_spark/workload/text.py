@@ -1250,3 +1250,81 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+_BPE_VOCAB_K = 256
+
+
+def _bpe_vocab_values_sql() -> "str | None":
+    """Golden VALUES oracle for the k=256 vocab-local trainer — same
+    recipe as _bpe_merges_values_sql (import-time pure-Python replay of
+    the deterministic trainer on the driver's sf0.01 parquet), at the
+    realistic merge count. On this corpus the vocabulary EXHAUSTS before
+    256 merges (every word becomes one symbol), so the golden also pins
+    the early-stop semantics."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=["text"])
+    rows = bpe_replay(
+        _word_counts_java_norm(tb.column("text").to_pylist()), _BPE_VOCAB_K
+    )
+    if not rows:
+        return None
+    return _bpe_values_sql(rows)
+
+
+@query("text_bpe_train_vocab", oracle=_bpe_vocab_values_sql())
+def text_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training at a REALISTIC merge count (k=256) — the
+    scale-safe merge phase. text_bpe_train_merges (k=8) proved the
+    distributed factorization's data side: the corpus is touched exactly
+    once (tokenize -> word-frequency table, one map-side-combined shuffle
+    bounded by TYPE count), and each merge then needs only the vocabulary.
+    But its merge loop costs ~3 driver-coordinated Spark jobs + 2 eager
+    localCheckpoints PER MERGE — at a tokenizer's real k (30k-100k)
+    that is ~1e5 driver round trips, a bottleneck in ITERATION COUNT
+    even though the data side is right.
+
+    This query keeps the distributed word-count pass and lands the merge
+    phase in ONE applyInPandas task over a constant group: the word-
+    frequency table is types x avg-word-length sized (millions of rows
+    at web scale — one task's memory at any corpus size), and the
+    in-task trainer (operators/bpe.bpe_train_incremental) maintains
+    pair counts INCREMENTALLY, so per-merge cost is O(words containing
+    the merged pair), with zero Spark jobs inside the loop. 100-TB
+    shape: corpus pass scales out; merge phase is corpus-size-
+    independent. Oracle: import-time golden replay at the same k —
+    an INDEPENDENT from-scratch recount implementation, so parity is a
+    real check of the incremental index maintenance."""
+    from loris_mri_spark.operators.bpe import bpe_train_incremental
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+
+    def _train(pdf):
+        import pandas as pd
+
+        wc = dict(zip(pdf["w"], pdf["wc"].astype(int)))
+        rows = bpe_train_incremental(wc, _BPE_VOCAB_K)
+        return pd.DataFrame(
+            rows, columns=["rank", "left_sym", "right_sym", "pair_count"]
+        )
+
+    return (
+        words.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            _train,
+            schema="rank long, left_sym string, right_sym string,"
+            " pair_count long",
+        )
+    )

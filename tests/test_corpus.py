@@ -215,6 +215,73 @@ def test_bpe_fold_matches_replay_on_adversarial_corpus(spark, monkeypatch):
     assert got == bpe_replay(wc, _BPE_K)
 
 
+def test_bpe_incremental_trainer_matches_replay():
+    """The vocab-local incremental trainer (pair counts + inverted index
+    maintained across merges) must equal the from-scratch replay on
+    adversarial shapes: overlapping runs, pairs whose count decays to
+    zero, re-appearing pairs built from merged symbols, exhaustion
+    before k, empty words, and randomized corpora."""
+    import random
+
+    from loris_mri_spark.operators.bpe import bpe_train_incremental
+    from loris_mri_spark.workload.text import bpe_replay
+
+    cases = [
+        {"aaaa": 1},
+        {"aaaa": 3, "aaa": 2, "aa": 7, "a": 5},
+        {"abab": 2, "abb": 1, "aab": 4},
+        {"": 3, "x": 2, "xy": 1},  # empty + single-char words
+        {"banana": 10, "bandana": 5, "ananas": 2},
+    ]
+    rng = random.Random(11)
+    alpha = "abc"
+    for _ in range(20):
+        cases.append(
+            {
+                "".join(
+                    rng.choice(alpha) for _ in range(rng.randrange(0, 9))
+                ): rng.randrange(1, 6)
+                for _ in range(rng.randrange(1, 12))
+            }
+        )
+    for wc in cases:
+        for k in (1, 4, 64):  # 64 >> any exhaustion point here
+            assert bpe_train_incremental(dict(wc), k) == bpe_replay(
+                dict(wc), k
+            ), (wc, k)
+
+
+def test_bpe_vocab_query_matches_replay_at_k256(spark, monkeypatch):
+    """End-to-end: the applyInPandas single-task merge phase returns the
+    replay's exact merge table, including early exhaustion (the corpus
+    fully merges long before k=256)."""
+    import loris_mri_spark.workload.text as tx
+    from loris_mri_spark.workload.text import _BPE_VOCAB_K, bpe_replay
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "s"),
+            (2, "the bat and the cat", "s"),
+            (3, "matting batting catting", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, d, t: docs)
+    got = [
+        tuple(r)
+        for r in tx.text_bpe_train_vocab(spark, "unused")
+        .orderBy("rank")
+        .collect()
+    ]
+    wc: dict = {}
+    for _, text, _src in docs.collect():
+        for w in text.lower().split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    exp = bpe_replay(wc, _BPE_VOCAB_K)
+    assert got == exp
+    assert 0 < len(exp) < _BPE_VOCAB_K  # exhaustion path exercised
+
+
 def test_bpe_replay_merge_semantics():
     """Reference-scan unit facts: non-overlapping leftmost-first ('aaaa'
     counts the aa pair 3 times but merges to exactly [aa, aa]), and the

@@ -362,6 +362,18 @@ def test_semdedup_cell_local_grouped_map(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_bpe_vocab_trainer_single_grouped_map(spark, sf_dir):
+    """text_bpe_train_vocab's merge phase is ONE grouped-map task over
+    the word-frequency table: exactly one FlatMapGroupsInPandas, fed by
+    the type-bounded partial-agg word count (HashAggregate pair around
+    one exchange) — and NO per-merge Spark stages at all (the k=8
+    distributed loop this replaces paid ~3 jobs per merge)."""
+    plan = _plan(workload.QUERIES["text_bpe_train_vocab"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_x5_grouped_agg_single_pandas_aggregate(spark, sf_dir):
     """The GROUPED_AGG pandas UDAF plans as exactly one Arrow aggregate
     node (full-vector shuffle per group — the documented no-partial-agg
