@@ -135,6 +135,27 @@ def winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(spark, ("winnow_fps", sf_dir), build)
 
 
+def winnow_fps_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) winnow fingerprints under the CHEAP polynomial
+    codepoint hash (workload/text.winnow_fingerprint_poly) — the r10
+    profile showed md5_60 is ~85% of the md5 pair query's cost at 100x,
+    so the hash kernel, not the join, is the family's lever. Same
+    Generate-barrier shape as winnow_fps."""
+    from loris_mri_spark.functions.texthash import let
+    from loris_mri_spark.workload.text import winnow_fingerprint_poly
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.array(let(norm_text("text"), winnow_fingerprint_poly))
+            ).alias("fp"),
+        ).filter(F.size("fp") > 0)
+
+    return _shared(spark, ("winnow_fps_poly", sf_dir), build)
+
+
 @query(
     "dedup_exact",
     oracle=f"""
@@ -288,11 +309,10 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_MAX_DF = 50
 
 
-def _winnow_pairs_oracle() -> str:
-    from loris_mri_spark.workload.text import WINNOW_FP_CTE
-
+def _winnow_pairs_body() -> str:
+    """The candidate-cap + exact-verify SQL, shared verbatim by the md5
+    and poly pair oracles — only the fingerprint CTE differs."""
     return f"""
-    WITH {WINNOW_FP_CTE},
     posts AS (SELECT doc_id, unnest(fp) AS s FROM final),
     keep AS (SELECT s FROM posts GROUP BY s HAVING count(*) <= {_WINNOW_MAX_DF}),
     kp AS (SELECT p.doc_id, p.s FROM posts p JOIN keep USING (s)),
@@ -309,6 +329,18 @@ def _winnow_pairs_oracle() -> str:
     FROM pairs
     WHERE cnum * 1.0 / (na + nb - cnum) >= 0.5
     """
+
+
+def _winnow_pairs_poly_oracle() -> str:
+    from loris_mri_spark.workload.text import WINNOW_FP_POLY_CTE
+
+    return f"WITH {WINNOW_FP_POLY_CTE}, {_winnow_pairs_body()}"
+
+
+def _winnow_pairs_oracle() -> str:
+    from loris_mri_spark.workload.text import WINNOW_FP_CTE
+
+    return f"WITH {WINNOW_FP_CTE}, {_winnow_pairs_body()}"
 
 
 def _winnow_coverage_oracle() -> str:
@@ -361,6 +393,28 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     first pass a 100 TB pipeline runs. Oracle applies the identical
     candidate rule + exact verify."""
     fps = winnow_fps(spark, sf_dir)
+    return capped_jaccard_pairs(
+        fps, "doc_id", "fp", threshold=0.5, max_df=_WINNOW_MAX_DF
+    ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
+
+
+@query("dedup_winnow_pairs_poly", oracle=_winnow_pairs_poly_oracle())
+def dedup_winnow_pairs_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_winnow_pairs with the CHEAP-HASH fingerprint (r10 VERDICT
+    item 4). The r10 profile (SCALE.md "measured non-change 3") showed
+    the md5_60 gram hash is ~85% of the md5 query's 87.8 s at 100x —
+    the join machinery is ~15% — so the hash kernel is the only lever
+    left on this family. The polynomial codepoint hash
+    (workload/text.winnow_fingerprint_poly) replaces md5 + hex-parse
+    with one ascii() per character and five array lookups + integer
+    arithmetic per gram, IDENTICALLY computable in DuckDB, so the
+    oracle stays hash-exact. Same winnowing, same df<=50 candidate cap,
+    same exact-Jaccard verify at 0.5; the md5 original stays registered
+    as the portable-hash reference. Different hashes select different
+    window mins, so the two variants' pair lists may legitimately
+    differ on borderline documents — each is exact w.r.t. its own
+    fingerprint definition."""
+    fps = winnow_fps_poly(spark, sf_dir)
     return capped_jaccard_pairs(
         fps, "doc_id", "fp", threshold=0.5, max_df=_WINNOW_MAX_DF
     ).select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))

@@ -279,22 +279,105 @@ def winnow_fingerprint(nrm: Column) -> Column:
         ),
     ).otherwise(empty)
 
-    def windows(h: Column) -> Column:
-        # Guard: Spark's sequence(1, 0) counts DOWN, so short docs need
-        # an explicit empty branch (DuckDB's range(1, 0) is empty).
-        return F.when(
-            F.size(h) >= 4,
-            F.array_sort(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(h) - 3),
-                        lambda i: F.array_min(F.slice(h, i, 4)),
-                    )
-                )
-            ),
-        ).otherwise(empty)
+    return let(grams, _winnow_window_mins)
 
-    return let(grams, windows)
+
+def _winnow_window_mins(h: Column) -> Column:
+    """Winnowing's window stage, shared by the md5 and poly fingerprints:
+    min per sliding window of 4 over the gram-hash array, distinct-sorted.
+    Guard: Spark's sequence(1, 0) counts DOWN, so short docs need an
+    explicit empty branch (DuckDB's range(1, 0) is empty)."""
+    empty = F.array().cast("array<bigint>")
+    return F.when(
+        F.size(h) >= 4,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(h) - 3),
+                    lambda i: F.array_min(F.slice(h, i, 4)),
+                )
+            )
+        ),
+    ).otherwise(empty)
+
+
+# Oracle-portable polynomial gram hash (the cheap-hash winnow variant,
+# r10 VERDICT item 4): md5_60 is ~85% of dedup_winnow_pairs' cost at 100x
+# (SCALE.md "measured non-change 3"), and the md5 pin is self-imposed —
+# oracle portability, not a reference semantic. This hash is computable
+# IDENTICALLY in Spark and DuckDB from plain integer arithmetic:
+#   raw = cp0*131^4 + cp1*131^3 + cp2*131^2 + cp3*131 + cp4
+#   h   = ((raw % 1048573) * 2654435761) % 2147483647
+# Overflow audit (both engines run BIGINT, DuckDB errors on overflow):
+# max codepoint 0x10FFFF -> raw < 3.3e14; (raw % 1048573) * 2654435761
+# < 2.8e15 — comfortably inside int64. The Knuth-style multiply+remainder
+# finalizer breaks the raw polynomial's first-char dominance (without it
+# the window min degenerates to "grams starting with the lowest
+# codepoint"). 31-bit range: rare collisions only weaken winnow recall
+# marginally and IDENTICALLY in both engines, so parity is exact.
+_POLY_B = (294499921, 2248091, 17161, 131, 1)
+_POLY_M1 = 1048573
+_POLY_MIX = 2654435761
+_POLY_M2 = 2147483647
+
+
+def winnow_fingerprint_poly(nrm: Column) -> Column:
+    """Cheap-hash sibling of winnow_fingerprint: identical winnowing
+    (char 5-grams, min per sliding window of 4, distinct-sorted) with
+    the polynomial codepoint hash above instead of md5_60. The codepoint
+    array is computed ONCE per document (one ascii() per char) and each
+    gram hash is five array lookups + integer arithmetic — no md5, no
+    hex parse. Both arrays are `let`-bound (the quadratic-substitution
+    guard, see winnow_fingerprint)."""
+    from loris_mri_spark.functions.texthash import let
+
+    empty = F.array().cast("array<bigint>")
+
+    def grams(cp: Column) -> Column:
+        def gram_hash(i: Column) -> Column:
+            raw = sum(
+                (
+                    F.element_at(cp, i + k) * F.lit(b)
+                    for k, b in enumerate(_POLY_B[1:], start=1)
+                ),
+                F.element_at(cp, i) * F.lit(_POLY_B[0]),
+            )
+            return raw % _POLY_M1 * F.lit(_POLY_MIX) % _POLY_M2
+
+        hashes = F.when(
+            F.size(cp) >= 5,
+            F.transform(F.sequence(F.lit(1), F.size(cp) - 4), gram_hash),
+        ).otherwise(empty)
+        return let(hashes, _winnow_window_mins)
+
+    cps = F.transform(F.split(nrm, ""), lambda c: F.ascii(c).cast("long"))
+    return let(cps, grams)
+
+
+# DuckDB form of winnow_fingerprint_poly (CTE yielding final(doc_id, fp)),
+# the exact SQL twin of the expression above.
+WINNOW_FP_POLY_CTE = f"""
+    cps AS (
+      SELECT doc_id,
+             list_transform(string_split({{norm}}, ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS cp
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(cp) - 3, 1)),
+               i -> (cp[i] * 294499921 + cp[i+1] * 2248091
+                     + cp[i+2] * 17161 + cp[i+3] * 131 + cp[i+4])
+                    % 1048573 * 2654435761 % 2147483647) AS h
+      FROM cps),
+    wins AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(h) - 2, 1)),
+                 i -> list_min(h[i:i+3])))) AS fp
+      FROM grams),
+    final AS (
+      SELECT doc_id, fp FROM wins WHERE len(fp) > 0)
+""".format(norm=_NORM)
 
 
 # DuckDB form of winnow_fingerprint, shared by this module's oracle and

@@ -79,6 +79,60 @@ def test_winnow_capped_candidates_equal_brute_force(spark, sf_dir):
     assert capped == brute
 
 
+def test_winnow_poly_fingerprint_matches_python_reference(spark):
+    """Third-implementation check for the cheap-hash winnow variant: the
+    Spark expression must equal a from-scratch Python winnow on crafted
+    strings, including non-ASCII codepoints (ascii() must read the FULL
+    codepoint in both engines) and the short-string empty branches."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.functions.texthash import let, norm_text
+    from loris_mri_spark.workload.text import (
+        _POLY_B,
+        _POLY_M1,
+        _POLY_M2,
+        _POLY_MIX,
+        winnow_fingerprint_poly,
+    )
+
+    def py_fp(text: str) -> list:
+        norm = " ".join(text.split()).lower()  # ASCII fixtures: same norm
+        cps = [ord(c) for c in norm]
+        if len(cps) < 5:
+            return []
+        hs = [
+            sum(c * b for c, b in zip(cps[i : i + 5], _POLY_B))
+            % _POLY_M1
+            * _POLY_MIX
+            % _POLY_M2
+            for i in range(len(cps) - 4)
+        ]
+        if len(hs) < 4:
+            return []
+        return sorted({min(hs[i : i + 4]) for i in range(len(hs) - 3)})
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcd",  # < 5 chars -> no grams
+        "abcdefg",  # 3 grams -> < 4 windows -> empty
+        "abcdefgh",  # exactly 4 grams -> 1 window
+        "naïve café résumé über alles today",  # non-ASCII
+        "aaaaaaaaaaaaaaaa",  # constant grams -> 1 distinct fingerprint
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["fp"])
+        for r in df.select(
+            "doc_id",
+            let(norm_text("text"), winnow_fingerprint_poly).alias("fp"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_fp(t), (i, t)
+
+
 def test_duplicate_token_spans_merge_semantics(spark):
     """Hand-built corpus: doc 1 and 2 share a 7-token run (three
     overlapping 5-windows -> ONE merged island); doc 3 repeats a
