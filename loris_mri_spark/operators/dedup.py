@@ -349,6 +349,49 @@ def capped_index_coverage(
     )
 
 
+def minhash_band_table(
+    docs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(i, band, bkey) banded MinHash keys from ``docs(i, __sh)`` — the
+    signature/banding core shared by the batch pair finder below and the
+    streaming near-dedup (workload/streaming_ops.t16): two documents are
+    LSH candidates iff they share a (band, bkey) row, and the keys are
+    deterministic (seeded xxhash64), so keys computed in DIFFERENT
+    micro-batches / runs join correctly against a persistent store."""
+    from loris_mri_spark.functions.texthash import let
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    # let-bind the shingle array: the signature's outer transform would
+    # otherwise re-evaluate the (inlined) shingle pipeline once per hash.
+    sigs = docs.withColumn(
+        "__sig",
+        let(
+            F.col("__sh"),
+            lambda sh: F.transform(
+                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                lambda h: F.array_min(
+                    F.transform(sh, lambda s: F.xxhash64(h, s))
+                ),
+            ),
+        ),
+    )
+    # Band key: hash of the band's signature slice (cast to string — a
+    # deterministic, order-preserving encoding of the slice).
+    return sigs.select(
+        "i",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"xxhash64(b, cast(slice(__sig, b * {r} + 1, {r}) as string)) AS bkey))"
+            )
+        ).alias("bb"),
+    ).select(
+        "i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     shingled: DataFrame,
     id_col: str,
@@ -364,11 +407,6 @@ def minhash_lsh_pairs(
     (candidates form ONLY within buckets) -> exact Jaccard on candidates ->
     filter >= threshold. Returns (i, j, jaccard), i < j.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-
-    from loris_mri_spark.functions.texthash import let
-
     # Explicit-exchange anchor (the capped_jaccard_pairs shape): the
     # shingle pipeline — usually an inlined tokenize + n-gram transform,
     # the scan's dominant cost — evaluates ONCE; the signature build and
@@ -386,34 +424,9 @@ def minhash_lsh_pairs(
         .filter(F.col("i").isNotNull() & F.col("__sh").isNotNull())
         .repartition("i")
     )
-    # let-bind the shingle array: the signature's outer transform would
-    # otherwise re-evaluate the (inlined) shingle pipeline once per hash.
-    sigs = docs.withColumn(
-        "__sig",
-        let(
-            F.col("__sh"),
-            lambda sh: F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda h: F.array_min(
-                    F.transform(sh, lambda s: F.xxhash64(h, s))
-                ),
-            ),
-        ),
+    band_tbl = minhash_band_table(docs, num_hashes, bands).repartition(
+        "band", "bkey"
     )
-    # Band key: hash of the band's signature slice (cast to string — a
-    # deterministic, order-preserving encoding of the slice).
-    band_tbl = sigs.select(
-        "i",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"xxhash64(b, cast(slice(__sig, b * {r} + 1, {r}) as string)) AS bkey))"
-            )
-        ).alias("bb"),
-    ).select(
-        "i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    ).repartition("band", "bkey")
     # ^ explicit-exchange anchor on the join keys: both candidate-join
     #   sides embed the identical repartition subplan, so the minhash
     #   signature (num_hashes xxhash64 folds over every shingle) runs

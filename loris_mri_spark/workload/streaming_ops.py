@@ -828,3 +828,133 @@ def t15_stream_corpus_gate_dedup(
     sink = scratch_dir("t15-sink")
     run_foreach_batch_append(deduped, sink, "t15")
     return spark.read.parquet(sink).drop("bid")
+
+
+def _t16_oracle() -> str:
+    from loris_mri_spark.workload.dedup import _BRUTE_JACCARD_08
+
+    return _BRUTE_JACCARD_08
+
+
+@query("t16_stream_near_dedup", oracle=_t16_oracle())
+def t16_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16: STREAMING NEAR-duplicate detection against a persistent
+    fingerprint store — t15 suppresses exact re-uploads (md5 equality);
+    the production corpus stream also needs the near-dup signal, and
+    this composes the two existing pieces the r10 verdict named: the
+    MinHash banding core (operators/dedup.minhash_band_table, the exact
+    code the batch pair finder runs) inside foreachBatch, against a
+    t8-style persistent store.
+
+    Per micro-batch: shingle the arriving documents ONCE (checkpointed —
+    bands, verify, and the store write all read it), compute their
+    banded MinHash keys, find candidates (a) WITHIN the batch by banded
+    self-join and (b) AGAINST the store of every earlier batch's keys by
+    banded equi-join, exact-verify candidates with full-array Jaccard
+    (batch + stored shingle arrays), and append verified pairs, band
+    keys, and shingles — all bid-keyed overwrites, the T4 idempotence
+    pattern. Store reads filter bid < current so an at-least-once retry
+    never joins a batch against its own partial output. Because band
+    keys are deterministic (seeded xxhash64), within-batch pairs +
+    batch-x-store pairs across all batches = EXACTLY the batch
+    all-pairs banded self-join, so the drained pair set equals
+    dedup_minhash_lsh_pairs and shares its brute-force oracle.
+
+    100-TB shape: the store is the only growing state and it lives in
+    storage, not executor memory (at scale: bucketed on (band, bkey) so
+    the candidate join shuffles only the incoming batch; store blooms
+    on bkey skip row groups, the t8 recipe). Candidates stay
+    bucket-local — no all-pairs stage anywhere."""
+    from loris_mri_spark.functions.texthash import tokens, word_shingles
+    from loris_mri_spark.operators.dedup import minhash_band_table
+    from loris_mri_spark.streaming.incremental import (
+        _checkpoint,
+        _scoped_stream_partitions,
+    )
+
+    sdf = _stream_documents(spark, sf_dir, "t16-landing")
+    band_store = scratch_dir("t16-bands")
+    sh_store = scratch_dir("t16-shingles")
+    pair_sink = scratch_dir("t16-pairs")
+
+    def detect_batch(bdf: DataFrame, bid: int) -> None:
+        bspark = bdf.sparkSession
+        docs = (
+            bdf.select(
+                F.col("doc_id").alias("i"),
+                word_shingles(tokens("text"), 3).alias("__sh"),
+            )
+            .filter(F.col("i").isNotNull() & (F.size("__sh") > 0))
+            .localCheckpoint()  # one shingle evaluation, three consumers
+        )
+        bands = minhash_band_table(docs, num_hashes=32, bands=16)
+        cand = (
+            bands.alias("x")
+            .join(
+                bands.select(
+                    F.col("i").alias("j"), "band", "bkey"
+                ).alias("y"),
+                ["band", "bkey"],
+            )
+            .filter(F.col("x.i") < F.col("y.j"))
+            .select("i", "j")
+        )
+        sides = docs.select("i", "__sh")
+        prev = [
+            d
+            for d in os.listdir(band_store)
+            if d.startswith("bid=") and int(d[4:]) < bid
+        ]
+        if prev:
+            prev_bands = (
+                bspark.read.parquet(band_store)
+                .filter(F.col("bid") < bid)
+                .drop("bid")
+            )
+            cross = (
+                bands.alias("x")
+                .join(
+                    prev_bands.select(
+                        F.col("i").alias("j"), "band", "bkey"
+                    ).alias("y"),
+                    ["band", "bkey"],
+                )
+                .select(
+                    F.least("i", "j").alias("i"),
+                    F.greatest("i", "j").alias("j"),
+                )
+            )
+            cand = cand.unionByName(cross)
+            sides = sides.unionByName(
+                bspark.read.parquet(sh_store)
+                .filter(F.col("bid") < bid)
+                .select("i", "__sh")
+            )
+        cand = cand.distinct()
+        inter = F.size(F.array_intersect("__sha", "__shb"))
+        jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+        pairs = (
+            cand.join(sides.select("i", F.col("__sh").alias("__sha")), "i")
+            .join(
+                sides.select(
+                    F.col("i").alias("j"), F.col("__sh").alias("__shb")
+                ),
+                "j",
+            )
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.8)
+            .select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
+        )
+        pairs.write.mode("overwrite").parquet(f"{pair_sink}/bid={bid}")
+        bands.write.mode("overwrite").parquet(f"{band_store}/bid={bid}")
+        docs.write.mode("overwrite").parquet(f"{sh_store}/bid={bid}")
+
+    with _scoped_stream_partitions(spark):
+        q = (
+            sdf.writeStream.foreachBatch(detect_batch)
+            .option("checkpointLocation", _checkpoint("t16"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(pair_sink).drop("bid")
