@@ -72,6 +72,10 @@ SCALE_QUERIES = [
     # the growth curve exists before their first driver row
     "ann_sq8_recall",
     "corpus_ngram_novelty",
+    # new in r11 (each also probed at registration: BENCH_SF1.json keys
+    # bpe_vocab_probe / winnow_poly_probe; t16 rides the streaming sweep)
+    "text_bpe_train_vocab",
+    "dedup_winnow_pairs_poly",
 ]
 
 SF_DIRS = [

@@ -551,6 +551,117 @@ R11_QUEUE: list[str] = [
 ]
 
 
+# r11 window: delivers every r10 VERDICT demand.
+#   0-1   R11_TOPUP_FIRST — the displaced pair (last driver-green r5),
+#         leading as required; after this round every registered query's
+#         evidence is r6+.
+#   2-5   R11_QUEUE — registered late-r10, never driver-checked
+#         (locally verified 4/4 in r10 and re-verified this round).
+#         t15 additionally changed this round (r10 ADVICE: output is now
+#         content-addressed — doc_id dropped so the survivor under
+#         duplicate texts is deterministic; oracle gained the matching
+#         DISTINCT). text_bpe_train_merges' golden replay normalizes
+#         with Java \s semantics and escapes quotes (r10 ADVICE).
+#   6-8   new this round:
+#         - text_bpe_train_vocab: k=256 BPE training with the merge
+#           phase in ONE applyInPandas task (incremental pair counts,
+#           operators/bpe.py) — VERDICT item 2;
+#         - dedup_winnow_pairs_poly: the cheap-hash winnow variant
+#           (oracle-portable polynomial codepoint hash) — VERDICT item 4;
+#         - t16_stream_near_dedup: streaming minhash-banded near-dup
+#           detection against a persistent store — VERDICT item 5.
+#   9-19  code changed this round: re-green per the rotation rule —
+#         - minhash family (dedup_minhash_lsh_pairs, _clusters,
+#           dedup_keep_best, split_cluster_safe, pipeline_corpus_select,
+#           pipeline_pretraining_data): minhash_band_table extracted
+#           from minhash_lsh_pairs so t16 shares the banding core
+#           (same expression tree, plan unchanged);
+#         - winnow md5 family (text_fingerprint_winnow,
+#           dedup_winnow_pairs, dedup_winnow_coverage): the window-min
+#           stage factored to _winnow_window_mins, shared with the poly
+#           variant (same expression tree);
+#         - s14_chunk_encode: the arrow_udf imports pyarrow.compute
+#           explicitly (r10 ADVICE; s14b/t13 route through
+#           pb_encode_float_chunk_vec and sources/pyds.py, both
+#           unchanged — no re-window);
+#         - pack_token_budget_shards: LORIS_STRICT_CONTRACTS=1 loud
+#           null-id path (r10 ADVICE; default path byte-identical).
+#         (workload/dedup.py's jaccard/simhash/substring queries and
+#         the rest of streaming_ops.py are untouched this round — no
+#         re-window; the md5 winnow ORACLE was refactored to share its
+#         candidate/verify SQL body with the poly oracle, whitespace-
+#         identical semantics.)
+#   20-49 top-up: the 30 alphabetically-first of the 35 r6-latest
+#         greens. The 5 displaced (text_quality_classifier,
+#         text_repetition_stats, vec_drift_monitor,
+#         w5_rolling_event_stats, w8_percent_of_total) re-enter first
+#         in r12 — R12_TOPUP_FIRST, the established promise pattern.
+R11_WINDOW: list[str] = [
+    # -- promised first re-entries (R11_TOPUP_FIRST) --
+    *R11_TOPUP_FIRST,
+    # -- late-registered r10 queue, first driver check --
+    *R11_QUEUE,
+    # -- new this round --
+    "text_bpe_train_vocab",
+    "dedup_winnow_pairs_poly",
+    "t16_stream_near_dedup",
+    # -- code changed this round: re-green --
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_clusters",
+    "dedup_keep_best",
+    "split_cluster_safe",
+    "pipeline_corpus_select",
+    "pipeline_pretraining_data",
+    "text_fingerprint_winnow",
+    "dedup_winnow_pairs",
+    "dedup_winnow_coverage",
+    "s14_chunk_encode",
+    "pack_token_budget_shards",
+    # -- top-up: 30 oldest (r6-latest) greens --
+    "a11_grouping_sets",
+    "ann_mrr_ndcg",
+    "ann_pq_adc_topk",
+    "anomaly_daily_zscore",
+    "c12_bitwise_functions",
+    "contamination_eval_overlap",
+    "corpus_global_shuffle",
+    "corpus_ingest_jsonl",
+    "corpus_mixture_interleave",
+    "dedup_substring_spans",
+    "graph_authority_rank",
+    "j15_asof_scd2_lookup",
+    "layout_zorder_stats",
+    "pipeline_deface_batch",
+    "pipeline_processed_registration",
+    "profile_columns",
+    "profile_countmin_topk",
+    "s12b_versioned_time_travel",
+    "s15b_ortho_preview",
+    "s6b_ecat_matlab_sidecar",
+    "s7_bdf_channels",
+    "s7_brainvision_channels",
+    "s7_brainvision_markers",
+    "s7_edf_annotations",
+    "sample_stratified_deterministic",
+    "t3b_dedup_within_watermark_api",
+    "t8_incremental_store_dedup",
+    "text_entropy",
+    "text_pii_redact",
+    "text_posting_lists",
+]
+
+
+# Displaced from the r11 top-up tail (the 35 r6-latest greens exceed the
+# 30 available slots); re-enter the r12 window first.
+R12_TOPUP_FIRST: list[str] = [
+    "text_quality_classifier",
+    "text_repetition_stats",
+    "vec_drift_monitor",
+    "w5_rolling_event_stats",
+    "w8_percent_of_total",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []
@@ -564,7 +675,7 @@ def _first_occurrence(names: "list[str]") -> "list[str]":
 # The current window leads; prior windows follow for priority continuity.
 # First occurrence wins, so a query re-windowed this round appears ONCE,
 # at its new position (the layout test asserts the invariant).
-PRIORITY_ORDER: list[str] = _first_occurrence(R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
+PRIORITY_ORDER: list[str] = _first_occurrence(R11_WINDOW + R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",

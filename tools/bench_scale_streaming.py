@@ -44,6 +44,7 @@ if _REPO not in sys.path:
 QUERIES = [
     "t3c_stream_dedup_disk_sink",
     "t15_stream_corpus_gate_dedup",
+    "t16_stream_near_dedup",
     "t5_tumbling_window_agg",
     "t6_stateful_running_index",
     "t7_stream_stream_join",
