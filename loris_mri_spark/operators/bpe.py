@@ -41,8 +41,12 @@ def bpe_train_incremental(
     shrink as merges consume them) plus O(occurrences) index updates for
     the words that actually contain the merged pair — no per-merge pass
     over the full vocabulary and, in the Spark composition, no per-merge
-    job. A heap keyed on (count, pair) would drop the scan to O(log P);
-    at the registered k the scan is not the bottleneck.
+    job. A lazy-deletion heap selection was MEASURED AND REJECTED
+    (BENCH_SF1.bpe_vocab_probe.heap_selection_rejected): its pushes ride
+    the hot pair-update path (O(log H) per count change) while this
+    min() is a tight single pass over the live table — at a 200k-type
+    vocabulary the heap ran 1.2-3x SLOWER at k=256/1024 with identical
+    output. Update volume dominates both shapes; the scan stands.
     """
     syms: list[list[str]] = []
     cnts: list[int] = []
