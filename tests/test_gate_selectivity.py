@@ -213,6 +213,29 @@ def test_qc_severity_labels_mixed(spark, sf_dir):
     assert len(sev) >= 2, sev
 
 
+def test_snr_acqorder_status_chain_all_branches(spark, sf_dir):
+    """pipeline_snr_acqorder's 4-way CASE (not_supported / inserted /
+    unchanged / updated) is the insertion state machine; a flipped
+    comparison anywhere collapses a branch to zero. All four must occur
+    and the modality gate must keep both sides."""
+    df = QUERIES["pipeline_snr_acqorder"](spark, sf_dir)
+    by = {r["status"]: r["n"] for r in
+          df.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"not_supported", "inserted", "unchanged", "updated"}
+    total = sum(by.values())
+    _strict_between(by["not_supported"], total, "snr modality gate")
+
+
+def test_qc_face_batch_status_both_outcomes(spark, sf_dir):
+    """The external-binary QC batch must report both the ran path and
+    the violation path (input availability is a real gate on this
+    testdata, not a constant)."""
+    df = QUERIES["pipeline_qc_face_batch"](spark, sf_dir)
+    statuses = {r["status"] for r in df.select("status").distinct().collect()}
+    assert "ran" in statuses
+    assert any(s.startswith("violation") for s in statuses), statuses
+
+
 def test_event_stream_filters_nondegenerate(spark, sf_dir):
     """The streaming queries' event_type filters (t2 errors, t6
     purchase flag, funnel stages), checked on the batch table the
