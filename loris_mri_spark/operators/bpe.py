@@ -54,6 +54,36 @@ def bpe_train_incremental(
         syms.append(list(w))
         cnts.append(c)
 
+    return _train(syms, cnts, k)
+
+
+def bpe_encode(word: str, merges: "list[tuple[str, str]]") -> "list[str]":
+    """Tokenize one word with TRAINED merge rules, applied in rank order
+    (the standard BPE encoder): each rule merges its leftmost
+    non-overlapping occurrences, exactly as during training. For words
+    seen in training this provably reproduces the trainer's final
+    segmentation — the invariant the apply-side oracle checks."""
+    s = list(word)
+    for left, right in merges:
+        if len(s) < 2:
+            break
+        ns: list[str] = []
+        i = 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                ns.append(left + right)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = ns
+    return s
+
+
+def _train(
+    syms: "list[list[str]]", cnts: "list[int]", k: int
+) -> "list[tuple[int, str, str, int]]":
+
     pair_n: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
 

@@ -651,6 +651,16 @@ R11_WINDOW: list[str] = [
 ]
 
 
+# Registered late-r11, after the 50-entry window filled: the APPLY side
+# of BPE training (tokenize with learned merges, weighted subword top-k).
+# Never driver-checked yet (locally driven green against its golden
+# oracle at sf0.01, the verify recipe); enters the r12 window right
+# after R12_TOPUP_FIRST — the R9/R11_QUEUE pattern.
+R12_QUEUE: list[str] = [
+    "text_bpe_apply_subwords",
+]
+
+
 # Displaced from the r11 top-up tail (the 35 r6-latest greens exceed the
 # 30 available slots); re-enter the r12 window first.
 R12_TOPUP_FIRST: list[str] = [

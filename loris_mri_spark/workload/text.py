@@ -1338,6 +1338,40 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_VOCAB_K = 256
 
 
+def bpe_replay_segments(
+    word_counts: "dict[str, int]", k: int
+) -> "dict[str, list]":
+    """Each word's FINAL symbol sequence after the replay trains ``k``
+    merges — the oracle twin of the apply side (text_bpe_apply_subwords).
+    Implemented as the replay's own training loop state (train-time
+    global merging), NOT as rule-by-rule re-encoding: that the two
+    coincide is the classic BPE invariant the parity check exercises."""
+    syms = {w: list(w) for w in word_counts}
+    for _ in range(k):
+        counts: dict = {}
+        for w, s in syms.items():
+            c = word_counts[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (left, right), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        for w, s in syms.items():
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            syms[w] = ns
+    return syms
+
+
 def _bpe_vocab_values_sql() -> "str | None":
     """Golden VALUES oracle for the k=256 vocab-local trainer — same
     recipe as _bpe_merges_values_sql (import-time pure-Python replay of
@@ -1409,5 +1443,105 @@ def text_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             _train,
             schema="rank long, left_sym string, right_sym string,"
             " pair_count long",
+        )
+    )
+
+
+_BPE_APPLY_TOP = 30
+
+
+def _bpe_apply_values_sql() -> "str | None":
+    """Golden VALUES oracle for the apply side, derived from the
+    replay's FINAL TRAINING STATE (bpe_replay_segments) — a genuinely
+    different path from the engine's trainer + rank-order re-encoding,
+    so parity checks the classic BPE invariant that applying learned
+    merges in order reproduces the training segmentation."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=["text"])
+    wc = _word_counts_java_norm(tb.column("text").to_pylist())
+    segs = bpe_replay_segments(wc, _BPE_VOCAB_K)
+    freq: dict = {}
+    for w, c in wc.items():
+        for t in segs[w]:
+            freq[t] = freq.get(t, 0) + c
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :_BPE_APPLY_TOP
+    ]
+    if not top:
+        return None
+    vals = ", ".join(
+        "(CAST({r} AS BIGINT), '{t}', CAST({n} AS BIGINT))".format(
+            r=r, t=t.replace("'", "''"), n=n
+        )
+        for r, (t, n) in enumerate(top, start=1)
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals})"
+        " AS t(rank, subword, weighted_count)"
+    )
+
+
+@query("text_bpe_apply_subwords", oracle=_bpe_apply_values_sql())
+def text_bpe_apply_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE tokenizer training: tokenize the corpus
+    with the k=256 learned merges and report the top subword tokens by
+    weighted frequency — the vocabulary sheet a tokenizer build signs
+    off on before the 100-TB tokenization run.
+
+    100-TB factorization (the same insight as the trainer): encoding is
+    a function of the word TYPE, so the corpus is never re-scanned —
+    the word-frequency table (types-sized) is trained AND encoded in
+    one applyInPandas task (train: incremental pair counts; encode:
+    merge rules applied in rank order per type), and subword counts are
+    type-counts weighted sums. At production scale the encoded
+    types->subwords table then broadcast-joins against the corpus for
+    full tokenization; here the weighted top-k IS the deliverable.
+    Oracle: import-time golden from the replay's final TRAINING state —
+    re-encoding with learned rules must reproduce the training
+    segmentation (the classic BPE invariant), so the two sides compute
+    the answer via genuinely different paths."""
+    from loris_mri_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_incremental,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+
+    def _train_apply(pdf):
+        import pandas as pd
+
+        wc = dict(zip(pdf["w"], pdf["wc"].astype(int)))
+        merges = [
+            (l, r) for _, l, r, _ in bpe_train_incremental(wc, _BPE_VOCAB_K)
+        ]
+        freq: dict = {}
+        for w, c in wc.items():
+            for t in bpe_encode(w, merges):
+                freq[t] = freq.get(t, 0) + c
+        top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_BPE_APPLY_TOP
+        ]
+        return pd.DataFrame(
+            [(r, t, n) for r, (t, n) in enumerate(top, start=1)],
+            columns=["rank", "subword", "weighted_count"],
+        )
+
+    return (
+        words.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(
+            _train_apply,
+            schema="rank long, subword string, weighted_count long",
         )
     )

@@ -282,6 +282,45 @@ def test_bpe_vocab_query_matches_replay_at_k256(spark, monkeypatch):
     assert 0 < len(exp) < _BPE_VOCAB_K  # exhaustion path exercised
 
 
+def test_bpe_encode_reproduces_training_segmentation():
+    """The classic BPE invariant the apply-side oracle rests on:
+    re-encoding a training word with the learned rules in rank order
+    equals the trainer's final segmentation of that word — checked via
+    two independent paths (incremental trainer + rank-order encoder vs
+    the replay's training-loop state) on adversarial and random corpora."""
+    import random
+
+    from loris_mri_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_incremental,
+    )
+    from loris_mri_spark.workload.text import bpe_replay_segments
+
+    cases = [
+        {"aaaa": 3, "aaa": 2, "aa": 7, "a": 5},
+        {"banana": 10, "bandana": 5, "ananas": 2, "": 1, "x": 4},
+        {"abab": 2, "abb": 1, "aab": 4},
+    ]
+    rng = random.Random(17)
+    for _ in range(15):
+        cases.append(
+            {
+                "".join(
+                    rng.choice("abc") for _ in range(rng.randrange(0, 9))
+                ): rng.randrange(1, 6)
+                for _ in range(rng.randrange(1, 12))
+            }
+        )
+    for wc in cases:
+        for k in (1, 8, 64):
+            merges = [
+                (l, r) for _, l, r, _ in bpe_train_incremental(dict(wc), k)
+            ]
+            segs = bpe_replay_segments(dict(wc), k)
+            for w in wc:
+                assert bpe_encode(w, merges) == segs[w], (wc, k, w)
+
+
 def test_bpe_replay_merge_semantics():
     """Reference-scan unit facts: non-overlapping leftmost-first ('aaaa'
     counts the aa pair 3 times but merges to exactly [aa, aa]), and the
