@@ -94,10 +94,18 @@ def _train(
             n = pair_n.get(p, 0) + c
             if n:
                 pair_n[p] = n
-                if sign > 0:
-                    pair_words.setdefault(p, set()).add(wi)
             else:
                 del pair_n[p]
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+            else:
+                # Keep the inverted index TIGHT: wi is being un-indexed
+                # ahead of a re-segmentation, so drop it for every pair
+                # it contributed — not only pairs whose global count hit
+                # zero. A stale id makes a later merge of p re-index a
+                # word that no longer contains it (a correct no-op, but
+                # wasted work and memory proportional to staleness at
+                # the k=30k+ vocabularies this trainer targets).
                 ws = pair_words.get(p)
                 if ws is not None:
                     ws.discard(wi)

@@ -14,6 +14,7 @@ document profiling.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -365,9 +366,9 @@ WINNOW_FP_POLY_CTE = f"""
     grams AS (
       SELECT doc_id,
              list_transform(range(1, greatest(len(cp) - 3, 1)),
-               i -> (cp[i] * 294499921 + cp[i+1] * 2248091
-                     + cp[i+2] * 17161 + cp[i+3] * 131 + cp[i+4])
-                    % 1048573 * 2654435761 % 2147483647) AS h
+               i -> (cp[i] * {_POLY_B[0]} + cp[i+1] * {_POLY_B[1]}
+                     + cp[i+2] * {_POLY_B[2]} + cp[i+3] * {_POLY_B[3]} + cp[i+4])
+                    % {_POLY_M1} * {_POLY_MIX} % {_POLY_M2}) AS h
       FROM cps),
     wins AS (
       SELECT doc_id,
@@ -1178,10 +1179,13 @@ def bpe_replay(word_counts: "dict[str, int]", k: int) -> list:
 # ASCII class [ \t\n\x0b\f\r] ONLY — Python's \s additionally matches
 # Unicode whitespace (NBSP, ideographic space, ...), so a replay using
 # Python \s silently diverges the word counts the first time the
-# testdata carries non-ASCII whitespace. Likewise Java's trim() strips
-# every codepoint <= U+0020, not Python str.strip()'s Unicode set.
+# testdata carries non-ASCII whitespace. The trailing trim mirrors
+# Spark's SQL trim() (norm_text's outer F.trim), which strips ONLY the
+# space character U+0020 — not Java String.trim()'s <= U+0020 sweep and
+# not Python str.strip()'s Unicode set. An edge control char outside
+# Java \s (e.g. \x01) therefore SURVIVES normalization in both engines.
 _JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
-_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+_SQL_TRIM = " "
 
 
 def _word_counts_java_norm(texts: "list") -> "dict[str, int]":
@@ -1194,7 +1198,7 @@ def _word_counts_java_norm(texts: "list") -> "dict[str, int]":
     for text in texts:
         if text is None:
             continue  # Spark's explode(tokens(NULL)) drops the row
-        norm = _JAVA_WS.sub(" ", text).strip(_JAVA_TRIM).lower()
+        norm = _JAVA_WS.sub(" ", text).strip(_SQL_TRIM).lower()
         for w in norm.split(" "):
             wc[w] += 1
     return dict(wc)
@@ -1337,6 +1341,22 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_VOCAB_K = 256
 
+# Web-scale type-table guard for the single-task merge phase: its memory
+# bound is "types x avg word length — one task at any corpus size", which
+# holds for curated corpora, but a noisy 100 TB web crawl can push
+# distinct regex types past executor memory (garbage strings are almost
+# all hapax). The standard production answer is a min-count prune of the
+# TRAINING type table — hapax/noise types carry negligible pair mass, so
+# excluding them leaves the learned merges essentially unchanged while
+# bounding the table by the corpus HEAD, whose size grows ~Heaps-
+# sublinearly (SCALE.md "bpe_min_count_prune" quantifies the bound on
+# this corpus). Train-only: the ENCODE side still covers every type,
+# exactly like production tokenizer trainers. Default 1 (no pruning) —
+# inert at test scales, where the import-time goldens pin exact parity;
+# the threshold>1 path is parity-tested in tests/test_corpus.py. Both
+# the engine plan and the replay oracles read THIS constant.
+_BPE_MIN_COUNT = int(os.environ.get("LORIS_BPE_MIN_COUNT", "1"))
+
 
 def bpe_replay_segments(
     word_counts: "dict[str, int]", k: int
@@ -1387,8 +1407,9 @@ def _bpe_vocab_values_sql() -> "str | None":
     import pyarrow.parquet as pq
 
     tb = pq.read_table(path, columns=["text"])
+    wc = _word_counts_java_norm(tb.column("text").to_pylist())
     rows = bpe_replay(
-        _word_counts_java_norm(tb.column("text").to_pylist()), _BPE_VOCAB_K
+        {w: c for w, c in wc.items() if c >= _BPE_MIN_COUNT}, _BPE_VOCAB_K
     )
     if not rows:
         return None
@@ -1415,9 +1436,11 @@ def text_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts INCREMENTALLY, so per-merge cost is O(words containing
     the merged pair), with zero Spark jobs inside the loop. 100-TB
     shape: corpus pass scales out; merge phase is corpus-size-
-    independent. Oracle: import-time golden replay at the same k —
-    an INDEPENDENT from-scratch recount implementation, so parity is a
-    real check of the incremental index maintenance."""
+    independent, with the min-count prune (_BPE_MIN_COUNT) bounding the
+    type table a noisy crawl ships to it. Oracle: import-time golden
+    replay at the same k and threshold — an INDEPENDENT from-scratch
+    recount implementation, so parity is a real check of the
+    incremental index maintenance."""
     from loris_mri_spark.operators.bpe import bpe_train_incremental
 
     d = load_table(spark, sf_dir, "documents")
@@ -1425,6 +1448,7 @@ def text_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
+        .filter(F.col("wc") >= _BPE_MIN_COUNT)
     )
 
     def _train(pdf):
@@ -1465,7 +1489,30 @@ def _bpe_apply_values_sql() -> "str | None":
 
     tb = pq.read_table(path, columns=["text"])
     wc = _word_counts_java_norm(tb.column("text").to_pylist())
-    segs = bpe_replay_segments(wc, _BPE_VOCAB_K)
+    train_wc = {w: c for w, c in wc.items() if c >= _BPE_MIN_COUNT}
+    segs = bpe_replay_segments(train_wc, _BPE_VOCAB_K)
+    if len(train_wc) < len(wc):
+        # Types below the training min-count are ENCODED, not trained:
+        # apply the replay's learned rules in rank order (the replay's
+        # own rule-application loop, independent of operators/bpe).
+        rules = [
+            (l, r) for _, l, r, _ in bpe_replay(train_wc, _BPE_VOCAB_K)
+        ]
+        for w in wc:
+            if w in segs:
+                continue
+            s = list(w)
+            for left, right in rules:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                        ns.append(left + right)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                s = ns
+            segs[w] = s
     freq: dict = {}
     for w, c in wc.items():
         for t in segs[w]:
@@ -1522,8 +1569,14 @@ def text_bpe_apply_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         wc = dict(zip(pdf["w"], pdf["wc"].astype(int)))
+        # Train on the min-count-pruned type table (the web-scale guard,
+        # see _BPE_MIN_COUNT); ENCODE every type — pruning is train-only.
         merges = [
-            (l, r) for _, l, r, _ in bpe_train_incremental(wc, _BPE_VOCAB_K)
+            (l, r)
+            for _, l, r, _ in bpe_train_incremental(
+                {w: c for w, c in wc.items() if c >= _BPE_MIN_COUNT},
+                _BPE_VOCAB_K,
+            )
         ]
         freq: dict = {}
         for w, c in wc.items():

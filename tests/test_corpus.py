@@ -282,6 +282,34 @@ def test_bpe_vocab_query_matches_replay_at_k256(spark, monkeypatch):
     assert 0 < len(exp) < _BPE_VOCAB_K  # exhaustion path exercised
 
 
+def test_bpe_min_count_prune_parity():
+    """The web-scale min-count prune (LORIS_BPE_MIN_COUNT) is train-only:
+    with threshold t, merges come from the pruned type table and must
+    equal the replay on the same pruned table; the apply side still
+    encodes EVERY type — pruned-out words segment exactly as a rank-order
+    application of the learned rules (mirroring the oracle builder's
+    independent rule-application loop)."""
+    from loris_mri_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_incremental,
+    )
+    from loris_mri_spark.workload.text import bpe_replay, bpe_replay_segments
+
+    wc = {"banana": 10, "bandana": 5, "ananas": 1, "nap": 1, "ban": 7}
+    for t in (2, 4):
+        pruned = {w: c for w, c in wc.items() if c >= t}
+        assert 0 < len(pruned) < len(wc)  # threshold actually bites
+        got = bpe_train_incremental(dict(pruned), 8)
+        assert got == bpe_replay(dict(pruned), 8)
+        merges = [(l, r) for _, l, r, _ in got]
+        segs = bpe_replay_segments(dict(pruned), 8)
+        for w in wc:  # every type encodes, trained or not
+            enc = bpe_encode(w, merges)
+            assert "".join(enc) == w
+            if w in segs:
+                assert enc == segs[w]
+
+
 def test_bpe_encode_reproduces_training_segmentation():
     """The classic BPE invariant the apply-side oracle rests on:
     re-encoding a training word with the learned rules in rank order
