@@ -14,6 +14,8 @@ single DataFrame DAGs (SURVEY §3).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1923,3 +1925,567 @@ def pipeline_non_minc_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_md.select(
         F.col("file_name").alias("entity"), F.explode(rows).alias("r")
     ).select("r.kind", "entity", "r.name", "r.value")
+
+
+# ---------------------------------------------------------------------------
+# pipeline_eeg_bids_ingest — the reference's SECONDARY ENTRY POINT
+# (python/loris_bids_importer/src/loris_bids_importer/scripts/
+# import_bids_dataset.py, EEG flow loris_bids_importer/eeg/main.py)
+# composed end-to-end: subject/session validation
+# (validation/subjects.py:38-77, validation/sessions.py:33-72, sex
+# normalization subjects.py:131-160) -> per-recording file-type check
+# (file_type.py) -> physiological_file registration with blake2b hash
+# (eeg/main.py:222-240, loris_utils/crypto.py) -> channel registration
+# (channels.py) -> task-event registration with HED tagging and
+# inherited-tag filtering (events.py:81-155, 147-151) -> sidecar
+# parameter flattening -> chunk pyramid plan
+# (lib/physio/chunking.py). Every reference error EXIT becomes a row
+# classification (the pipeline_non_minc_insertion recipe).
+# ---------------------------------------------------------------------------
+
+_BIDS_EEG_EXTS = ("edf", "set", "bdf", "vhdr")
+_BIDS_EEG_SUPPORT_EXTS = ("vmrk", "eeg", "json")
+_BIDS_EEG_SEX = {
+    "m": "Male", "male": "Male",
+    "f": "Female", "female": "Female",
+    "o": "Other", "other": "Other",
+}
+_BIDS_EEG_KNOWN_EVENT_FIELDS = (
+    "onset", "duration", "trial_type", "response_time", "sample",
+    "event_code", "event_value", "event_sample", "event_type", "HED",
+)
+_BIDS_EEG_CHUNK_W = 16
+_BIDS_EEG_VISIT = "V1"
+
+
+def _bids_eeg_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "fixtures", "bids_eeg",
+    )
+
+
+def _eeg_bids_oracle() -> "str | None":
+    """Golden VALUES oracle for the EEG BIDS ingest capstone — an
+    independent pure-Python replay over the byte-stable fixtures (the
+    HRRT/non-MINC golden recipe): participants/events TSVs re-parsed by
+    plain split, recording headers PINNED to what generate.py wrote,
+    blake2b recomputed from the bytes, HED tag groups hand-pinned per
+    fixture string (NOT re-parsed with the engine's parser, so the X4
+    parse is genuinely cross-checked)."""
+    import hashlib
+    import json
+    import os
+
+    fdir = _bids_eeg_dir()
+    if not os.path.isdir(fdir):
+        return None
+
+    def md5_60_py(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # participants.tsv by plain split
+    participants: dict[str, dict[str, str]] = {}
+    with open(os.path.join(fdir, "participants.tsv")) as fh:
+        lines = fh.read().splitlines()
+    hdr = lines[0].split("\t")
+    for line in lines[1:]:
+        if not line:
+            continue
+        rec = dict(zip(hdr, line.split("\t")))
+        participants[rec["participant_id"]] = rec
+
+    # dataset-level inherited HED tags (task-rest_events.json)
+    with open(os.path.join(fdir, "task-rest_events.json")) as fh:
+        dataset_dict = json.load(fh)
+    inherited = dataset_dict.get("trial_type", {}).get("HED", {})
+
+    # recording inventory: every sub-*/eeg/*_eeg.* data file
+    recordings: list[tuple[str, str, str, str]] = []  # (sub, fname, ext, path)
+    for sub in sorted(os.listdir(fdir)):
+        subdir = os.path.join(fdir, sub, "eeg")
+        if not os.path.isdir(subdir):
+            continue
+        for n in sorted(os.listdir(subdir)):
+            if "_eeg." not in n:
+                continue
+            ext = n.rsplit(".", 1)[1].lower()
+            if ext in _BIDS_EEG_SUPPORT_EXTS:
+                continue
+            recordings.append((sub, n, ext, os.path.join(subdir, n)))
+
+    # channel labels + sample counts PINNED to the generator's arguments
+    pinned = {
+        "sub-01_task-rest_eeg.edf": (["EEG Fz", "EEG Pz"], 64),
+        "sub-02_task-rest_eeg.set": (["Fp1", "Cz"], 64),
+        "sub-03_task-rest_eeg.bdf": (["Fp1", "Oz"], 32),
+    }
+    # HED tag groups hand-pinned per fixture events row: onset ->
+    # (trial_type, [tags]) for sub-01 (the only HED-bearing file)
+    hed_pinned = {
+        "0.5": ("go", ["Action/Move", "Sensory-event",
+                       "Visual-presentation"]),
+        "1.0": ("stop", ["Action/Hold", "Agent-action"]),
+        "1.5": ("go", []),
+    }
+
+    rows: list[tuple[str, str, str, str]] = []
+
+    def classify(sub: str, ext: str) -> str:
+        p = participants.get(sub)
+        if p is None:
+            return "candidate_not_found"
+        sex = p.get("sex")
+        if sex and sex.lower() not in _BIDS_EEG_SEX and sex != "n/a":
+            return "unknown_sex"
+        if ext not in _BIDS_EEG_EXTS:
+            return "unsupported_file_type"
+        return "inserted"
+
+    # candidate + session rows: every subject WITH DATA whose candidate
+    # validates (dataset-wide validation precedes the per-file loop)
+    subs_with_data = sorted({s for s, _, _, _ in recordings})
+    for sub in subs_with_data:
+        p = participants.get(sub)
+        if p is None:
+            continue
+        sex_norm = _BIDS_EEG_SEX.get(p["sex"].lower())
+        if sex_norm is None and p["sex"] != "n/a":
+            continue
+        cand_id = str(md5_60_py("cand:" + sub))
+        sess_id = str(md5_60_py("sess:" + sub + ":" + _BIDS_EEG_VISIT))
+        rows += [
+            ("candidate", sub, "cand_id", cand_id),
+            ("candidate", sub, "sex", sex_norm or ""),
+            ("candidate", sub, "site", p["site"]),
+            ("session", sub, "session_id", sess_id),
+            ("session", sub, "visit_label", _BIDS_EEG_VISIT),
+            ("session", sub, "cohort", p["cohort"]),
+        ]
+
+    for sub, fname, ext, path in recordings:
+        status = classify(sub, ext)
+        rows.append(("file", fname, "status", status))
+        if status != "inserted":
+            continue
+        with open(path, "rb") as fh:
+            b2b = hashlib.blake2b(fh.read(), digest_size=32).hexdigest()
+        labels, n_samples = pinned[fname]
+        rows += [
+            ("file", fname, "file_id", str(md5_60_py("physio:" + fname))),
+            ("file", fname, "cand_id", str(md5_60_py("cand:" + sub))),
+            ("file", fname, "session_id",
+             str(md5_60_py("sess:" + sub + ":" + _BIDS_EEG_VISIT))),
+            ("file", fname, "file_type", ext),
+            ("file", fname, "modality", "eeg"),
+            ("file", fname, "output_type", "raw"),
+            ("file", fname, "blake2b", b2b),
+            ("file", fname, "n_channels", str(len(labels))),
+        ]
+        rows += [("channel", f"{fname}:{i}", "label", lb)
+                 for i, lb in enumerate(labels)]
+        # chunk pyramid: level i holds ceil(n / (W * 2^i)) chunks, down
+        # to a single-chunk root (lib/physio/chunking.py's shape)
+        n_chunks = -(-n_samples // _BIDS_EEG_CHUNK_W)
+        i = 0
+        while True:
+            cnt = -(-n_samples // (_BIDS_EEG_CHUNK_W * (2 ** i)))
+            rows.append(("chunk", fname, f"level_{i}", str(cnt)))
+            if cnt <= 1:
+                break
+            i += 1
+
+        # events.tsv (optional) by plain split; 'n/a' is the BIDS null
+        ev_path = os.path.join(
+            fdir, sub, "eeg", f"{sub}_task-rest_events.tsv"
+        )
+        if os.path.exists(ev_path):
+            with open(ev_path) as fh:
+                elines = fh.read().splitlines()
+            ehdr = elines[0].split("\t")
+            for line in elines[1:]:
+                if not line:
+                    continue
+                rec = dict(zip(ehdr, line.split("\t")))
+                ent = f"{sub}:{rec['onset']}"
+                rows.append(("event", ent, "trial_type",
+                             rec["trial_type"]))
+                rows.append(("event", ent, "duration", rec["duration"]))
+                rt = rec.get("response_time")
+                if rt and rt != "n/a":
+                    rows.append(("event", ent, "response_time", rt))
+                for k, v in rec.items():
+                    if (k not in _BIDS_EEG_KNOWN_EVENT_FIELDS
+                            and v and v != "n/a"
+                            and v.lower() != "nan"):
+                        rows.append(("event_opt", ent, k, v))
+                hed = rec.get("HED")
+                if hed and hed != "n/a":
+                    tt, tags = hed_pinned[rec["onset"]]
+                    assert tt == rec["trial_type"]
+                    inh = inherited.get(tt)
+                    for tag in tags:
+                        if tag != inh:
+                            rows.append(("hed", ent, "tag", tag))
+
+        # sidecar JSON (optional): flattened parameter rows
+        sc_path = os.path.join(fdir, sub, "eeg", f"{sub}_task-rest_eeg.json")
+        if os.path.exists(sc_path):
+            with open(sc_path) as fh:
+                sidecar = json.load(fh)
+            for k in sorted(sidecar):
+                rows.append(("parameter", fname, "sidecar:" + k,
+                             str(sidecar[k])))
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(k)}, {q(e)}, {q(n)}, {q(v)})" for k, e, n, v in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals + ") AS t(kind, entity, name, value)"
+    )
+
+
+@query("pipeline_eeg_bids_ingest", oracle=_eeg_bids_oracle())
+def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EEG BIDS dataset ingestion — the reference's secondary entry point
+    (import_bids_dataset.py -> loris_bids_importer/eeg/main.py) as ONE
+    composed DAG over the real BIDS fixture dataset:
+
+    - recording inventory: distributed binaryFile scan of sub-*/eeg/
+      (data files only; BrainVision .vmrk/.eeg ride as support files)
+    - subject/session validation (validation/subjects.py:38-77,
+      sessions.py:33-72): participants.tsv broadcast-joined; sex
+      normalized per subjects.py:131-160; each reference error exit is a
+      row classification (candidate_not_found / unknown_sex /
+      unsupported_file_type), deterministic get-or-create ids (J10)
+    - physiological_file registration: blake2b content hash (the one
+      Arrow-batched Python hop over recording bytes), file/session ids
+    - channel registration (S7): the EDF/BDF/EEGLAB header parsers over
+      the same scan, semi-joined to inserted recordings
+    - task events (S8/events.py:81-155): schema-free TSV parse —
+      wholetext -> header map per line, ALL JVM-side (BIDS events
+      headers differ per file, so a fixed-schema csv read would
+      misalign); known fields become event rows, additional fields the
+      event_opt rows (events.py:114-121), 'n/a' the BIDS null
+    - HED tagging (X4) with inherited-tag filtering (events.py:147-151):
+      parsed tags anti-joined against the dataset-level event dictionary
+    - sidecar parameter flattening (S8) and the chunk pyramid plan
+      (lib/physio/chunking.py): level i holds ceil(n/(W*2^i)) chunks
+
+    100-TB shape: the inventory scan and every parser are per-file
+    Arrow-batched tasks over a distributed listing (millions of
+    recordings scale out); participants/event-dict dims broadcast; the
+    classification cascade, event map parse, and chunk plan are pure
+    JVM expressions; no stage collects to the driver. Oracle: golden
+    pure-Python replay over the byte-stable fixtures with hand-pinned
+    header/HED values — independent of every engine parser. The scale
+    sweep points the QUERY at a cloned-subject tier via
+    LORIS_BIDS_EEG_FIXTURES (the LORIS_MM_FIXTURES recipe); the oracle
+    always pins the committed fixtures."""
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    from loris_mri_spark.functions.hed import hed_parse_udf
+    from loris_mri_spark.sources.bids import (
+        read_participants_tsv,
+        read_sidecar_json,
+    )
+    from loris_mri_spark.sources.eeg import (
+        EDF_CHANNEL_SCHEMA,
+        _parse_partition,
+        read_edf_channels,
+        read_eeglab_channels,
+    )
+
+    fdir = os.environ.get("LORIS_BIDS_EEG_FIXTURES") or _bids_eeg_dir()
+    s = F.lit
+    fname = F.element_at(F.split("path", "/"), -1)
+
+    inv = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*_eeg.*")
+        .load(fdir)
+        .select(
+            fname.alias("fname"),
+            F.regexp_extract(fname, r"(sub-[0-9A-Za-z]+)", 1).alias("sub"),
+            F.lower(F.regexp_extract(fname, r"\.([A-Za-z0-9]+)$", 1)).alias(
+                "ext"
+            ),
+            "content",
+        )
+        .filter(~F.col("ext").isin(*_BIDS_EEG_SUPPORT_EXTS))
+    )
+
+    parts = read_participants_tsv(
+        spark, f"{fdir}/participants.tsv"
+    ).select(
+        F.col("participant_id").alias("sub"), "sex", "site", "cohort"
+    )
+    sex_map = F.create_map(
+        *[s(x) for kv in _BIDS_EEG_SEX.items() for x in kv]
+    )
+    parts = parts.withColumn(
+        "sex_norm", F.element_at(sex_map, F.lower("sex"))
+    ).withColumn(
+        "cand_ok",
+        F.col("sex").isNull()
+        | (F.col("sex") == "n/a")
+        | F.col("sex_norm").isNotNull(),
+    )
+
+    inv = inv.join(F.broadcast(parts), "sub", "left").withColumn(
+        "status",
+        F.when(F.col("site").isNull(), "candidate_not_found")
+        .when(~F.col("cand_ok"), "unknown_sex")
+        .when(~F.col("ext").isin(*_BIDS_EEG_EXTS), "unsupported_file_type")
+        .otherwise("inserted"),
+    )
+
+    def mid(prefix: Column, key: Column) -> Column:
+        return md5_60(F.concat(prefix, key)).cast("string")
+
+    cand_id = mid(s("cand:"), F.col("sub"))
+    sess_id = mid(s("sess:"), F.concat("sub", s(":" + _BIDS_EEG_VISIT)))
+
+    @pandas_udf(StringType())
+    def blake2b_hex(content: pd.Series) -> pd.Series:
+        import hashlib
+
+        return content.map(
+            lambda b: hashlib.blake2b(bytes(b), digest_size=32).hexdigest()
+        )
+
+    def rows4(df: DataFrame, kind, entity, name, value) -> DataFrame:
+        return df.select(
+            kind.alias("kind"),
+            entity.alias("entity"),
+            name.alias("name"),
+            value.alias("value"),
+        )
+
+    # --- candidate + session rows (dataset-wide validation) --------------
+    subs = inv.select("sub").distinct()
+    valid = (
+        subs.join(F.broadcast(parts), "sub")
+        .filter("cand_ok")
+        .select(
+            "sub", F.coalesce("sex_norm", s("")).alias("sexn"),
+            "site", "cohort",
+            cand_id.alias("cid"), sess_id.alias("sid"),
+        )
+    )
+    def knv(k: Column, n: Column, v: Column) -> Column:
+        return F.struct(k.alias("k"), n.alias("n"), v.alias("v"))
+
+    cand_rows = valid.select(
+        "sub",
+        F.explode(
+            F.array(
+                knv(s("candidate"), s("cand_id"), F.col("cid")),
+                knv(s("candidate"), s("sex"), F.col("sexn")),
+                knv(s("candidate"), s("site"), F.col("site")),
+                knv(s("session"), s("session_id"), F.col("sid")),
+                knv(s("session"), s("visit_label"), s(_BIDS_EEG_VISIT)),
+                knv(s("session"), s("cohort"), F.col("cohort")),
+            )
+        ).alias("r"),
+    ).select(F.col("r.k").alias("kind"), F.col("sub").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    # --- file rows --------------------------------------------------------
+    status_rows = rows4(inv, s("file"), F.col("fname"), s("status"),
+                        F.col("status"))
+    ins = inv.filter(F.col("status") == "inserted")
+    def nv(n: Column, v: Column) -> Column:
+        return F.struct(n.alias("n"), v.alias("v"))
+
+    file_rows = ins.select(
+        "fname",
+        F.explode(
+            F.array(
+                nv(s("file_id"), mid(s("physio:"), F.col("fname"))),
+                nv(s("cand_id"), cand_id),
+                nv(s("session_id"), sess_id),
+                nv(s("file_type"), F.col("ext")),
+                nv(s("modality"), s("eeg")),
+                nv(s("output_type"), s("raw")),
+                nv(s("blake2b"), blake2b_hex(F.col("content"))),
+            )
+        ).alias("r"),
+    ).select(s("file").alias("kind"), F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    ins_files = ins.select("fname", "sub")
+
+    # --- channels (S7 parsers over the same tree) -------------------------
+    bdf_files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bdf")
+        .option("recursiveFileLookup", "true")
+        .load(fdir)
+        .select("path", "content")
+    )
+    ch = (
+        read_edf_channels(spark, fdir)
+        .select("path", "channel_idx", "label", "n_samples")
+        .unionByName(
+            bdf_files.mapInPandas(
+                _parse_partition, schema=EDF_CHANNEL_SCHEMA
+            ).select("path", "channel_idx", "label", "n_samples")
+        )
+        .unionByName(
+            read_eeglab_channels(spark, fdir).select(
+                "path", "channel_idx", "label", "n_samples"
+            )
+        )
+        .select(fname.alias("fname"), "channel_idx", "label", "n_samples")
+        .join(F.broadcast(ins_files.select("fname")), "fname", "semi")
+    )
+    chan_rows = rows4(
+        ch, s("channel"),
+        F.concat("fname", s(":"), F.col("channel_idx").cast("string")),
+        s("label"), F.col("label"),
+    )
+    per_file = ch.groupBy("fname").agg(
+        F.count("*").alias("n_ch"), F.max("n_samples").alias("n_samp")
+    )
+    nch_rows = rows4(per_file, s("file"), F.col("fname"), s("n_channels"),
+                     F.col("n_ch").cast("string"))
+
+    # --- chunk pyramid plan (lib/physio/chunking.py shape) ----------------
+    w = float(_BIDS_EEG_CHUNK_W)
+    lvl = F.ceil(F.log2(F.greatest(F.ceil(F.col("n_samp") / w), s(1))))
+    chunk_rows = per_file.select(
+        "fname",
+        F.posexplode(
+            F.transform(
+                F.sequence(s(0), lvl.cast("int")),
+                lambda i: F.ceil(
+                    F.col("n_samp") / (w * F.pow(s(2.0), i))
+                ).cast("long"),
+            )
+        ).alias("lv", "cnt"),
+    ).select(
+        s("chunk").alias("kind"), F.col("fname").alias("entity"),
+        F.concat(s("level_"), F.col("lv").cast("string")).alias("name"),
+        F.col("cnt").cast("string").alias("value"),
+    )
+
+    # --- task events: schema-free TSV parse (headers differ per file) ----
+    ev_raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{fdir}/sub-*/eeg/*_events.tsv")
+        .select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"(sub-[0-9A-Za-z]+)", 1
+            ).alias("sub"),
+            F.split(F.regexp_replace("value", "\r", ""), "\n").alias(
+                "lines"
+            ),
+        )
+    )
+    ev = (
+        ev_raw.select(
+            "sub",
+            F.split(F.element_at("lines", 1), "\t").alias("hdr"),
+            F.posexplode("lines").alias("pos", "line"),
+        )
+        .filter((F.col("pos") > 0) & (F.length("line") > 0))
+        .select(
+            "sub",
+            F.map_from_arrays("hdr", F.split("line", "\t")).alias("m"),
+        )
+        .join(F.broadcast(ins_files.select("sub").distinct()), "sub", "semi")
+        .withColumn("ent", F.concat("sub", s(":"), F.col("m")["onset"]))
+        .withColumn("tt", F.col("m")["trial_type"])
+    )
+    ev_core = ev.select(
+        "ent",
+        F.explode(
+            F.filter(
+                F.array(
+                    nv(s("trial_type"), F.col("tt")),
+                    nv(s("duration"), F.col("m")["duration"]),
+                    nv(s("response_time"),
+                       F.nullif(F.col("m")["response_time"], s("n/a"))),
+                ),
+                lambda r: r["v"].isNotNull(),
+            )
+        ).alias("r"),
+    ).select(s("event").alias("kind"), F.col("ent").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    opt_rows = (
+        ev.select("ent", F.explode("m").alias("k", "v"))
+        .filter(
+            ~F.col("k").isin(*_BIDS_EEG_KNOWN_EVENT_FIELDS)
+            & F.col("v").isNotNull()
+            & (F.col("v") != "n/a")
+            & (F.lower("v") != "nan")
+        )
+        .select(s("event_opt").alias("kind"), F.col("ent").alias("entity"),
+                F.col("k").alias("name"), F.col("v").alias("value"))
+    )
+
+    # --- HED tags minus dataset-inherited (events.py:147-151) ------------
+    ddict = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{fdir}/task-rest_events.json")
+        .select(
+            F.explode(
+                F.from_json(
+                    "value", "struct<trial_type: struct<HED: map<string,string>>>"
+                )["trial_type"]["HED"]
+            ).alias("inh_tt", "inh_tag")
+        )
+    )
+    hed = (
+        ev.select("ent", "tt",
+                  F.nullif(F.col("m")["HED"], s("n/a")).alias("hs"))
+        .filter(F.col("hs").isNotNull())
+        .select("ent", "tt",
+                F.explode(hed_parse_udf(F.col("hs"))).alias("t"))
+        .select("ent", "tt", F.col("t.tag").alias("tag"))
+        .join(
+            F.broadcast(ddict),
+            (F.col("tt") == F.col("inh_tt"))
+            & (F.col("tag") == F.col("inh_tag")),
+            "anti",
+        )
+    )
+    hed_rows = rows4(hed, s("hed"), F.col("ent"), s("tag"), F.col("tag"))
+
+    # --- sidecar parameters (S8) ------------------------------------------
+    sc = (
+        read_sidecar_json(spark, f"{fdir}/sub-*/eeg/*_eeg.json")
+        .withColumnRenamed("subject", "sub")
+        .join(F.broadcast(ins_files), "sub")
+        .select("fname", F.explode("params").alias("k", "v"))
+    )
+    param_rows = rows4(
+        sc, s("parameter"), F.col("fname"),
+        F.concat(s("sidecar:"), F.col("k")), F.col("v"),
+    )
+
+    out = (
+        status_rows.unionByName(cand_rows)
+        .unionByName(file_rows)
+        .unionByName(chan_rows)
+        .unionByName(nch_rows)
+        .unionByName(chunk_rows)
+        .unionByName(ev_core)
+        .unionByName(opt_rows)
+        .unionByName(hed_rows)
+        .unionByName(param_rows)
+    )
+    return out

@@ -836,6 +836,138 @@ def _t16_oracle() -> str:
     return _BRUTE_JACCARD_08
 
 
+def _t16_read_store(bspark: SparkSession, store: str, bid: int):
+    """Union of the compacted snapshot (``<store>_snap``, if present)
+    and the live ``bid=N`` delta dirs, filtered to rows from batches
+    BEFORE ``bid``. Snapshot rows keep their original ``bid`` column, so
+    the bid-< retry guard survives compaction unchanged. Returns None
+    when no earlier state exists (first batch)."""
+    from loris_mri_spark.catalog import load_versioned
+
+    parts = []
+    snap = store + "_snap"
+    if os.path.isfile(os.path.join(snap, "_LATEST")):
+        parts.append(load_versioned(bspark, snap).filter(F.col("bid") < bid))
+    if any(
+        d.startswith("bid=") and int(d[4:]) < bid
+        for d in os.listdir(store)
+    ):
+        parts.append(
+            bspark.read.parquet(store).filter(F.col("bid") < bid)
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def t16_compact_stores(spark: SparkSession, store: str) -> int:
+    """Fold every ``bid=N`` delta under ``store`` (plus any prior
+    snapshot) into ONE new immutable versioned snapshot at
+    ``<store>_snap`` and delete the delta dirs — t10's delta->snapshot
+    recipe applied to t16's band/shingle stores, so a continuous-
+    trigger run's per-batch ``os.listdir`` and parquet-footer costs stay
+    bounded instead of growing one directory per micro-batch forever.
+
+    Run between drains (a quiescent point): an at-least-once RETRY of
+    an already-compacted batch would re-create its delta dir and its
+    rows would coexist with the snapshot's copy of the same bid — the
+    same reason t10 compacts post-drain. Returns the new version id, or
+    -1 when there is nothing to fold."""
+    import shutil
+
+    from loris_mri_spark.catalog import load_versioned, write_versioned
+
+    deltas = sorted(
+        d for d in os.listdir(store) if d.startswith("bid=")
+    )
+    if not deltas:
+        return -1
+    df = spark.read.parquet(store)  # bid rides as the partition column
+    snap = store + "_snap"
+    if os.path.isfile(os.path.join(snap, "_LATEST")):
+        df = df.unionByName(load_versioned(spark, snap))
+    v = write_versioned(df, snap)
+    for d in deltas:
+        shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+    return v
+
+
+def _t16_detect_batch(
+    bdf: DataFrame, bid: int, band_store: str, sh_store: str,
+    pair_sink: str,
+) -> None:
+    """One t16 micro-batch: shingle ONCE (checkpointed), band, find
+    candidates within-batch and against the store (snapshot + deltas),
+    exact-verify with full-array Jaccard, write pairs/bands/shingles
+    bid-keyed. Module-level so the compaction test can drive the exact
+    production batch body around a mid-stream t16_compact_stores call."""
+    from loris_mri_spark.functions.texthash import tokens, word_shingles
+    from loris_mri_spark.operators.dedup import minhash_band_table
+
+    bspark = bdf.sparkSession
+    docs = (
+        bdf.select(
+            F.col("doc_id").alias("i"),
+            word_shingles(tokens("text"), 3).alias("__sh"),
+        )
+        .filter(F.col("i").isNotNull() & (F.size("__sh") > 0))
+        .localCheckpoint()  # one shingle evaluation, three consumers
+    )
+    bands = minhash_band_table(docs, num_hashes=32, bands=16)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.select(
+                F.col("i").alias("j"), "band", "bkey"
+            ).alias("y"),
+            ["band", "bkey"],
+        )
+        .filter(F.col("x.i") < F.col("y.j"))
+        .select("i", "j")
+    )
+    sides = docs.select("i", "__sh")
+    prev_bands = _t16_read_store(bspark, band_store, bid)
+    if prev_bands is not None:
+        cross = (
+            bands.alias("x")
+            .join(
+                prev_bands.select(
+                    F.col("i").alias("j"), "band", "bkey"
+                ).alias("y"),
+                ["band", "bkey"],
+            )
+            .select(
+                F.least("i", "j").alias("i"),
+                F.greatest("i", "j").alias("j"),
+            )
+        )
+        cand = cand.unionByName(cross)
+        sides = sides.unionByName(
+            _t16_read_store(bspark, sh_store, bid).select("i", "__sh")
+        )
+    cand = cand.distinct()
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    pairs = (
+        cand.join(sides.select("i", F.col("__sh").alias("__sha")), "i")
+        .join(
+            sides.select(
+                F.col("i").alias("j"), F.col("__sh").alias("__shb")
+            ),
+            "j",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
+    )
+    pairs.write.mode("overwrite").parquet(f"{pair_sink}/bid={bid}")
+    bands.write.mode("overwrite").parquet(f"{band_store}/bid={bid}")
+    docs.write.mode("overwrite").parquet(f"{sh_store}/bid={bid}")
+
+
 @query("t16_stream_near_dedup", oracle=_t16_oracle())
 def t16_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16: STREAMING NEAR-duplicate detection against a persistent
@@ -864,9 +996,12 @@ def t16_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage, not executor memory (at scale: bucketed on (band, bkey) so
     the candidate join shuffles only the incoming batch; store blooms
     on bkey skip row groups, the t8 recipe). Candidates stay
-    bucket-local — no all-pairs stage anywhere."""
-    from loris_mri_spark.functions.texthash import tokens, word_shingles
-    from loris_mri_spark.operators.dedup import minhash_band_table
+    bucket-local — no all-pairs stage anywhere. At continuous-trigger
+    cadence the bid=N delta dirs fold into one versioned snapshot via
+    t16_compact_stores (t10's delta->snapshot recipe; drained pairs
+    provably unchanged across a compaction —
+    tests/test_streaming_restart.py), so per-batch listing and footer
+    costs stay bounded instead of growing forever."""
     from loris_mri_spark.streaming.incremental import (
         _checkpoint,
         _scoped_stream_partitions,
@@ -878,76 +1013,7 @@ def t16_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_sink = scratch_dir("t16-pairs")
 
     def detect_batch(bdf: DataFrame, bid: int) -> None:
-        bspark = bdf.sparkSession
-        docs = (
-            bdf.select(
-                F.col("doc_id").alias("i"),
-                word_shingles(tokens("text"), 3).alias("__sh"),
-            )
-            .filter(F.col("i").isNotNull() & (F.size("__sh") > 0))
-            .localCheckpoint()  # one shingle evaluation, three consumers
-        )
-        bands = minhash_band_table(docs, num_hashes=32, bands=16)
-        cand = (
-            bands.alias("x")
-            .join(
-                bands.select(
-                    F.col("i").alias("j"), "band", "bkey"
-                ).alias("y"),
-                ["band", "bkey"],
-            )
-            .filter(F.col("x.i") < F.col("y.j"))
-            .select("i", "j")
-        )
-        sides = docs.select("i", "__sh")
-        prev = [
-            d
-            for d in os.listdir(band_store)
-            if d.startswith("bid=") and int(d[4:]) < bid
-        ]
-        if prev:
-            prev_bands = (
-                bspark.read.parquet(band_store)
-                .filter(F.col("bid") < bid)
-                .drop("bid")
-            )
-            cross = (
-                bands.alias("x")
-                .join(
-                    prev_bands.select(
-                        F.col("i").alias("j"), "band", "bkey"
-                    ).alias("y"),
-                    ["band", "bkey"],
-                )
-                .select(
-                    F.least("i", "j").alias("i"),
-                    F.greatest("i", "j").alias("j"),
-                )
-            )
-            cand = cand.unionByName(cross)
-            sides = sides.unionByName(
-                bspark.read.parquet(sh_store)
-                .filter(F.col("bid") < bid)
-                .select("i", "__sh")
-            )
-        cand = cand.distinct()
-        inter = F.size(F.array_intersect("__sha", "__shb"))
-        jac = inter / (F.size("__sha") + F.size("__shb") - inter)
-        pairs = (
-            cand.join(sides.select("i", F.col("__sh").alias("__sha")), "i")
-            .join(
-                sides.select(
-                    F.col("i").alias("j"), F.col("__sh").alias("__shb")
-                ),
-                "j",
-            )
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= 0.8)
-            .select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
-        )
-        pairs.write.mode("overwrite").parquet(f"{pair_sink}/bid={bid}")
-        bands.write.mode("overwrite").parquet(f"{band_store}/bid={bid}")
-        docs.write.mode("overwrite").parquet(f"{sh_store}/bid={bid}")
+        _t16_detect_batch(bdf, bid, band_store, sh_store, pair_sink)
 
     with _scoped_stream_partitions(spark):
         q = (

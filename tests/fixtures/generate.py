@@ -1039,6 +1039,73 @@ def main() -> None:
     write_ctf_meg4(os.path.join(ctf_ds2, "sub-04_task-rest_meg.meg4"),
                    n_trials=2, n_channels=4, n_samples=16)
 
+    # --- BIDS EEG dataset (pipeline_eeg_bids_ingest capstone): a
+    # self-contained sub-*/eeg/ layout exercising every reference exit of
+    # import_bids_dataset.py's EEG flow — three insertable recordings
+    # (EDF / EEGLAB .set / BDF), a subject missing from participants.tsv
+    # (candidate-not-found), a participant row whose sex is not a LORIS
+    # sex (unknown-sex), and an unsupported recording extension. HED
+    # strings in sub-01's events.tsv + the dataset-level inherited tag
+    # dictionary drive the X4 tagging + inherited-filter path.
+    gdir = _mkdir(os.path.join(HERE, "bids_eeg"))
+    with open(os.path.join(gdir, "participants.tsv"), "w") as f:
+        f.write("participant_id\tage\tsex\tsite\tcohort\n")
+        f.write("sub-01\t31\tF\tMTL\tControl\n")
+        f.write("sub-02\t27\tmale\tMTL\tControl\n")
+        f.write("sub-03\t45\tFemale\tOTT\tPatient\n")
+        # sub-04 deliberately ABSENT -> candidate_not_found
+        f.write("sub-05\t52\tX\tOTT\tControl\n")   # not a LORIS sex
+        f.write("sub-06\t33\to\tMTL\tControl\n")   # valid row, bad file ext
+    with open(os.path.join(gdir, "task-rest_events.json"), "w") as f:
+        json.dump({"trial_type": {"HED": {"go": "Action/Move",
+                                          "stop": "Action/Hold"}}},
+                  f, sort_keys=True)
+
+    def _eeg_sub(sub: str) -> str:
+        return _mkdir(os.path.join(gdir, sub, "eeg"))
+
+    d1 = _eeg_sub("sub-01")
+    write_edf(os.path.join(d1, "sub-01_task-rest_eeg.edf"),
+              ["EEG Fz", "EEG Pz"], n_records=2, spr=32)
+    with open(os.path.join(d1, "sub-01_task-rest_events.tsv"), "w") as f:
+        f.write("onset\tduration\ttrial_type\tHED\tstim_file\n")
+        f.write("0.5\t0.2\tgo\tAction/Move, (Sensory-event,"
+                " Visual-presentation)\timg0.png\n")
+        f.write("1.0\t0.2\tstop\tAction/Hold, Agent-action\tn/a\n")
+        f.write("1.5\t0.2\tgo\tn/a\timg1.png\n")
+    with open(os.path.join(d1, "sub-01_task-rest_eeg.json"), "w") as f:
+        json.dump({"SamplingFrequency": 32.0, "TaskName": "rest",
+                   "EEGReference": "Cz", "PowerLineFrequency": 60},
+                  f, sort_keys=True)
+
+    d2 = _eeg_sub("sub-02")
+    write_eeglab_set(os.path.join(d2, "sub-02_task-rest_eeg.set"),
+                     ["Fp1", "Cz"], srate=125.0, pnts=64)
+    with open(os.path.join(d2, "sub-02_task-rest_events.tsv"), "w") as f:
+        f.write("onset\tduration\ttrial_type\tresponse_time\n")
+        f.write("0.25\t0.1\tgo\t0.31\n")
+        f.write("0.75\t0.1\tstop\tn/a\n")
+    with open(os.path.join(d2, "sub-02_task-rest_eeg.json"), "w") as f:
+        json.dump({"SamplingFrequency": 125.0, "TaskName": "rest"},
+                  f, sort_keys=True)
+
+    d3 = _eeg_sub("sub-03")   # no events.tsv / sidecar: both optional
+    write_bdf(os.path.join(d3, "sub-03_task-rest_eeg.bdf"),
+              ["Fp1", "Oz"], n_records=2, spr=16)
+
+    d4 = _eeg_sub("sub-04")   # no participants row -> candidate_not_found
+    write_brainvision(os.path.join(d4, "sub-04_task-rest_eeg"),
+                      ["Fp1", "Cz"], sampling_interval_us=8000,
+                      n_samples=48)
+
+    d5 = _eeg_sub("sub-05")   # sex 'X' -> unknown_sex
+    write_edf(os.path.join(d5, "sub-05_task-rest_eeg.edf"),
+              ["EEG C3"], n_records=1, spr=16)
+
+    d6 = _eeg_sub("sub-06")   # unsupported recording extension
+    with open(os.path.join(d6, "sub-06_task-rest_eeg.xyz"), "wb") as f:
+        f.write(b"not an eeg recording\n")
+
     # --- MINC1 volumes (S5, NetCDF classic)
     mdir = _mkdir(os.path.join(HERE, "minc"))
     write_minc1(

@@ -297,6 +297,9 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     allowed_arrow = {
         "c5_blake2b_hash",
         "pipeline_hrrt_insertion",  # blake2b over ECAT bytes (C5's UDF)
+        # blake2b over recording bytes (C5's UDF) + the X4 HED parse —
+        # both documented Arrow hops of the EEG BIDS capstone
+        "pipeline_eeg_bids_ingest",
         "x3b_udtf_tar_members",  # Arrow-optimized Python UDTF (X3 surface)
         "x4_hed_parse",
         "x4b_hed_ancestors",
@@ -360,6 +363,18 @@ def test_semdedup_cell_local_grouped_map(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_eeg_bids_ingest_broadcast_only_joins(spark, sf_dir):
+    """The EEG BIDS capstone's joins are all dims-sized (participants,
+    event dictionary, inserted-file list) and must broadcast — a
+    SortMergeJoin anywhere means a recordings-sized shuffle that the
+    100-TB listing-scale design forbids."""
+    plan = _plan(
+        workload.QUERIES["pipeline_eeg_bids_ingest"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_bpe_vocab_trainer_single_grouped_map(spark, sf_dir):
