@@ -38,58 +38,68 @@ def main() -> None:
 
     from loris_mri_spark.session import get_spark
 
-    spark = get_spark(
-        app_name="loris-mri-spark-bench",
-        master=f"local[{cpus}]",
-        shuffle_partitions=2 * int(cpus),
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            # SESSION-AGING guard (r10): one JVM executes ~900 query runs
-            # (230 queries x cold + warm/median-of-3) plus sharedCache
-            # persists; at the 8g default the tail of the run slows
-            # 2-8x from GC thrash (measured: s19b 8.7 s at bench
-            # position ~150, 1.9 s in a fresh session on a SLOWER
-            # host). 16g is 1/8 of the harness box and representative
-            # of any real driver; periodic ContextCleaner GC releases
-            # broadcast/RDD refs every 5min instead of the 30min
-            # default so cleanup lands within the run.
-            "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", "16g"
-            ),
-            "spark.cleaner.periodicGC.interval": "5min",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    # Benchmark context: contract-independent queries sharing an expensive
-    # intermediate (the j7 protocol match) may reuse one cached copy.
-    spark.conf.set("spark.loris.sharedCache", "true")
+    def make_session():
+        s = get_spark(
+            app_name="loris-mri-spark-bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=2 * int(cpus),
+            extra_conf={
+                "spark.ui.showConsoleProgress": "false",
+                # SESSION-AGING guard (r10): one JVM executes ~900 query
+                # runs (~236 queries x cold + warm/median-of-3) plus
+                # sharedCache persists; at the 8g default the tail of the
+                # run slows 2-8x from GC thrash (measured: s19b 8.7 s at
+                # bench position ~150, 1.9 s in a fresh session on a
+                # SLOWER host). 16g is 1/8 of the harness box and
+                # representative of any real driver; periodic
+                # ContextCleaner GC releases broadcast/RDD refs every
+                # 5min instead of the 30min default so cleanup lands
+                # within the run.
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_DRIVER_MEM", "16g"
+                ),
+                "spark.cleaner.periodicGC.interval": "5min",
+            },
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        # Benchmark context: contract-independent queries sharing an
+        # expensive intermediate (the j7 protocol match) may reuse one
+        # cached copy.
+        s.conf.set("spark.loris.sharedCache", "true")
+        return s
+
+    spark = make_session()
 
     from loris_mri_spark import workload
 
     workload.load_all()
 
-    # Warm-up: JVM JIT + parquet footers + file-index caches, so per-query
-    # numbers measure the plan, not first-touch costs.
     from loris_mri_spark.catalog import TESTDATA_TABLES, load_table
-
-    for t in TESTDATA_TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
-
-    # Warm the Arrow Python-worker pool too (first pandas-UDF call pays
-    # worker spawn + import; that's session cost, not plan cost).
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 
-    @pandas_udf(LongType())
-    def _noop(x: pd.Series) -> pd.Series:
-        return x
+    def warm_session(s) -> None:
+        # Warm-up: JVM JIT + parquet footers + file-index caches, so
+        # per-query numbers measure the plan, not first-touch costs.
+        for t in TESTDATA_TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                load_table(s, sf_dir, t).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
-    spark.range(10000).select(_noop(F.col("id"))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+        # Warm the Arrow Python-worker pool too (first pandas-UDF call
+        # pays worker spawn + import; session cost, not plan cost).
+        @pandas_udf(LongType())
+        def _noop(x: pd.Series) -> pd.Series:
+            return x
+
+        s.range(10000).select(_noop(F.col("id"))).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    warm_session(spark)
 
     # Hardware calibration: a fixed single-core Python loop and a fixed
     # JVM aggregation, so round-over-round comparisons can separate plan
@@ -204,10 +214,28 @@ def main() -> None:
     if seed >= 0:
         random.Random(seed).shuffle(names)
 
+    # SESSION RECYCLING (r11 VERDICT item 6, second lever): even with
+    # 16g + periodic GC + per-query medians, the r12 shuffled run still
+    # flagged mostly late RUN POSITIONS (median flag position 165/236,
+    # cluster at 213-221) — aging follows position, not query identity,
+    # so shuffling only spreads it. Restarting the SparkContext every N
+    # queries resets executor/driver heap, broadcast refs, and the
+    # shared-cache footprint; the first query after a recycle re-pays
+    # shared-intermediate builds in its COLD pass (absorbed by design —
+    # warm medians run after it), and warm_session() re-pays first-touch
+    # costs outside any timed region. 0 disables.
+    recycle_every = int(os.environ.get("LORIS_BENCH_RECYCLE", "60"))
+    recycles: list[int] = []
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     remeasured: list[str] = []
-    for name in names:
+    for qi, name in enumerate(names):
+        if recycle_every and qi and qi % recycle_every == 0:
+            spark.stop()
+            spark = make_session()
+            warm_session(spark)
+            recycles.append(qi)
         fn = workload.QUERIES[name]
         try:
             t0 = time.perf_counter()
@@ -318,6 +346,9 @@ def main() -> None:
         # dozens of false late-alphabet flags two rounds running); -1
         # means alphabetical
         "run_order_seed": seed,
+        # run positions at which the SparkContext was stopped and
+        # rebuilt (LORIS_BENCH_RECYCLE) — the aging reset; empty = off
+        "session_recycles_at": recycles,
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
     # Per-query map on an EARLIER line; the parseable summary must be LAST.
