@@ -764,6 +764,17 @@ R12_WINDOW: list[str] = [
 ]
 
 
+# Registered late-r12, after the 50-entry window filled: the DISTRIBUTED
+# BPE tokenization path (single-task train+encode-types, broadcast the
+# types->subwords table against the token-exploded corpus, per-doc
+# subword counts + fertility). Never driver-checked yet (verified
+# locally against its live-SQL oracle at sf0.01, the verify recipe);
+# enters the r13 window right after R13_TOPUP_FIRST — the queue pattern.
+R13_QUEUE: list[str] = [
+    "text_bpe_tokenize_corpus",
+]
+
+
 # Displaced from the r12 top-up tail (the 46 r7-latest greens exceed the
 # 39 available slots); re-enter the r13 window first.
 R13_TOPUP_FIRST: list[str] = [

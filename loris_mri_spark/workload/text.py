@@ -1474,29 +1474,20 @@ def text_bpe_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_APPLY_TOP = 30
 
 
-def _bpe_apply_values_sql() -> "str | None":
-    """Golden VALUES oracle for the apply side, derived from the
-    replay's FINAL TRAINING STATE (bpe_replay_segments) — a genuinely
-    different path from the engine's trainer + rank-order re-encoding,
-    so parity checks the classic BPE invariant that applying learned
-    merges in order reproduces the training segmentation."""
-    import os
-
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
-        return None
-    import pyarrow.parquet as pq
-
-    tb = pq.read_table(path, columns=["text"])
-    wc = _word_counts_java_norm(tb.column("text").to_pylist())
+def _bpe_replay_segments_all(
+    wc: "dict[str, int]", k: int = _BPE_VOCAB_K
+) -> "dict[str, list]":
+    """Replay-side segmentation of EVERY type at merge count ``k``:
+    train on the min-count-pruned table (bpe_replay_segments final
+    state); types below the threshold are ENCODED, not trained — the
+    replay's learned rules applied in rank order (the replay's own
+    rule-application loop, independent of operators/bpe). Shared by the
+    apply-side and tokenize-corpus oracle builders."""
     train_wc = {w: c for w, c in wc.items() if c >= _BPE_MIN_COUNT}
-    segs = bpe_replay_segments(train_wc, _BPE_VOCAB_K)
+    segs = bpe_replay_segments(train_wc, k)
     if len(train_wc) < len(wc):
-        # Types below the training min-count are ENCODED, not trained:
-        # apply the replay's learned rules in rank order (the replay's
-        # own rule-application loop, independent of operators/bpe).
         rules = [
-            (l, r) for _, l, r, _ in bpe_replay(train_wc, _BPE_VOCAB_K)
+            (l, r) for _, l, r, _ in bpe_replay(train_wc, k)
         ]
         for w in wc:
             if w in segs:
@@ -1513,6 +1504,25 @@ def _bpe_apply_values_sql() -> "str | None":
                         i += 1
                 s = ns
             segs[w] = s
+    return segs
+
+
+def _bpe_apply_values_sql() -> "str | None":
+    """Golden VALUES oracle for the apply side, derived from the
+    replay's FINAL TRAINING STATE (bpe_replay_segments) — a genuinely
+    different path from the engine's trainer + rank-order re-encoding,
+    so parity checks the classic BPE invariant that applying learned
+    merges in order reproduces the training segmentation."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=["text"])
+    wc = _word_counts_java_norm(tb.column("text").to_pylist())
+    segs = _bpe_replay_segments_all(wc)
     freq: dict = {}
     for w, c in wc.items():
         for t in segs[w]:
@@ -1596,5 +1606,125 @@ def text_bpe_apply_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(
             _train_apply,
             schema="rank long, subword string, weighted_count long",
+        )
+    )
+
+
+def _bpe_tokenize_map_sql() -> "str | None":
+    """Golden types->subword-count map for the distributed tokenize
+    path, from the replay's final training state (the apply-side
+    recipe via _bpe_replay_segments_all); the corpus-side join and
+    aggregation stay LIVE SQL in the oracle, so DuckDB independently
+    re-tokenizes every document against the golden map."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+
+    tb = pq.read_table(path, columns=["text"])
+    wc = _word_counts_java_norm(tb.column("text").to_pylist())
+    # k=8 (not the vocab query's 256): this corpus EXHAUSTS at k=256
+    # (every type one symbol, fertility uniformly 1.0) — partial merges
+    # keep per-doc subword counts varied, a stronger value-hash check.
+    segs = _bpe_replay_segments_all(wc, _BPE_K)
+    if not segs:
+        return None
+    vals = ", ".join(
+        "('{w}', CAST({n} AS BIGINT))".format(
+            w=w.replace("'", "''"), n=len(s)
+        )
+        for w, s in sorted(segs.items())
+    )
+    return f"""
+    WITH m AS (SELECT * FROM (VALUES {vals}) AS m(w, n_sub)),
+    tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+      FROM documents),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+      FROM tok JOIN m USING (w)
+      GROUP BY doc_id)
+    SELECT doc_id, n_words, n_bpe_tokens,
+           ROUND(n_bpe_tokens / CAST(n_words AS DOUBLE), 6) AS fertility_r
+    FROM agg
+    """
+
+
+@query("text_bpe_tokenize_corpus", oracle=_bpe_tokenize_map_sql())
+def text_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION tokenization path the apply-side docstring
+    promises: per-document BPE token counts (plus fertility =
+    subwords/word, the tokenizer-quality metric a vocab build tracks)
+    computed WITHOUT ever re-encoding inside the corpus scan.
+
+    The factorization (the industrial one): encoding is a function of
+    the word TYPE, so
+      1. one corpus pass builds the type table (map-side-combined
+         shuffle bounded by type count, min-count prune on the TRAIN
+         side only);
+      2. the single-task trainer learns k=256 merges and encodes every
+         type ONCE — output is a (type, n_subwords) table, vocab-sized;
+      3. the encoded table joins back against the token-exploded corpus
+         and per-doc counts aggregate.
+    The corpus is scanned (twice) but NEVER shuffled at full width: the
+    type join broadcasts (a curated-corpus vocabulary is MBs — Heaps-
+    sublinear in corpus size; on a noisy web crawl where the type table
+    outgrows broadcast, drop the hint and AQE picks a bucketed shuffle
+    join on `w`, the only change the plan needs), and the doc_id
+    aggregation ships partial aggregates. Oracle: DuckDB re-tokenizes
+    every document live against the golden replay's type map — engine
+    and oracle share NO tokenization code."""
+    from loris_mri_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_incremental,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+
+    def _train_encode(pdf):
+        import pandas as pd
+
+        wc = dict(zip(pdf["w"], pdf["wc"].astype(int)))
+        merges = [
+            (l, r)
+            for _, l, r, _ in bpe_train_incremental(
+                {w: c for w, c in wc.items() if c >= _BPE_MIN_COUNT},
+                _BPE_K,
+            )
+        ]
+        return pd.DataFrame(
+            [(w, len(bpe_encode(w, merges))) for w in wc],
+            columns=["w", "n_sub"],
+        )
+
+    enc = (
+        words.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(_train_encode, schema="w string, n_sub long")
+    )
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    return (
+        tok.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("fertility_r"),
         )
     )
