@@ -2402,9 +2402,29 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("pos") > 0) & (F.length("line") > 0))
         .select(
             "sub",
-            F.map_from_arrays("hdr", F.split("line", "\t")).alias("m"),
+            # classify-don't-fail: a RAGGED row (more/fewer cells than
+            # the header) must not kill the scan task — pad with nulls
+            # then truncate to the header width, so map_from_arrays
+            # always zips equal-length arrays and short rows surface as
+            # null fields (the BIDS 'n/a' semantics), never as a crash
+            F.map_from_arrays(
+                "hdr",
+                F.slice(
+                    F.concat(
+                        F.split("line", "\t"),
+                        F.array_repeat(
+                            F.lit(None).cast("string"), F.size("hdr")
+                        ),
+                    ),
+                    1,
+                    F.size("hdr"),
+                ),
+            ).alias("m"),
         )
         .join(F.broadcast(ins_files.select("sub").distinct()), "sub", "semi")
+        # a row whose padded map has no onset is not a BIDS event row —
+        # classified out, never an error
+        .filter(F.col("m")["onset"].isNotNull())
         .withColumn("ent", F.concat("sub", s(":"), F.col("m")["onset"]))
         .withColumn("tt", F.col("m")["trial_type"])
     )
