@@ -2232,18 +2232,25 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sex_map = F.create_map(
         *[s(x) for kv in _BIDS_EEG_SEX.items() for x in kv]
     )
-    parts = parts.withColumn(
-        "sex_norm", F.element_at(sex_map, F.lower("sex"))
-    ).withColumn(
-        "cand_ok",
-        F.col("sex").isNull()
-        | (F.col("sex") == "n/a")
-        | F.col("sex_norm").isNotNull(),
+    parts = (
+        parts.withColumn(
+            "sex_norm", F.element_at(sex_map, F.lower("sex"))
+        )
+        .withColumn(
+            "cand_ok",
+            F.col("sex").isNull()
+            | (F.col("sex") == "n/a")
+            | F.col("sex_norm").isNotNull(),
+        )
+        # explicit row-presence marker: a participants row with empty
+        # cells must still count as "candidate exists" after the left
+        # join (subjects.py keys on the ROW, not any one field)
+        .withColumn("has_row", F.lit(True))
     )
 
     inv = inv.join(F.broadcast(parts), "sub", "left").withColumn(
         "status",
-        F.when(F.col("site").isNull(), "candidate_not_found")
+        F.when(F.col("has_row").isNull(), "candidate_not_found")
         .when(~F.col("cand_ok"), "unknown_sex")
         .when(~F.col("ext").isin(*_BIDS_EEG_EXTS), "unsupported_file_type")
         .otherwise("inserted"),
