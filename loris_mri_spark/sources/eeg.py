@@ -11,6 +11,13 @@ which this runtime does not ship).
 Spark-first shape: binaryFile + mapInPandas, one output row per channel
 carrying the channel's sample array — ready for the ephys chunk pyramid
 (workload/signals.py) and A7 range aggregation.
+
+Memory note (the r13 streaming-hash pattern, workload/pipeline.py
+`_iter_file_chunks`): these parsers ride the binaryFile `content` column
+— fine for EDF/BDF/EEGLAB/BrainVision recordings (MBs). Where only the
+HEADER is needed (e.g. a future multi-GB CTF `.meg4` inventory pass),
+prune the scan to `path` and read the fixed-size header region via
+chunked/ranged reads instead of materializing the file in one task.
 """
 
 from __future__ import annotations

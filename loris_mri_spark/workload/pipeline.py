@@ -1957,6 +1957,57 @@ _BIDS_EEG_KNOWN_EVENT_FIELDS = (
 _BIDS_EEG_CHUNK_W = 16
 _BIDS_EEG_VISIT = "V1"
 
+# chunked content-hash read size: bounds a hashing task's memory at one
+# buffer regardless of recording size (a multi-GB CTF .meg4 never
+# materializes — the reference's chunker streams too, lib/physio)
+_B2B_READ_CHUNK = 8 << 20  # 8 MiB
+
+
+def _iter_file_chunks(uri: str, chunk: int = _B2B_READ_CHUNK):
+    """Yield ``chunk``-sized byte blocks of a binaryFile-style URI.
+
+    ``file:`` URIs read via plain ``open`` (the local / NFS executor
+    path); any other scheme (hdfs://, s3://) routes through
+    ``pyarrow.fs.FileSystem.from_uri`` — the cluster-filesystem path."""
+    if uri.startswith("file:"):
+        import re as _re
+
+        local = _re.sub(r"^file:(//)?", "", uri)
+        with open(local, "rb") as fh:
+            while True:
+                b = fh.read(chunk)
+                if not b:
+                    return
+                yield b
+    else:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(uri)
+        with fs.open_input_stream(rel) as st:
+            while True:
+                b = st.read(chunk)
+                if not b:
+                    return
+                yield b
+
+
+def _blake2b_stream_partition(batches):
+    """mapInPandas kernel: pass rows through, adding ``b2b`` — blake2b
+    of the file at ``path`` computed by CHUNKED reads (8 MiB), so task
+    memory is one buffer even for a multi-GB recording. The inventory
+    scan itself is pruned to metadata (no ``content`` column ever
+    crosses Arrow)."""
+    import hashlib
+
+    for pdf in batches:
+        digs = []
+        for p in pdf["path"]:
+            h = hashlib.blake2b(digest_size=32)
+            for blk in _iter_file_chunks(p):
+                h.update(blk)
+            digs.append(h.hexdigest())
+        yield pdf.assign(b2b=digs).drop(columns=["path"])
+
 
 def _bids_eeg_dir() -> str:
     import os
@@ -2051,8 +2102,12 @@ def _eeg_bids_oracle() -> "str | None":
         p = participants.get(sub)
         if p is None:
             continue
-        sex_norm = _BIDS_EEG_SEX.get(p["sex"].lower())
-        if sex_norm is None and p["sex"] != "n/a":
+        # mirror the engine's CSV null semantics: Spark reads an EMPTY
+        # sex cell as null, which validates (like 'n/a') — only a
+        # non-empty, non-n/a, unknown value fails candidate validation
+        sex_raw = p.get("sex") or ""
+        sex_norm = _BIDS_EEG_SEX.get(sex_raw.lower())
+        if sex_norm is None and sex_raw not in ("", "n/a"):
             continue
         cand_id = str(md5_60_py("cand:" + sub))
         sess_id = str(md5_60_py("sess:" + sub + ":" + _BIDS_EEG_VISIT))
@@ -2065,14 +2120,22 @@ def _eeg_bids_oracle() -> "str | None":
             ("session", sub, "cohort", p["cohort"]),
         ]
 
+    inserted_subs: set[str] = set()
     for sub, fname, ext, path in recordings:
         status = classify(sub, ext)
         rows.append(("file", fname, "status", status))
         if status != "inserted":
             continue
+        inserted_subs.add(sub)
         with open(path, "rb") as fh:
             b2b = hashlib.blake2b(fh.read(), digest_size=32).hexdigest()
-        labels, n_samples = pinned[fname]
+        pin = pinned.get(fname)
+        if pin is None:
+            # a fixture edit made an unpinned recording insertable: give
+            # up this ORACLE only (rows-only driver check) instead of
+            # raising during module import and killing the registry
+            return None
+        labels, n_samples = pin
         rows += [
             ("file", fname, "file_id", str(md5_60_py("physio:" + fname))),
             ("file", fname, "cand_id", str(md5_60_py("cand:" + sub))),
@@ -2097,39 +2160,6 @@ def _eeg_bids_oracle() -> "str | None":
                 break
             i += 1
 
-        # events.tsv (optional) by plain split; 'n/a' is the BIDS null
-        ev_path = os.path.join(
-            fdir, sub, "eeg", f"{sub}_task-rest_events.tsv"
-        )
-        if os.path.exists(ev_path):
-            with open(ev_path) as fh:
-                elines = fh.read().splitlines()
-            ehdr = elines[0].split("\t")
-            for line in elines[1:]:
-                if not line:
-                    continue
-                rec = dict(zip(ehdr, line.split("\t")))
-                ent = f"{sub}:{rec['onset']}"
-                rows.append(("event", ent, "trial_type",
-                             rec["trial_type"]))
-                rows.append(("event", ent, "duration", rec["duration"]))
-                rt = rec.get("response_time")
-                if rt and rt != "n/a":
-                    rows.append(("event", ent, "response_time", rt))
-                for k, v in rec.items():
-                    if (k not in _BIDS_EEG_KNOWN_EVENT_FIELDS
-                            and v and v != "n/a"
-                            and v.lower() != "nan"):
-                        rows.append(("event_opt", ent, k, v))
-                hed = rec.get("HED")
-                if hed and hed != "n/a":
-                    tt, tags = hed_pinned[rec["onset"]]
-                    assert tt == rec["trial_type"]
-                    inh = inherited.get(tt)
-                    for tag in tags:
-                        if tag != inh:
-                            rows.append(("hed", ent, "tag", tag))
-
         # sidecar JSON (optional): flattened parameter rows
         sc_path = os.path.join(fdir, sub, "eeg", f"{sub}_task-rest_eeg.json")
         if os.path.exists(sc_path):
@@ -2138,6 +2168,51 @@ def _eeg_bids_oracle() -> "str | None":
             for k in sorted(sidecar):
                 rows.append(("parameter", fname, "sidecar:" + k,
                              str(sidecar[k])))
+
+    # events.tsv (optional) by plain split; 'n/a' is the BIDS null.
+    # Keyed PER SUBJECT (not per inserted recording) to mirror the
+    # engine's per-subject semi-join — a subject with two inserted
+    # recordings must not duplicate its event rows.
+    for sub in sorted(inserted_subs):
+        ev_path = os.path.join(
+            fdir, sub, "eeg", f"{sub}_task-rest_events.tsv"
+        )
+        if not os.path.exists(ev_path):
+            continue
+        with open(ev_path) as fh:
+            elines = fh.read().splitlines()
+        ehdr = elines[0].split("\t")
+        for line in elines[1:]:
+            if not line:
+                continue
+            rec = dict(zip(ehdr, line.split("\t")))
+            onset = rec.get("onset")
+            # mirror the engine's usable-onset gate: a ragged row whose
+            # padded map has a null or EMPTY onset is classified out
+            if not onset:
+                continue
+            ent = f"{sub}:{onset}"
+            rows.append(("event", ent, "trial_type", rec["trial_type"]))
+            rows.append(("event", ent, "duration", rec["duration"]))
+            rt = rec.get("response_time")
+            if rt and rt != "n/a":
+                rows.append(("event", ent, "response_time", rt))
+            for k, v in rec.items():
+                if (k not in _BIDS_EEG_KNOWN_EVENT_FIELDS
+                        and v and v != "n/a"
+                        and v.lower() != "nan"):
+                    rows.append(("event_opt", ent, k, v))
+            hed = rec.get("HED")
+            if hed and hed != "n/a":
+                hp = hed_pinned.get(onset)
+                if hp is None or hp[0] != rec["trial_type"]:
+                    # unpinned HED row after a fixture edit: degrade
+                    # this one oracle (rows-only), never the registry
+                    return None
+                inh = inherited.get(hp[0])
+                for tag in hp[1]:
+                    if tag != inh:
+                        rows.append(("hed", ent, "tag", tag))
 
     def q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
@@ -2163,8 +2238,11 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       normalized per subjects.py:131-160; each reference error exit is a
       row classification (candidate_not_found / unknown_sex /
       unsupported_file_type), deterministic get-or-create ids (J10)
-    - physiological_file registration: blake2b content hash (the one
-      Arrow-batched Python hop over recording bytes), file/session ids
+    - physiological_file registration: blake2b content hash via a
+      CHUNKED-read mapInPandas stage (8 MiB blocks off the path — the
+      inventory scan is metadata-pruned, so recording bytes never cross
+      Arrow and a multi-GB CTF/.meg4 never materializes in one task;
+      mirrors the reference chunker's streaming reads), file/session ids
     - channel registration (S7): the EDF/BDF/EEGLAB header parsers over
       the same scan, semi-joined to inserted recordings
     - task events (S8/events.py:81-155): schema-free TSV parse —
@@ -2188,9 +2266,6 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     LORIS_BIDS_EEG_FIXTURES (the LORIS_MM_FIXTURES recipe); the oracle
     always pins the committed fixtures."""
     import os
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
 
     from loris_mri_spark.functions.hed import hed_parse_udf
     from loris_mri_spark.sources.bids import (
@@ -2219,7 +2294,10 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.regexp_extract(fname, r"\.([A-Za-z0-9]+)$", 1)).alias(
                 "ext"
             ),
-            "content",
+            # metadata only — content is NOT selected, so the binaryFile
+            # scan prunes to path/size and reads zero data bytes; the
+            # blake2b step below streams the path in 8 MiB chunks
+            "path",
         )
         .filter(~F.col("ext").isin(*_BIDS_EEG_SUPPORT_EXTS))
     )
@@ -2261,14 +2339,6 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand_id = mid(s("cand:"), F.col("sub"))
     sess_id = mid(s("sess:"), F.concat("sub", s(":" + _BIDS_EEG_VISIT)))
-
-    @pandas_udf(StringType())
-    def blake2b_hex(content: pd.Series) -> pd.Series:
-        import hashlib
-
-        return content.map(
-            lambda b: hashlib.blake2b(bytes(b), digest_size=32).hexdigest()
-        )
 
     def rows4(df: DataFrame, kind, entity, name, value) -> DataFrame:
         return df.select(
@@ -2314,7 +2384,14 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nv(n: Column, v: Column) -> Column:
         return F.struct(n.alias("n"), v.alias("v"))
 
-    file_rows = ins.select(
+    # chunked streaming hash (no join): one mapInPandas pass carries
+    # fname/sub/ext through and appends b2b from 8 MiB chunked reads of
+    # path — a multi-GB CTF/.meg4 recording is never resident in a task
+    ins_hashed = ins.select("fname", "sub", "ext", "path").mapInPandas(
+        _blake2b_stream_partition,
+        schema="fname string, sub string, ext string, b2b string",
+    )
+    file_rows = ins_hashed.select(
         "fname",
         F.explode(
             F.array(
@@ -2324,7 +2401,7 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nv(s("file_type"), F.col("ext")),
                 nv(s("modality"), s("eeg")),
                 nv(s("output_type"), s("raw")),
-                nv(s("blake2b"), blake2b_hex(F.col("content"))),
+                nv(s("blake2b"), F.col("b2b")),
             )
         ).alias("r"),
     ).select(s("file").alias("kind"), F.col("fname").alias("entity"),
@@ -2429,9 +2506,14 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m"),
         )
         .join(F.broadcast(ins_files.select("sub").distinct()), "sub", "semi")
-        # a row whose padded map has no onset is not a BIDS event row —
-        # classified out, never an error
-        .filter(F.col("m")["onset"].isNotNull())
+        # a row whose padded map has no USABLE onset is not a BIDS event
+        # row — classified out, never an error. isNotNull alone is not
+        # enough: a ragged line like '\t' splits to [''], so the padded
+        # map carries onset='' (non-null) and would mint a spurious
+        # 'sub-NN:' entity — the empty string is classified out too.
+        .filter(
+            F.col("m")["onset"].isNotNull() & (F.col("m")["onset"] != "")
+        )
         .withColumn("ent", F.concat("sub", s(":"), F.col("m")["onset"]))
         .withColumn("tt", F.col("m")["trial_type"])
     )

@@ -945,9 +945,20 @@ def _t16_detect_batch(
             )
         )
         cand = cand.unionByName(cross)
-        sides = sides.unionByName(
-            _t16_read_store(bspark, sh_store, bid).select("i", "__sh")
-        )
+        # the band and shingle stores are written/compacted in lockstep,
+        # so a present band store implies a present shingle store — but
+        # if they ever desync (partial-batch failure between the two
+        # writes, one-store compaction), fail LOUDLY instead of dying
+        # with AttributeError on a None dereference
+        prev_sh = _t16_read_store(bspark, sh_store, bid)
+        if prev_sh is None:
+            raise RuntimeError(
+                f"t16 store desync: band store {band_store} has state "
+                f"before bid={bid} but shingle store {sh_store} has "
+                "none — the two must be written and compacted in "
+                "lockstep"
+            )
+        sides = sides.unionByName(prev_sh.select("i", "__sh"))
     cand = cand.distinct()
     inter = F.size(F.array_intersect("__sha", "__shb"))
     jac = inter / (F.size("__sha") + F.size("__shb") - inter)

@@ -6,8 +6,43 @@ onset is classified out; none of them may kill the scan task."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
+
+
+def test_chunked_blake2b_matches_whole_file(tmp_path):
+    """The r13 streaming hash (8 MiB chunked reads) must produce the
+    exact digest of a whole-file read — proven with a chunk size far
+    smaller than the file, so the multi-block path actually runs."""
+    import pandas as pd
+
+    from loris_mri_spark.workload.pipeline import (
+        _blake2b_stream_partition,
+        _iter_file_chunks,
+    )
+
+    p = tmp_path / "rec.meg4"
+    data = bytes(range(256)) * 1000  # 256 kB
+    p.write_bytes(data)
+    uri = "file:" + str(p)
+
+    blocks = list(_iter_file_chunks(uri, chunk=1024))
+    assert len(blocks) == 250  # 256000 B / 1024 — genuinely chunked
+    assert b"".join(blocks) == data
+
+    [out] = list(
+        _blake2b_stream_partition(
+            iter([pd.DataFrame({
+                "fname": ["rec.meg4"], "sub": ["sub-01"],
+                "ext": ["meg4"], "path": [uri],
+            })])
+        )
+    )
+    assert out["b2b"].iloc[0] == hashlib.blake2b(
+        data, digest_size=32
+    ).hexdigest()
+    assert "path" not in out.columns
 
 
 def test_ragged_events_rows_classified_not_fatal(
@@ -42,8 +77,11 @@ def test_ragged_events_rows_classified_not_fatal(
     assert ("event", "sub-01:9.0", "trial_type") not in ents
     # more-cells row: truncated to the header and kept
     assert ents[("event", "sub-01:9.5", "trial_type")] == "go"
-    # the no-onset fragment produced nothing
-    assert not any(e.startswith("sub-01:\t") for _, e, _ in ents)
+    # the no-onset fragment produced nothing: '\t' splits to ['',''],
+    # so its padded onset is '' (non-null!) — the usable-onset gate must
+    # classify it out, not mint a spurious 'sub-01:' entity
+    assert ("event", "sub-01:", "duration") not in ents
+    assert not any(e == "sub-01:" for _, e, _ in ents)
     # file classifications unchanged by the ragged tail
     assert ents[("file", "sub-01_task-rest_eeg.edf", "status")] == "inserted"
     assert (

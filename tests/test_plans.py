@@ -297,8 +297,9 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
     allowed_arrow = {
         "c5_blake2b_hash",
         "pipeline_hrrt_insertion",  # blake2b over ECAT bytes (C5's UDF)
-        # blake2b over recording bytes (C5's UDF) + the X4 HED parse —
-        # both documented Arrow hops of the EEG BIDS capstone
+        # the X4 HED parse — the capstone's one remaining scalar Arrow
+        # hop (its blake2b moved to a chunked-read mapInPandas stage in
+        # r13 so recording bytes never cross Arrow)
         "pipeline_eeg_bids_ingest",
         "x3b_udtf_tar_members",  # Arrow-optimized Python UDTF (X3 surface)
         "x4_hed_parse",
@@ -375,6 +376,12 @@ def test_eeg_bids_ingest_broadcast_only_joins(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+    # r13 streaming-hash shape: the INVENTORY binaryFile scan is pruned
+    # to metadata (no content column — zero data bytes read) and the
+    # blake2b rides a chunked-read MapInPandas stage, so a multi-GB
+    # recording never materializes in one task
+    assert "ReadSchema: struct<path:string>" in plan
+    assert "MapInPandas" in plan
 
 
 def test_bpe_vocab_trainer_single_grouped_map(spark, sf_dir):
