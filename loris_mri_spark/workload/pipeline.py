@@ -2598,3 +2598,784 @@ def pipeline_eeg_bids_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(param_rows)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# MRI BIDS import capstone — the MRI arm of the reference's secondary entry
+# point (import_bids_dataset.py -> loris_bids_importer/mri/main.py +
+# mri/sidecar.py), previously mapped-not-registered (COVERAGE.md).
+# ---------------------------------------------------------------------------
+
+# mri/main.py:28-42 KNOWN_SUFFIXES_PER_MRI_DATA_TYPE — the standard BIDS
+# suffixes the importer will mint a scan type for (J10 get-or-create);
+# any other suffix is the reference's "unknown MRI file suffix" exit.
+_BIDS_MRI_KNOWN_SUFFIXES: "dict[str, tuple[str, ...]]" = {
+    "anat": ("T1w", "T2w", "T1rho", "T1map", "T2map", "T2star", "FLAIR",
+             "FLASH", "PD", "PDmap", "PDT2", "inplaneT1", "inplaneT2",
+             "angio"),
+    "func": ("bold", "cbv", "phase"),
+    "dwi": ("dwi", "sbref"),
+    "fmap": ("phasediff", "magnitude1", "magnitude2", "phase1", "phase2",
+             "fieldmap", "epi"),
+}
+
+# Pinned projection of the reference's DB-configured BIDS->LORIS
+# parameter-name map (lib/imaging_lib/file_parameter.py:68-79 reads
+# bids_mri parameter_type rows; this engine has no DB, so the map is a
+# constant — the MAPPED name rides alongside the raw sidecar: row, the
+# reference's "original BIDS parameters are not removed" semantics).
+_BIDS_TO_LORIS_PARAMS: "dict[str, str]" = {
+    "RepetitionTime": "repetition_time",
+    "EchoTime": "echo_time",
+    "Manufacturer": "manufacturer",
+    "ManufacturersModelName": "manufacturer_model_name",
+}
+
+
+def _bids_mri_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        "tests", "fixtures", "bids_mri",
+    )
+
+
+def _mri_bids_oracle() -> "str | None":
+    """Golden VALUES oracle for the MRI BIDS import capstone — a pure-
+    Python replay over the byte-stable fixtures (the EEG capstone's
+    golden recipe): participants/scans/events TSVs re-parsed by plain
+    split, sidecars by json.load, NIfTI spatial parameters PINNED to
+    what generate.py wrote (so the S4 header parse is genuinely
+    cross-checked), blake2b recomputed from the bytes, the X1 session
+    hook replayed as plain string splitting."""
+    import hashlib
+    import json
+    import os
+
+    fdir = _bids_mri_dir()
+    if not os.path.isdir(fdir):
+        return None
+
+    def md5_60_py(sv: str) -> int:
+        return int(hashlib.md5(sv.encode()).hexdigest()[:15], 16)
+
+    def b2b_file(path: str) -> str:
+        h = hashlib.blake2b(digest_size=32)
+        with open(path, "rb") as fh:
+            while True:
+                blk = fh.read(1 << 20)
+                if not blk:
+                    break
+                h.update(blk)
+        return h.hexdigest()
+
+    # participants.tsv by plain split
+    participants: dict[str, dict[str, str]] = {}
+    with open(os.path.join(fdir, "participants.tsv")) as fh:
+        lines = fh.read().splitlines()
+    hdr = lines[0].split("\t")
+    for line in lines[1:]:
+        if not line:
+            continue
+        rec = dict(zip(hdr, line.split("\t")))
+        participants[rec["participant_id"]] = rec
+
+    # spatial parameters PINNED to the generator's arguments:
+    # (xspace, yspace, zspace, time|None, xstep, ystep, zstep)
+    pinned_spatial = {
+        "sub-01_T1w.nii.gz": (8, 8, 4, None, 1.0, 1.0, 1.2),
+        "sub-01_dwi.nii.gz": (4, 4, 2, 6, 2.0, 2.0, 2.0),
+        "sub-02_task-rest_bold.nii.gz": (4, 4, 2, 6, 3.0, 3.0, 3.0),
+    }
+
+    # acquisition inventory: every sub-*/<dtype>/*.nii[.gz], path-sorted
+    acqs: list[tuple[str, str, str, str]] = []  # (sub, dtype, fname, path)
+    for sub in sorted(os.listdir(fdir)):
+        subdir = os.path.join(fdir, sub)
+        if not os.path.isdir(subdir):
+            continue
+        for dtype in sorted(os.listdir(subdir)):
+            ddir = os.path.join(subdir, dtype)
+            if not os.path.isdir(ddir):
+                continue
+            for n in sorted(os.listdir(ddir)):
+                if ".nii" in n:
+                    acqs.append((sub, dtype, n, os.path.join(ddir, n)))
+
+    def base_of(n: str) -> str:
+        return n[:-7] if n.endswith(".nii.gz") else n[:-4]
+
+    def suffix_of(n: str) -> str:
+        b = base_of(n)
+        return b.rsplit("_", 1)[1] if "_" in b else ""
+
+    def cand_valid(sub: str) -> "str | None":
+        """None when valid, else the error classification."""
+        p = participants.get(sub)
+        if p is None:
+            return "candidate_not_found"
+        sex_raw = p.get("sex") or ""
+        if (_BIDS_EEG_SEX.get(sex_raw.lower()) is None
+                and sex_raw not in ("", "n/a")):
+            return "unknown_sex"
+        return None
+
+    rows: list[tuple[str, str, str, str]] = []
+
+    # candidate + session rows: every subject WITH DATA whose candidate
+    # validates (dataset-wide validation precedes the per-file loop)
+    for sub in sorted({a[0] for a in acqs}):
+        if cand_valid(sub) is not None:
+            continue
+        p = participants[sub]
+        sex_norm = _BIDS_EEG_SEX.get((p.get("sex") or "").lower())
+        rows += [
+            ("candidate", sub, "cand_id", str(md5_60_py("cand:" + sub))),
+            ("candidate", sub, "sex", sex_norm or ""),
+            ("candidate", sub, "site", p["site"]),
+            ("session", sub, "session_id",
+             str(md5_60_py("sess:" + sub + ":" + _BIDS_EEG_VISIT))),
+            ("session", sub, "visit_label", _BIDS_EEG_VISIT),
+            ("session", sub, "cohort", p["cohort"]),
+        ]
+
+    # classification cascade + duplicate-hash gate (path order)
+    seen_hashes: set[str] = set()
+    inserted: list[tuple[str, str, str, str, str]] = []
+    for sub, dtype, fname, path in acqs:
+        status = cand_valid(sub)
+        sfx = suffix_of(fname)
+        if status is None and sfx == "":
+            status = "no_suffix"
+        if status is None and sfx not in _BIDS_MRI_KNOWN_SUFFIXES.get(
+                dtype, ()):
+            status = "unknown_suffix"
+        if status is None:
+            fh = b2b_file(path)
+            if fh in seen_hashes:
+                status = "duplicate_hash"
+            else:
+                seen_hashes.add(fh)
+                status = "inserted"
+                inserted.append((sub, dtype, fname, path, fh))
+        rows.append(("acquisition", fname, "status", status))
+
+    # scan types: J10 get-or-create per distinct inserted suffix
+    for sfx in sorted({suffix_of(f) for _, _, f, _, _ in inserted}):
+        rows.append(("scan_type", sfx, "scan_type_id",
+                     str(md5_60_py("scantype:" + sfx))))
+
+    for sub, dtype, fname, path, fh in inserted:
+        base = base_of(fname)
+        prefix = base.rsplit("_", 1)[0]
+        fdirp = os.path.dirname(path)
+        rows += [
+            ("file", fname, "file_id", str(md5_60_py("mri:" + fname))),
+            ("file", fname, "cand_id", str(md5_60_py("cand:" + sub))),
+            ("file", fname, "session_id",
+             str(md5_60_py("sess:" + sub + ":" + _BIDS_EEG_VISIT))),
+            ("file", fname, "file_type", "nii"),
+            ("file", fname, "scan_type", suffix_of(fname)),
+            ("parameter", fname, "file_blake2b_hash", fh),
+            ("parameter", fname, "check_pic",
+             f"pic/{md5_60_py('mri:' + fname)}_check.png"),
+        ]
+
+        # spatial parameters (S4) — pinned, never the engine parser
+        xs, ys, zs, t, dx, dy, dz = pinned_spatial[fname]
+        rows += [
+            ("parameter", fname, "xspace", str(xs)),
+            ("parameter", fname, "yspace", str(ys)),
+            ("parameter", fname, "zspace", str(zs)),
+            ("parameter", fname, "xstep", str(dx)),
+            ("parameter", fname, "ystep", str(dy)),
+            ("parameter", fname, "zstep", str(dz)),
+        ]
+        if t is not None:
+            rows.append(("parameter", fname, "time", str(t)))
+
+        # sidecar JSON (optional)
+        sc_path = os.path.join(fdirp, base + ".json")
+        if os.path.exists(sc_path):
+            with open(sc_path) as fh2:
+                sidecar = json.load(fh2)
+            for k in sorted(sidecar):
+                rows.append(("parameter", fname, "sidecar:" + k,
+                             str(sidecar[k])))
+                mapped = _BIDS_TO_LORIS_PARAMS.get(k)
+                if mapped is not None:
+                    rows.append(("parameter", fname, mapped,
+                                 str(sidecar[k])))
+            rows += [
+                ("parameter", fname, "bids_json_file", base + ".json"),
+                ("parameter", fname, "bids_json_file_blake2b_hash",
+                 b2b_file(sc_path)),
+            ]
+            for k, name in (("SeriesInstanceUID", "series_uid"),
+                            ("EchoTime", "echo_time"),
+                            ("EchoNumber", "echo_number"),
+                            ("PhaseEncodingDirection",
+                             "phase_encoding_direction")):
+                if k in sidecar:
+                    rows.append(("file", fname, name, str(sidecar[k])))
+            pid = sidecar.get("PatientID")
+            if pid is not None:
+                parts_ = pid.split("_")
+                is_ph = "phantom" in pid.lower()
+                if not is_ph and len(parts_) >= 3:
+                    rows += [
+                        ("session_info", fname, "project", parts_[0]),
+                        ("session_info", fname, "candidate", parts_[1]),
+                        ("session_info", fname, "visit_label", parts_[2]),
+                        ("session_info", fname, "is_phantom", "false"),
+                    ]
+
+        # aux files (bval/bvec by base; events/physio by entity prefix)
+        for kind, aux_name in (
+            ("bval", base + ".bval"),
+            ("bvec", base + ".bvec"),
+            ("events", prefix + "_events.tsv"),
+            ("physio", prefix + "_physio.tsv"),
+        ):
+            aux_path = os.path.join(fdirp, aux_name)
+            if os.path.exists(aux_path):
+                rows += [
+                    ("parameter", fname, "bids_" + kind, aux_name),
+                    ("parameter", fname, "bids_" + kind + "_blake2b_hash",
+                     b2b_file(aux_path)),
+                ]
+
+        # scans.tsv (per-subject, filename-keyed; the reference's typo'd
+        # 'scans_tsv_file_bake2hash' name preserved — scans.py:20)
+        scans_path = os.path.join(fdir, sub, sub + "_scans.tsv")
+        if os.path.exists(scans_path):
+            with open(scans_path) as fh2:
+                slines = fh2.read().splitlines()
+            shdr = slines[0].split("\t")
+            for line in slines[1:]:
+                if not line:
+                    continue
+                rec = dict(zip(shdr, line.split("\t")))
+                if rec.get("filename") != dtype + "/" + fname:
+                    continue
+                rows += [
+                    ("file", fname, "acquisition_time", rec["acq_time"]),
+                    ("parameter", fname, "scan_acquisition_time",
+                     rec["acq_time"]),
+                    ("parameter", fname, "age_at_scan", rec["age"]),
+                    ("parameter", fname, "scans_tsv_file",
+                     sub + "_scans.tsv"),
+                    ("parameter", fname, "scans_tsv_file_bake2hash",
+                     b2b_file(scans_path)),
+                ]
+
+    def q(sv: str) -> str:
+        return "'" + sv.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({q(k)}, {q(e)}, {q(n)}, {q(v)})" for k, e, n, v in rows
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals + ") AS t(kind, entity, name, value)"
+    )
+
+
+@query("pipeline_mri_bids_import", oracle=_mri_bids_oracle())
+def pipeline_mri_bids_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRI BIDS dataset import — the MRI arm of the reference's secondary
+    entry point (import_bids_dataset.py -> loris_bids_importer/mri/
+    main.py + mri/sidecar.py) as ONE composed DAG over the committed
+    MRI-BIDS fixture tree (the EEG capstone's recipe with imaging
+    parsers swapped in):
+
+    - acquisition inventory: metadata-only binaryFile scan of
+      sub-*/<dtype>/*.nii[.gz] (zero data bytes read at scan time)
+    - subject/session validation (validation/subjects.py, sessions.py):
+      participants.tsv broadcast-joined; every reference error exit is a
+      row classification (candidate_not_found / unknown_sex / no_suffix
+      / unknown_suffix / duplicate_hash), never a failure
+    - suffix -> scan-type resolution (mri/main.py:197-214): the
+      KNOWN_SUFFIXES_PER_MRI_DATA_TYPE broadcast-literal map gates
+      unknown suffixes; J10 get-or-create mints deterministic
+      scan_type_ids for the distinct inserted suffixes
+    - blake2b duplicate gate (mri/main.py:182-194
+      get_check_bids_nifti_file_hash): the CHUNKED-read mapInPandas hash
+      (8 MiB blocks — a multi-GB volume never materializes in a task)
+      feeds a window over the hash; path-order keep-first, later copies
+      classified duplicate_hash — the within-run analogue of the
+      reference's try_get_file_with_hash DB probe
+    - NIfTI spatial parameters (S4, imaging_lib/nifti.py:7-30): the
+      348-byte header parse (xstep..zstep / xspace..zspace / time)
+      semi-joined to inserted acquisitions
+    - sidecar parameters (S8 + mri/sidecar.py): schema-free JSON map
+      parse; every key a sidecar: row, the pinned BIDS->LORIS name map
+      adding the mapped rows (file_parameter.py:68-79), registration
+      fields (SeriesInstanceUID/EchoTime/EchoNumber/
+      PhaseEncodingDirection -> register_mri_file args,
+      mri/main.py:157-171) as file rows
+    - X1 session hook: the sidecar PatientID through
+      resolve_session_config (get_session_info, mri/sidecar.py:24-40)
+      -> session_info rows for valid non-phantom ids
+    - scans.tsv parameters (scans.py:7-20, the reference's typo'd
+      scans_tsv_file_bake2hash preserved) keyed per acquisition filename
+    - aux files (reader.py:32-53 association rules approximated
+      path-side: bval/bvec share the NIfTI base, events/physio share the
+      entity prefix): bids_<kind> + bids_<kind>_blake2b_hash parameters
+    - preview picture (S15, imaging_lib/nifti_pic.py): the check_pic
+      parameter row carrying the deterministic pic path
+
+    100-TB shape: the inventory, sidecar, scans and aux scans are
+    metadata- or small-text-only distributed listings; all content
+    passes (hash, header parse) are per-file Arrow-batched chunked
+    reads; participants and the inserted-file list broadcast into every
+    association join (the big side never shuffles); the one shuffle is
+    the duplicate-gate window on the HASH of the file table (rows, not
+    bytes — correct and skew-free at any corpus size, hashes are
+    uniform). At millions of files the broadcast inserted-list joins
+    become bucketed shuffle joins on the base/prefix key — same plan
+    shape, still rows-sized.
+
+    Oracle: golden pure-Python replay with PINNED spatial values (the
+    S4 parser is cross-checked, not reused), blake2b recomputed, plain
+    json/split parses. Scale tiers point the QUERY at a cloned-subject
+    tree via LORIS_MRI_BIDS_FIXTURES (the LORIS_BIDS_EEG_FIXTURES
+    recipe); the oracle always pins the committed fixtures."""
+    import os
+
+    from loris_mri_spark.sources.bids import read_participants_tsv
+    from loris_mri_spark.sources.nifti import read_nifti_headers
+
+    fdir = os.environ.get("LORIS_MRI_BIDS_FIXTURES") or _bids_mri_dir()
+    s = F.lit
+    fname = F.element_at(F.split("path", "/"), -1)
+
+    inv = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.nii*")
+        .load(fdir)
+        .select(
+            fname.alias("fname"),
+            F.regexp_extract(fname, r"(sub-[0-9A-Za-z]+)", 1).alias("sub"),
+            F.element_at(F.split("path", "/"), -2).alias("data_type"),
+            F.regexp_extract(
+                fname, r"_([A-Za-z0-9]+)\.nii(\.gz)?$", 1
+            ).alias("suffix"),
+            F.regexp_replace(fname, r"\.nii(\.gz)?$", "").alias("base"),
+            # metadata only — content is never selected; the hash step
+            # below streams the path in 8 MiB chunks
+            "path",
+        )
+        .withColumn(
+            "prefix", F.regexp_extract("base", r"^(.*)_[A-Za-z0-9]+$", 1)
+        )
+        .withColumn(
+            "relp", F.concat_ws("/", "sub", "data_type", "fname")
+        )
+    )
+
+    parts = read_participants_tsv(
+        spark, f"{fdir}/participants.tsv"
+    ).select(
+        F.col("participant_id").alias("sub"), "sex", "site", "cohort"
+    )
+    sex_map = F.create_map(
+        *[s(x) for kv in _BIDS_EEG_SEX.items() for x in kv]
+    )
+    parts = (
+        parts.withColumn(
+            "sex_norm", F.element_at(sex_map, F.lower("sex"))
+        )
+        .withColumn(
+            "cand_ok",
+            F.col("sex").isNull()
+            | (F.col("sex") == "n/a")
+            | F.col("sex_norm").isNotNull(),
+        )
+        .withColumn("has_row", F.lit(True))
+    )
+
+    known_map = F.create_map(
+        *[x for dt, sfx in _BIDS_MRI_KNOWN_SUFFIXES.items()
+          for x in (s(dt), F.array(*[s(v) for v in sfx]))]
+    )
+    inv = inv.join(F.broadcast(parts), "sub", "left").withColumn(
+        "early",
+        F.when(F.col("has_row").isNull(), "candidate_not_found")
+        .when(~F.col("cand_ok"), "unknown_sex")
+        .when(F.col("suffix") == "", "no_suffix")
+        .when(
+            ~F.coalesce(
+                F.array_contains(
+                    F.element_at(known_map, F.col("data_type")),
+                    F.col("suffix"),
+                ),
+                F.lit(False),
+            ),
+            "unknown_suffix",
+        ),
+    )
+
+    # duplicate gate: chunked hash, then path-order keep-first per hash
+    gated = inv.filter(F.col("early").isNull())
+    hashed = gated.select(
+        "fname", "sub", "data_type", "suffix", "base", "prefix", "relp",
+        "path",
+    ).mapInPandas(
+        _blake2b_stream_partition,
+        schema=(
+            "fname string, sub string, data_type string, suffix string, "
+            "base string, prefix string, relp string, b2b string"
+        ),
+    )
+    dup_w = Window.partitionBy("b2b").orderBy("relp")
+    hashed = hashed.withColumn(
+        "status",
+        F.when(F.row_number().over(dup_w) > 1, "duplicate_hash")
+        .otherwise("inserted"),
+    )
+    # the hashed table feeds ~10 union branches below; without an anchor
+    # each branch would RE-RUN the chunked content hash of every volume
+    # (the t16/vec_cosine_pairs_lsh lesson). EAGER local checkpoint: the
+    # rows-sized table materializes exactly once at plan-build time —
+    # lazy would let the concurrent union branches RACE to compute the
+    # same partitions (duplicate hash work + accumulator-GC noise).
+    hashed = hashed.localCheckpoint(eager=True)
+
+    def rows4(df: DataFrame, kind, entity, name, value) -> DataFrame:
+        return df.select(
+            kind.alias("kind"),
+            entity.alias("entity"),
+            name.alias("name"),
+            value.cast("string").alias("value"),
+        )
+
+    status_rows = rows4(
+        inv.filter(F.col("early").isNotNull()),
+        s("acquisition"), F.col("fname"), s("status"), F.col("early"),
+    ).unionByName(rows4(
+        hashed, s("acquisition"), F.col("fname"), s("status"),
+        F.col("status"),
+    ))
+
+    def mid(prefix: Column, key: Column) -> Column:
+        return md5_60(F.concat(prefix, key)).cast("string")
+
+    cand_id = mid(s("cand:"), F.col("sub"))
+    sess_id = mid(s("sess:"), F.concat("sub", s(":" + _BIDS_EEG_VISIT)))
+
+    def knv(k: Column, n: Column, v: Column) -> Column:
+        return F.struct(k.alias("k"), n.alias("n"), v.alias("v"))
+
+    # candidate + session rows (dataset-wide validation, EEG recipe)
+    cand_rows = (
+        inv.select("sub").distinct()
+        .join(F.broadcast(parts), "sub")
+        .filter("cand_ok")
+        .select(
+            "sub", F.coalesce("sex_norm", s("")).alias("sexn"),
+            "site", "cohort", cand_id.alias("cid"), sess_id.alias("sid"),
+        )
+        .select(
+            "sub",
+            F.explode(F.array(
+                knv(s("candidate"), s("cand_id"), F.col("cid")),
+                knv(s("candidate"), s("sex"), F.col("sexn")),
+                knv(s("candidate"), s("site"), F.col("site")),
+                knv(s("session"), s("session_id"), F.col("sid")),
+                knv(s("session"), s("visit_label"), s(_BIDS_EEG_VISIT)),
+                knv(s("session"), s("cohort"), F.col("cohort")),
+            )).alias("r"),
+        )
+        .select(F.col("r.k").alias("kind"), F.col("sub").alias("entity"),
+                F.col("r.n").alias("name"),
+                F.col("r.v").cast("string").alias("value"))
+    )
+
+    ins = hashed.filter(F.col("status") == "inserted")
+
+    # J10: deterministic scan-type get-or-create per distinct suffix
+    scan_type_rows = rows4(
+        ins.select("suffix").distinct(),
+        s("scan_type"), F.col("suffix"), s("scan_type_id"),
+        mid(s("scantype:"), F.col("suffix")),
+    )
+
+    def nv(n: Column, v: Column) -> Column:
+        return F.struct(n.alias("n"), v.cast("string").alias("v"))
+
+    file_core = ins.select(
+        "fname",
+        F.explode(F.array(
+            nv(s("file_id"), mid(s("mri:"), F.col("fname"))),
+            nv(s("cand_id"), cand_id),
+            nv(s("session_id"), sess_id),
+            nv(s("file_type"), s("nii")),
+            nv(s("scan_type"), F.col("suffix")),
+        )).alias("r"),
+    ).select(s("file").alias("kind"), F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    param_core = ins.select(
+        "fname",
+        F.explode(F.array(
+            nv(s("file_blake2b_hash"), F.col("b2b")),
+            nv(s("check_pic"),
+               F.concat(s("pic/"), mid(s("mri:"), F.col("fname")),
+                        s("_check.png"))),
+        )).alias("r"),
+    ).select(s("parameter").alias("kind"), F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    ins_files = ins.select("fname", "sub", "data_type", "base", "prefix",
+                           "relp")
+
+    # --- spatial parameters (S4 header parse, semi-joined to inserted) --
+    hdrs = (
+        read_nifti_headers(spark, fdir)
+        .select(fname.alias("fname"), "xspace", "yspace", "zspace",
+                "time", "xstep", "ystep", "zstep")
+        .join(F.broadcast(ins_files.select("fname")), "fname")
+    )
+    spatial_rows = hdrs.select(
+        "fname",
+        F.explode(F.filter(F.array(
+            nv(s("xspace"), F.col("xspace")),
+            nv(s("yspace"), F.col("yspace")),
+            nv(s("zspace"), F.col("zspace")),
+            nv(s("xstep"), F.col("xstep")),
+            nv(s("ystep"), F.col("ystep")),
+            nv(s("zstep"), F.col("zstep")),
+            nv(s("time"), F.col("time")),
+        ), lambda r: r["v"].isNotNull())).alias("r"),
+    ).select(s("parameter").alias("kind"), F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    # --- sidecar parameters (S8, mri/sidecar.py) ------------------------
+    sc = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{fdir}/sub-*/*/*.json")
+        .withColumn("__file", F.col("_metadata.file_path"))
+        .select(
+            F.element_at(F.split("__file", "/"), -1).alias("json_fname"),
+            F.from_json("value", "map<string,string>").alias("params"),
+        )
+        .withColumn(
+            "base", F.regexp_replace("json_fname", r"\.json$", "")
+        )
+        .join(F.broadcast(ins_files.select("base", "fname")), "base")
+    )
+    sc_kv = sc.select("fname", F.explode("params").alias("k", "v"))
+    sidecar_rows = rows4(
+        sc_kv, s("parameter"), F.col("fname"),
+        F.concat(s("sidecar:"), F.col("k")), F.col("v"),
+    )
+    loris_map = F.create_map(
+        *[s(x) for kv in _BIDS_TO_LORIS_PARAMS.items() for x in kv]
+    )
+    mapped_rows = rows4(
+        sc_kv.withColumn("m", F.element_at(loris_map, F.col("k")))
+        .filter(F.col("m").isNotNull()),
+        s("parameter"), F.col("fname"), F.col("m"), F.col("v"),
+    )
+    reg_fields = F.array(
+        nv(s("series_uid"), F.col("params")["SeriesInstanceUID"]),
+        nv(s("echo_time"), F.col("params")["EchoTime"]),
+        nv(s("echo_number"), F.col("params")["EchoNumber"]),
+        nv(s("phase_encoding_direction"),
+           F.col("params")["PhaseEncodingDirection"]),
+    )
+    reg_rows = sc.select(
+        "fname",
+        F.explode(
+            F.filter(reg_fields, lambda r: r["v"].isNotNull())
+        ).alias("r"),
+    ).select(s("file").alias("kind"), F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    # --- X1 session hook over the sidecar PatientID ---------------------
+    si = resolve_session_config(
+        sc.select("fname", F.col("params")["PatientID"].alias(
+            "patient_id")).filter(F.col("patient_id").isNotNull()),
+        "patient_id",
+    ).filter(F.col("project").isNotNull())
+    session_info_rows = si.select(
+        "fname",
+        F.explode(F.array(
+            nv(s("project"), F.col("project")),
+            nv(s("candidate"), F.col("candidate")),
+            nv(s("visit_label"), F.col("visit_label")),
+            nv(s("is_phantom"), F.col("is_phantom")),
+        )).alias("r"),
+    ).select(s("session_info").alias("kind"),
+             F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    # --- aux + scans file hashes (one metadata scan, chunked hash) ------
+    aux = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(fdir)
+        .select(fname.alias("aux_fname"), "path")
+        .withColumn(
+            "kind",
+            F.when(F.col("aux_fname").endswith(".bval"), "bval")
+            .when(F.col("aux_fname").endswith(".bvec"), "bvec")
+            .when(F.col("aux_fname").endswith("_events.tsv"), "events")
+            .when(F.col("aux_fname").endswith("_physio.tsv"), "physio")
+            .when(F.col("aux_fname").endswith("_scans.tsv"), "scans")
+            .when(F.col("aux_fname").endswith(".json"), "json"),
+        )
+        .filter(F.col("kind").isNotNull())
+        .withColumn(
+            "key",
+            F.when(
+                F.col("kind").isin("bval", "bvec", "json"),
+                F.regexp_replace(
+                    "aux_fname", r"\.(bval|bvec|json)$", ""
+                ),
+            )
+            .when(
+                F.col("kind").isin("events", "physio"),
+                F.regexp_replace(
+                    "aux_fname", r"_(events|physio)\.tsv$", ""
+                ),
+            )
+            .otherwise(
+                F.regexp_extract("aux_fname", r"(sub-[0-9A-Za-z]+)", 1)
+            ),
+        )
+    )
+    aux_hashed = aux.select("kind", "key", "aux_fname", "path").mapInPandas(
+        _blake2b_stream_partition,
+        schema="kind string, key string, aux_fname string, b2b string",
+    )
+    # four association joins consume this — anchor it so the aux files
+    # are listed and hashed exactly once (same pattern as above)
+    aux_hashed = aux_hashed.localCheckpoint(eager=True)
+
+    base_aux = (
+        aux_hashed.filter(F.col("kind").isin("bval", "bvec"))
+        .join(F.broadcast(ins_files.select(
+            F.col("base").alias("key"), "fname")), "key")
+    )
+    prefix_aux = (
+        aux_hashed.filter(F.col("kind").isin("events", "physio"))
+        .join(F.broadcast(ins_files.select(
+            F.col("prefix").alias("key"), "fname")), "key")
+    )
+    json_aux = (
+        aux_hashed.filter(F.col("kind") == "json")
+        .join(F.broadcast(ins_files.select(
+            F.col("base").alias("key"), "fname")), "key")
+        .withColumn("kind", s("json_file"))
+    )
+    aux_rows = (
+        base_aux.unionByName(prefix_aux).unionByName(json_aux)
+        .select(
+            "fname",
+            F.explode(F.array(
+                nv(F.concat(s("bids_"), F.col("kind")),
+                   F.col("aux_fname")),
+                nv(F.concat(s("bids_"), F.col("kind"),
+                            s("_blake2b_hash")), F.col("b2b")),
+            )).alias("r"),
+        )
+        .select(s("parameter").alias("kind"),
+                F.col("fname").alias("entity"),
+                F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+    )
+
+    # --- scans.tsv rows (schema-free header-map parse, EEG recipe) ------
+    scans_raw = (
+        spark.read.format("text")
+        .option("wholetext", "true")
+        .load(f"{fdir}/sub-*/sub-*_scans.tsv")
+        .withColumn("__file", F.col("_metadata.file_path"))
+        .select(
+            F.element_at(F.split("__file", "/"), -1).alias("scans_fname"),
+            F.regexp_extract(
+                F.element_at(F.split("__file", "/"), -1),
+                r"(sub-[0-9A-Za-z]+)", 1,
+            ).alias("sub"),
+            F.split(F.regexp_replace("value", r"\r", ""), "\n")
+            .alias("lines"),
+        )
+    )
+    scans = (
+        scans_raw.select(
+            "scans_fname", "sub",
+            F.split(F.element_at("lines", 1), "\t").alias("hdr"),
+            F.posexplode("lines").alias("pos", "line"),
+        )
+        .filter((F.col("pos") > 0) & (F.length("line") > 0))
+        .select(
+            "scans_fname", "sub",
+            F.map_from_arrays(
+                "hdr",
+                F.slice(
+                    F.concat(
+                        F.split("line", "\t"),
+                        F.array_repeat(
+                            F.lit(None).cast("string"), F.size("hdr")
+                        ),
+                    ),
+                    1, F.size("hdr"),
+                ),
+            ).alias("m"),
+        )
+        .withColumn("filename", F.col("m")["filename"])
+        .join(
+            F.broadcast(
+                ins_files.select(
+                    "sub", "fname",
+                    F.concat_ws(
+                        "/", "data_type", "fname"
+                    ).alias("filename"),
+                )
+            ),
+            ["sub", "filename"],
+        )
+        .join(
+            F.broadcast(
+                aux_hashed.filter(F.col("kind") == "scans").select(
+                    F.col("key").alias("sub"),
+                    F.col("b2b").alias("scans_b2b"),
+                )
+            ),
+            "sub",
+        )
+    )
+    scans_file_rows = rows4(
+        scans.filter(F.col("m")["acq_time"].isNotNull()),
+        s("file"), F.col("fname"), s("acquisition_time"),
+        F.col("m")["acq_time"],
+    )
+    scans_param_rows = scans.select(
+        "fname",
+        F.explode(F.filter(F.array(
+            nv(s("scan_acquisition_time"), F.col("m")["acq_time"]),
+            nv(s("age_at_scan"), F.col("m")["age"]),
+            nv(s("scans_tsv_file"), F.col("scans_fname")),
+            nv(s("scans_tsv_file_bake2hash"), F.col("scans_b2b")),
+        ), lambda r: r["v"].isNotNull())).alias("r"),
+    ).select(s("parameter").alias("kind"), F.col("fname").alias("entity"),
+             F.col("r.n").alias("name"), F.col("r.v").alias("value"))
+
+    out = (
+        status_rows.unionByName(cand_rows)
+        .unionByName(scan_type_rows)
+        .unionByName(file_core)
+        .unionByName(param_core)
+        .unionByName(spatial_rows)
+        .unionByName(sidecar_rows)
+        .unionByName(mapped_rows)
+        .unionByName(reg_rows)
+        .unionByName(session_info_rows)
+        .unionByName(aux_rows)
+        .unionByName(scans_file_rows)
+        .unionByName(scans_param_rows)
+    )
+    return out

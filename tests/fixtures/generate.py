@@ -1106,6 +1106,102 @@ def main() -> None:
     with open(os.path.join(d6, "sub-06_task-rest_eeg.xyz"), "wb") as f:
         f.write(b"not an eeg recording\n")
 
+    # --- BIDS MRI dataset (pipeline_mri_bids_import capstone): the MRI
+    # arm of the reference's import_bids_dataset.py (mri/main.py). Small
+    # deterministic tree: every reference error exit has a fixture file
+    # (candidate_not_found / unknown_sex / no_suffix / unknown_suffix /
+    # duplicate_hash) plus three insertable acquisitions spanning
+    # anat/dwi/func with sidecars, scans.tsv, bval/bvec, events, physio.
+    mrdir = _mkdir(os.path.join(HERE, "bids_mri"))
+    with open(os.path.join(mrdir, "participants.tsv"), "w") as f:
+        f.write("participant_id\tage\tsex\tsite\tcohort\n")
+        f.write("sub-01\t31\tF\tMTL\tControl\n")
+        f.write("sub-02\t27\tmale\tMTL\tControl\n")
+        f.write("sub-03\t45\tFemale\tOTT\tPatient\n")
+        # sub-04 deliberately ABSENT -> candidate_not_found
+        f.write("sub-05\t52\tX\tOTT\tControl\n")   # not a LORIS sex
+
+    def _nii_gz(path: str, dims, pixdims) -> None:
+        tmp = path[:-3]  # strip .gz
+        write_nifti(tmp, dims, pixdims)
+        with open(tmp, "rb") as fh:
+            raw = fh.read()
+        buf = io.BytesIO()
+        with gzip.GzipFile(filename="", mtime=0, fileobj=buf,
+                           mode="wb") as z:
+            z.write(raw)
+        with open(path, "wb") as fh:
+            fh.write(buf.getvalue())
+        os.remove(tmp)
+
+    def _mri_sub(sub: str, dtype: str) -> str:
+        return _mkdir(os.path.join(mrdir, sub, dtype))
+
+    a1 = _mri_sub("sub-01", "anat")
+    _nii_gz(os.path.join(a1, "sub-01_T1w.nii.gz"), (8, 8, 4, 1),
+            (1.0, 1.0, 1.2))
+    with open(os.path.join(a1, "sub-01_T1w.json"), "w") as f:
+        json.dump({"EchoTime": 0.00298, "RepetitionTime": 2.3,
+                   "Manufacturer": "Siemens",
+                   "ManufacturersModelName": "Prisma",
+                   "SeriesInstanceUID": "1.2.840.900.1",
+                   "PhaseEncodingDirection": "j-", "EchoNumber": 1,
+                   "PatientID": "PRJ001_100001_V1"}, f, sort_keys=True)
+    d1 = _mri_sub("sub-01", "dwi")
+    _nii_gz(os.path.join(d1, "sub-01_dwi.nii.gz"), (4, 4, 2, 6),
+            (2.0, 2.0, 2.0))
+    with open(os.path.join(d1, "sub-01_dwi.json"), "w") as f:
+        json.dump({"EchoTime": 0.08, "RepetitionTime": 3.5,
+                   "SeriesInstanceUID": "1.2.840.900.2"},
+                  f, sort_keys=True)
+    with open(os.path.join(d1, "sub-01_dwi.bval"), "w") as f:
+        f.write("0 1000 1000 1000 1000 1000\n")
+    with open(os.path.join(d1, "sub-01_dwi.bvec"), "w") as f:
+        f.write("0 1 0 0 0.7071 0\n0 0 1 0 0.7071 0\n0 0 0 1 0 1\n")
+    with open(os.path.join(mrdir, "sub-01", "sub-01_scans.tsv"),
+              "w") as f:
+        f.write("filename\tacq_time\tage\n")
+        f.write("anat/sub-01_T1w.nii.gz\t2024-01-15T10:00:00\t31.2\n")
+        f.write("dwi/sub-01_dwi.nii.gz\t2024-01-15T10:20:00\t31.2\n")
+
+    f2 = _mri_sub("sub-02", "func")
+    _nii_gz(os.path.join(f2, "sub-02_task-rest_bold.nii.gz"),
+            (4, 4, 2, 6), (3.0, 3.0, 3.0))
+    with open(os.path.join(f2, "sub-02_task-rest_bold.json"), "w") as f:
+        json.dump({"EchoTime": 0.03, "RepetitionTime": 0.8,
+                   "TaskName": "rest", "PatientID": "PRJ001_100002_V1"},
+                  f, sort_keys=True)
+    with open(os.path.join(f2, "sub-02_task-rest_events.tsv"), "w") as f:
+        f.write("onset\tduration\ttrial_type\n")
+        f.write("0.5\t0.2\tgo\n1.0\t0.2\tstop\n")
+    with open(os.path.join(f2, "sub-02_task-rest_physio.tsv"), "w") as f:
+        f.write("cardiac\trespiratory\n0.1\t0.4\n0.2\t0.5\n")
+    with open(os.path.join(mrdir, "sub-02", "sub-02_scans.tsv"),
+              "w") as f:
+        f.write("filename\tacq_time\tage\n")
+        f.write("func/sub-02_task-rest_bold.nii.gz\t"
+                "2024-02-01T09:30:00\t27.5\n")
+
+    a3 = _mri_sub("sub-03", "anat")
+    # byte-identical to sub-01's T1w -> the blake2b duplicate gate
+    # (mri/main.py get_check_bids_nifti_file_hash)
+    _nii_gz(os.path.join(a3, "sub-03_T1w.nii.gz"), (8, 8, 4, 1),
+            (1.0, 1.0, 1.2))
+    # suffix not in KNOWN_SUFFIXES_PER_MRI_DATA_TYPE -> unknown_suffix
+    _nii_gz(os.path.join(a3, "sub-03_XYZw.nii.gz"), (4, 4, 4, 1),
+            (1.0, 1.0, 1.0))
+    # no '_suffix' token at all -> no_suffix
+    _nii_gz(os.path.join(a3, "sub-03.nii.gz"), (4, 4, 4, 1),
+            (1.0, 1.0, 2.0))
+
+    a4 = _mri_sub("sub-04", "anat")   # no participants row
+    _nii_gz(os.path.join(a4, "sub-04_T1w.nii.gz"), (4, 4, 4, 1),
+            (2.0, 1.0, 1.0))
+
+    a5 = _mri_sub("sub-05", "anat")   # sex 'X' -> unknown_sex
+    _nii_gz(os.path.join(a5, "sub-05_T1w.nii.gz"), (4, 4, 4, 1),
+            (1.0, 2.0, 1.0))
+
     # --- MINC1 volumes (S5, NetCDF classic)
     mdir = _mkdir(os.path.join(HERE, "minc"))
     write_minc1(

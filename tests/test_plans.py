@@ -384,6 +384,24 @@ def test_eeg_bids_ingest_broadcast_only_joins(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
+def test_mri_bids_import_plan_shape(spark, sf_dir):
+    """The MRI BIDS capstone: broadcast-only joins (participants and the
+    inserted-file list are the dims; a SortMergeJoin would shuffle the
+    acquisition listing), no cartesian, and exactly ONE live MapInPandas
+    stage (the S4 header parse) — the chunked blake2b passes are
+    anchored behind lazy local checkpoints so the ~10 union branches
+    read the rows-sized hash table instead of re-hashing every volume
+    per branch."""
+    plan = _plan(
+        workload.QUERIES["pipeline_mri_bids_import"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("MapInPandas") == 1
+    assert "Scan ExistingRDD" in plan  # the checkpoint anchors
+
+
 def test_bpe_vocab_trainer_single_grouped_map(spark, sf_dir):
     """text_bpe_train_vocab's merge phase is ONE grouped-map task over
     the word-frequency table: exactly one FlatMapGroupsInPandas, fed by
