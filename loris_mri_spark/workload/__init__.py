@@ -788,6 +788,104 @@ R13_TOPUP_FIRST: list[str] = [
 ]
 
 
+# r13 window: delivers the r12 VERDICT's item 1 (and items 3/5 land as
+# window entries 8-10).
+#   0-6   R13_TOPUP_FIRST — the seven displaced r7-latest greens,
+#         leading as promised (the 5-rounds-running pattern).
+#   7     R13_QUEUE — text_bpe_tokenize_corpus, registered late-r12,
+#         never driver-checked (driven green locally r12 AND by the
+#         judge against its live-SQL oracle).
+#   8     new this round: pipeline_mri_bids_import — the MRI arm of the
+#         reference's secondary entry point (import_bids_dataset.py ->
+#         mri/main.py + mri/sidecar.py) as one composed DAG over the
+#         committed bids_mri fixture tree, VERDICT r12 item 3.
+#   9-10  code changed this round: re-green per the rotation rule —
+#         - pipeline_eeg_bids_ingest: the content hash moved from a
+#           whole-file-through-Arrow pandas_udf to a metadata-pruned
+#           scan + chunked-read mapInPandas blake2b (VERDICT r12 item
+#           5), the empty-onset guard tightened, and the golden oracle
+#           aligned on empty-sex / per-subject events semantics (all
+#           four r12 ADVICE items);
+#         - t16_stream_near_dedup: the shingle-store read in
+#           _t16_detect_batch now fails loudly on band/shingle store
+#           desync instead of dereferencing None (r12 ADVICE item 4;
+#           same expression tree on the healthy path, re-windowed
+#           anyway out of caution).
+#         (sources/eeg.py gained a docstring-only memory note — no
+#         re-window, per the declared comment/docstring rule; bench.py's
+#         flag auto-adjudication and the new test_plans pins touch no
+#         query expression tree.)
+#   11-49 top-up: the 39 alphabetically-first of the 45 r8-latest
+#         greens. The 6 displaced (t5_tumbling_window_agg,
+#         t5b_sliding_window_agg, t5c_session_window_agg,
+#         u2_ordered_dedup_first, u3_map_key_difference,
+#         vec_centroid_per_label) re-enter first in r14 —
+#         R14_TOPUP_FIRST below.
+R13_WINDOW: list[str] = [
+    # -- promised first re-entries (R13_TOPUP_FIRST) --
+    *R13_TOPUP_FIRST,
+    # -- late-registered r12 queue, first driver check --
+    *R13_QUEUE,
+    # -- new this round --
+    "pipeline_mri_bids_import",
+    # -- code changed this round: re-green --
+    "pipeline_eeg_bids_ingest",
+    "t16_stream_near_dedup",
+    # -- top-up: 39 oldest (r8-latest) greens --
+    "a7_range_merge",
+    "a8_salted_skew_rollup",
+    "ann_cosine_topk_exact",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "c10_lcp_per_group",
+    "c3_date_functions",
+    "c7_json_extract",
+    "c8_applyinpandas_group_resample",
+    "c8_signal_chunk_pyramid",
+    "c9_deterministic_ids",
+    "c_scalar_functions",
+    "codec_typed_views",
+    "dedup_semdedup",
+    "dedup_semdedup_cellstats",
+    "eav_melt_pivot_roundtrip",
+    "eav_pivot_user_event_matrix",
+    "f3_nullsafe_duplicate_scan",
+    "f8_j11_binary_collation",
+    "f9_ci_equality",
+    "j7_protocol_identification",
+    "j7_scan_type_rollup",
+    "j7_violation_rows",
+    "mm_decode_features",
+    "pipeline_qc_face_batch",
+    "profile_percentiles",
+    "profile_percentiles_distributed",
+    "s10_append_with_ids",
+    "s12_partition_overwrite",
+    "s13_s3_url_rewrite",
+    "s17_json_rewrite",
+    "s1_dicom_classification",
+    "s1_dicom_jpeg_frames",
+    "s1_dicom_series_summary",
+    "s2_enhanced_tag_lookup",
+    "s7_eeglab_channels",
+    "sql_surface_pricing",
+    "t1_incremental_ingest",
+    "t4_notification_append_log",
+]
+
+
+# Displaced from the r13 top-up tail (the 45 r8-latest greens exceed the
+# 39 available slots); re-enter the r14 window first.
+R14_TOPUP_FIRST: list[str] = [
+    "t5_tumbling_window_agg",
+    "t5b_sliding_window_agg",
+    "t5c_session_window_agg",
+    "u2_ordered_dedup_first",
+    "u3_map_key_difference",
+    "vec_centroid_per_label",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []
@@ -801,7 +899,7 @@ def _first_occurrence(names: "list[str]") -> "list[str]":
 # The current window leads; prior windows follow for priority continuity.
 # First occurrence wins, so a query re-windowed this round appears ONCE,
 # at its new position (the layout test asserts the invariant).
-PRIORITY_ORDER: list[str] = _first_occurrence(R12_WINDOW + R11_WINDOW + R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
+PRIORITY_ORDER: list[str] = _first_occurrence(R13_WINDOW + R12_WINDOW + R11_WINDOW + R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",

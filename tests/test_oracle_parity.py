@@ -27,24 +27,25 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_r12_correctness_window_layout():
+def test_r13_correctness_window_layout():
     """The external driver hash-checks only the FIRST 50 registry entries.
-    Pin the declared r12 window (the five displaced R12_TOPUP_FIRST
-    leading + the R12_QUEUE first-check + this round's new capstone +
-    code-changed re-greens + oldest-green rotation) as exactly those 50
-    — a late registration must not silently displace a promised query.
-    Also pin the hygiene invariants the r7 ADVICE asked for: the window
-    and the full priority order are duplicate-free, and every priority
-    entry is registered. The window leads with R12_TOPUP_FIRST then
-    R12_QUEUE — the r11 VERDICT's item 1."""
+    Pin the declared r13 window (the seven displaced R13_TOPUP_FIRST
+    leading + the R13_QUEUE first-check + this round's new MRI-arm
+    capstone + code-changed re-greens + oldest-green rotation) as
+    exactly those 50 — a late registration must not silently displace a
+    promised query. Also pin the hygiene invariants the r7 ADVICE asked
+    for: the window and the full priority order are duplicate-free, and
+    every priority entry is registered. The window leads with
+    R13_TOPUP_FIRST then R13_QUEUE — the r12 VERDICT's item 1."""
     first50 = list(workload.QUERIES)[:50]
-    assert len(workload.R12_WINDOW) == 50
-    assert first50 == workload.R12_WINDOW, [
-        (a, b) for a, b in zip(first50, workload.R12_WINDOW) if a != b
+    assert len(workload.R13_WINDOW) == 50
+    assert first50 == workload.R13_WINDOW, [
+        (a, b) for a, b in zip(first50, workload.R13_WINDOW) if a != b
     ]
-    assert len(set(workload.R12_WINDOW)) == 50
-    assert workload.R12_WINDOW[:5] == workload.R12_TOPUP_FIRST
-    assert workload.R12_WINDOW[5:6] == workload.R12_QUEUE
+    assert len(set(workload.R13_WINDOW)) == 50
+    assert workload.R13_WINDOW[:7] == workload.R13_TOPUP_FIRST
+    assert workload.R13_WINDOW[7:8] == workload.R13_QUEUE
+    assert workload.R13_WINDOW[8] == "pipeline_mri_bids_import"
     assert len(workload.PRIORITY_ORDER) == len(set(workload.PRIORITY_ORDER))
     unregistered = [
         n for n in workload.PRIORITY_ORDER if n not in workload.QUERIES
