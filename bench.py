@@ -295,11 +295,106 @@ def main() -> None:
     # dozens of per-query plan regressions — and a FASTER host doesn't
     # mask real ones (ratio < 1 scales prior times down). Clamped to
     # [1/3, 3] so a broken calibration can't swing the verdict.
-    regressions: dict[str, list[float]] = {
-        name: [prev[name], now]
+    # Each entry carries `is_flag`: True when the RAW ratio now/prev is
+    # >=1.4 (the subset SCALE.md and the judge adjudicate); False means
+    # the entry only crossed the host-normalized threshold because the
+    # calibration said this host is faster (ratio < 1 scales prior times
+    # down), which is drift-tracking signal, not a per-query flag.
+    regressions: dict[str, dict] = {
+        name: {
+            "prev": prev[name],
+            "now": now,
+            "is_flag": now >= 1.4 * prev[name],
+        }
         for name, now in timings.items()
         if _would_flag(name, now)
     }
+
+    # AUTO-ADJUDICATION (r12 VERDICT item 4): four rounds running, every
+    # committed flag was adjudicated BY HAND (SCALE.md notes + the judge
+    # re-bracketing standalone) and every one came back host noise — the
+    # in-run evidence (mid-run recalibs catching throttle bursts) was
+    # suggestive but not a verdict. Do the bracket the judge does,
+    # in-file: ONE fresh session (aging reset — flags cluster at late
+    # run positions), shared cache re-populated by an untimed cold pass,
+    # median-of-5 warms per flag, a JVM calib probe before and after
+    # each flag's runs (so the verdict is judged against the host speed
+    # DURING the bracket, not at bench start). verdict=regression only
+    # if the fresh median STILL exceeds the normalized threshold;
+    # host_noise otherwise. LORIS_BENCH_ADJUDICATE=0 disables.
+    flag_names = sorted(
+        (n for n, r in regressions.items() if r["is_flag"]),
+        key=lambda n: regressions[n]["now"] - regressions[n]["prev"],
+        reverse=True,
+    )
+    adjudicate = os.environ.get("LORIS_BENCH_ADJUDICATE", "1") != "0"
+    # runaway guard: a globally-throttled host could flag dozens; bracket
+    # the 12 largest-absolute and mark the rest explicitly (no silent cap)
+    adj_cap = int(os.environ.get("LORIS_BENCH_ADJUDICATE_CAP", "12"))
+    flags: dict[str, dict] = {}
+    if flag_names and adjudicate:
+        spark.stop()
+        spark = make_session()
+        warm_session(spark)
+
+        def _calib_probe() -> float:
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum(id % 1000000) AS s"
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        probe = _calib_probe()
+        for name in flag_names[:adj_cap]:
+            fn = workload.QUERIES[name]
+            try:
+                # untimed cold pass: codegen + shared-cache population
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(round(time.perf_counter() - t0, 3))
+                med = statistics.median(runs)
+                probe_after = _calib_probe()
+                # judge against the FASTEST host speed observed around the
+                # bracket — a slow probe is itself throttle noise
+                bracket_ratio = 1.0
+                if prev_calib:
+                    bracket_ratio = min(
+                        max(min(probe, probe_after) / prev_calib, 1 / 3),
+                        3.0,
+                    )
+                was = prev[name]
+                still = (
+                    med > 1.4 * was * bracket_ratio
+                    and med - was * bracket_ratio > 0.3
+                )
+                flags[name] = {
+                    "prev": was,
+                    "now": timings[name],
+                    "fresh_median5": med,
+                    "fresh_runs": runs,
+                    "calib_probes": [probe, probe_after],
+                    "verdict": "regression" if still else "host_noise",
+                }
+                probe = probe_after
+            except Exception as exc:  # noqa: BLE001
+                flags[name] = {
+                    "prev": prev[name],
+                    "now": timings[name],
+                    "verdict": f"bracket_failed: {exc!r}"[:200],
+                }
+        for name in flag_names[adj_cap:]:
+            flags[name] = {
+                "prev": prev[name],
+                "now": timings[name],
+                "verdict": "unadjudicated_over_cap",
+            }
     detail = {
         "queries": timings,
         "cold": cold,
@@ -316,11 +411,17 @@ def main() -> None:
         # state) as the plan-cost signal and `cold` as transparency only.
         "notes": "cold times are order/GC-dependent session effects; "
         "warm `queries` timings are the plan-cost signal",
-        # warm-time regressions >1.4x and >0.3s vs the previously
-        # committed BENCH_DETAIL.json: {query: [prev_sec, now_sec]};
-        # every candidate was re-run to a median-of-3 first (see
-        # `remeasured`), so these are reproducible within the session
+        # warm-time regressions >1.4x(host-normalized) and >0.3s vs the
+        # previously committed BENCH_DETAIL.json:
+        # {query: {prev, now, is_flag}}; is_flag marks the raw-ratio
+        # >=1.4 subset (the adjudicated population). Every candidate was
+        # re-run to a median-of-3 first (see `remeasured`).
         "regressions_vs_prev": regressions,
+        # self-adjudication of every is_flag entry (r12 VERDICT item 4):
+        # fresh-session median-of-5 bracket + calib probes around it;
+        # verdict host_noise unless the fresh median still crosses the
+        # normalized threshold. SCALE.md now only narrates these.
+        "flags": flags,
         # queries re-measured to a median-of-3: every would-flag
         # candidate, plus (since r8) every sub-1s streaming/micro-batch/
         # subprocess query by default — the population whose single-shot

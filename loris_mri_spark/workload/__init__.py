@@ -794,7 +794,12 @@ R13_TOPUP_FIRST: list[str] = [
 #         leading as promised (the 5-rounds-running pattern).
 #   7     R13_QUEUE — text_bpe_tokenize_corpus, registered late-r12,
 #         never driver-checked (driven green locally r12 AND by the
-#         judge against its live-SQL oracle).
+#         judge against its live-SQL oracle). Its type join also gained
+#         the conf-gated web-scale fallback this round
+#         (spark.loris.bpe.broadcastTypes, default true = broadcast —
+#         identical default plan; the false path is plan-pinned in
+#         tests/test_plans.py::test_bpe_tokenize_type_join_plans), so
+#         its window slot doubles as the changed-code re-green.
 #   8     new this round: pipeline_mri_bids_import — the MRI arm of the
 #         reference's secondary entry point (import_bids_dataset.py ->
 #         mri/main.py + mri/sidecar.py) as one composed DAG over the

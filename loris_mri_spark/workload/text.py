@@ -1672,12 +1672,16 @@ def text_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
          and per-doc counts aggregate.
     The corpus is scanned (twice) but NEVER shuffled at full width: the
     type join broadcasts (a curated-corpus vocabulary is MBs — Heaps-
-    sublinear in corpus size; on a noisy web crawl where the type table
-    outgrows broadcast, drop the hint and AQE picks a bucketed shuffle
-    join on `w`, the only change the plan needs), and the doc_id
-    aggregation ships partial aggregates. Oracle: DuckDB re-tokenizes
-    every document live against the golden replay's type map — engine
-    and oracle share NO tokenization code."""
+    sublinear in corpus size), and the doc_id aggregation ships partial
+    aggregates. On a noisy web crawl where the type table outgrows
+    broadcast, set spark.loris.bpe.broadcastTypes=false: the hint drops
+    and Catalyst/AQE plans a shuffle join on `w` — the corpus shuffles
+    by WORD (narrow: doc_id+w), never at full document width, and the
+    per-doc aggregation still combines map-side. The fallback is
+    plan-pinned (tests/test_plans.py::test_bpe_tokenize_type_join_plans)
+    rather than narrated. Oracle: DuckDB re-tokenizes every document
+    live against the golden replay's type map — engine and oracle share
+    NO tokenization code."""
     from loris_mri_spark.operators.bpe import (
         bpe_encode,
         bpe_train_incremental,
@@ -1712,8 +1716,11 @@ def text_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_train_encode, schema="w string, n_sub long")
     )
     tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    bcast = (
+        spark.conf.get("spark.loris.bpe.broadcastTypes", "true") != "false"
+    )
     return (
-        tok.join(F.broadcast(enc), "w")
+        tok.join(F.broadcast(enc) if bcast else enc, "w")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_words"),

