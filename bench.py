@@ -405,6 +405,20 @@ def main() -> None:
                     med > 1.4 * was * session_ratio
                     and med - was * session_ratio > 0.3
                 )
+                # STORM DETECTOR (measured r13: the fixed calib read
+                # 14.84 s cold / 0.449 s hot in ONE session and a
+                # query's five warms swung 5.8 -> 38.3 s): when the
+                # bracket's own probes or runs swing this hard, no
+                # scalar ratio supports a binary verdict — report that
+                # honestly instead of a coin-flip regression call.
+                probes = [p for p in (probe, probe_after) if p > 0]
+                bursty = (
+                    (len(probes) == 2 and max(probes) > 3 * min(probes))
+                    or max(runs) > 4 * min(runs)
+                )
+                verdict = "regression" if still else "host_noise"
+                if still and bursty:
+                    verdict = "indeterminate_host_burst"
                 flags[name] = {
                     "prev": was,
                     "now": timings[name],
@@ -413,7 +427,7 @@ def main() -> None:
                     "fresh_calib_cold": fresh_calib,
                     "session_ratio": round(session_ratio, 3),
                     "calib_probes_hot": [probe, probe_after],
-                    "verdict": "regression" if still else "host_noise",
+                    "verdict": verdict,
                 }
                 probe = probe_after
             except Exception as exc:  # noqa: BLE001

@@ -389,9 +389,10 @@ def test_mri_bids_import_plan_shape(spark, sf_dir):
     inserted-file list are the dims; a SortMergeJoin would shuffle the
     acquisition listing), no cartesian, and exactly ONE live MapInPandas
     stage (the S4 header parse) — the chunked blake2b passes are
-    anchored behind lazy local checkpoints so the ~10 union branches
-    read the rows-sized hash table instead of re-hashing every volume
-    per branch."""
+    anchored behind EAGER local checkpoints (eager=False is banned
+    repo-wide, see test_no_lazy_local_checkpoint_in_package) so the ~10
+    union branches read the rows-sized hash table instead of re-hashing
+    every volume per branch."""
     plan = _plan(
         workload.QUERIES["pipeline_mri_bids_import"](spark, sf_dir)
     )
