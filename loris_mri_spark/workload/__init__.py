@@ -819,7 +819,9 @@ R13_TOPUP_FIRST: list[str] = [
 #         (sources/eeg.py gained a docstring-only memory note — no
 #         re-window, per the declared comment/docstring rule; bench.py's
 #         flag auto-adjudication and the new test_plans pins touch no
-#         query expression tree.)
+#         query expression tree; pipeline.py later gained the APPENDED
+#         pipeline_bids_dataset_import composition — no pre-existing
+#         query's expression tree changed, so nothing else re-windows.)
 #   11-49 top-up: the 39 alphabetically-first of the 45 r8-latest
 #         greens. The 6 displaced (t5_tumbling_window_agg,
 #         t5b_sliding_window_agg, t5c_session_window_agg,
@@ -959,7 +961,24 @@ PRIORITY_ORDER: list[str] = _first_occurrence(R13_WINDOW + R12_WINDOW + R11_WIND
     "x4_hed_parse",
     "mm_decode_png_roundtrip",
     "eav_pivot_user_event_matrix",
+    # Registered late-r13, after the 50-entry window filled: the
+    # unified BIDS dataset import (the entry point's per-data-type-dir
+    # modality dispatch composing both arm capstones) — R14_QUEUE;
+    # placed last so it cannot displace any windowed promise.
+    "pipeline_bids_dataset_import",
 ])
+
+
+# Registered late-r13, after the 50-entry window filled: the unified
+# BIDS dataset import — the reference entry point's match-dispatch
+# (loris_bids_importer/main.py:190-194) composing the EEG and MRI arm
+# capstones over both fixture trees with per-directory dispatch rows.
+# Never driver-checked yet (verified locally against its composed
+# golden oracle at sf0.01, the verify recipe); enters the r14 window
+# right after R14_TOPUP_FIRST — the queue pattern.
+R14_QUEUE: list[str] = [
+    "pipeline_bids_dataset_import",
+]
 
 
 def load_all() -> None:

@@ -3379,3 +3379,154 @@ def pipeline_mri_bids_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scans_param_rows)
     )
     return out
+
+
+# -- unified BIDS dataset import: the entry point's modality dispatch --
+
+# The reference's single entry point processes a dataset whose sessions
+# hold BOTH imaging and electrophysiology data-type directories in ONE
+# run, dispatching per directory (loris_bids_importer/main.py:190-194
+# `match data_type: case BidsMriDataTypeReader() -> MRI arm; case
+# BidsDataTypeReader() -> EEG arm`); the reader builds MRI readers for
+# these directory names and EEG readers for those
+# (loris_bids_utils/reader.py:279,296).
+_BIDS_MRI_DATA_TYPES = ("anat", "dwi", "fmap", "func")
+_BIDS_EEG_DATA_TYPES = ("eeg", "ieeg")
+
+
+def _bids_dispatch_rows() -> "list[tuple[str, str, str, str, str]]":
+    """Pure-Python replay of the per-data-type-directory dispatch: walk
+    both committed fixture trees (standing in for one mixed dataset's
+    two modality halves), one row per (subject, data-type dir) holding
+    at least one file."""
+    import os
+
+    rows: list[tuple[str, str, str, str, str]] = []
+    for root in (_bids_eeg_dir(), _bids_mri_dir()):
+        if not os.path.isdir(root):
+            return []
+        for sub in sorted(os.listdir(root)):
+            subp = os.path.join(root, sub)
+            if not (sub.startswith("sub-") and os.path.isdir(subp)):
+                continue
+            for dt in sorted(os.listdir(subp)):
+                dtp = os.path.join(subp, dt)
+                if not os.path.isdir(dtp) or not os.listdir(dtp):
+                    continue
+                if dt in _BIDS_MRI_DATA_TYPES:
+                    arm = "mri"
+                elif dt in _BIDS_EEG_DATA_TYPES:
+                    arm = "eeg"
+                else:
+                    continue
+                rows.append(
+                    ("dispatch", f"{sub}/{dt}", "arm", arm, arm)
+                )
+    return rows
+
+
+def _bids_dataset_oracle() -> "str | None":
+    """Composed oracle: both arms' golden replays (each already an
+    independent pure-Python replay of its tree) tagged with their
+    modality, plus the dispatch VALUES. Degrades with its parts: if
+    either arm's oracle degrades to rows-only, so does this one."""
+    eeg = _eeg_bids_oracle()
+    mri = _mri_bids_oracle()
+    disp = _bids_dispatch_rows()
+    if eeg is None or mri is None or not disp:
+        return None
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        "(" + ", ".join(q(x) for x in r) + ")" for r in disp
+    )
+    return (
+        "SELECT kind, entity, name, value, 'eeg' AS modality FROM ("
+        + eeg
+        + ") UNION ALL SELECT kind, entity, name, value, 'mri' AS"
+        " modality FROM ("
+        + mri
+        + ") UNION ALL SELECT * FROM (VALUES "
+        + vals
+        + ") AS d(kind, entity, name, value, modality)"
+    )
+
+
+@query("pipeline_bids_dataset_import", oracle=_bids_dataset_oracle())
+def pipeline_bids_dataset_import(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unified BIDS dataset import — the reference's secondary entry
+    point END TO END: import_bids_dataset.py processes a dataset whose
+    sessions hold both imaging and electrophysiology data-type
+    directories in ONE run, dispatching per directory
+    (loris_bids_importer/main.py:190-194; MRI directory set
+    loris_bids_utils/reader.py:279, EEG set :296). The two arm queries
+    (pipeline_eeg_bids_ingest, pipeline_mri_bids_import) each cover one
+    modality; this query covers the DISPATCH and the composition:
+
+    - one metadata-only binaryFile listing per modality half (the two
+      committed fixture trees stand in for one mixed dataset; content is
+      never selected), distinct (subject, data-type dir) pairs
+      classified to an arm exactly as the reference's match statement —
+      emitted as `dispatch` rows;
+    - both arms' full row sets, tagged with a `modality` column.
+
+    100-TB shape: the dispatch listing is a pure-metadata distributed
+    scan (rows = files, shrunk to distinct (sub, dtype) pairs by a
+    partial-agg distinct); the arms keep their pinned plans (broadcast
+    dims, chunked Arrow content passes, no SortMergeJoin). Oracle: both
+    golden replays + the dispatch walk, composed; engine and oracle
+    share no parsing code."""
+    import os
+
+    eeg_dir = os.environ.get("LORIS_BIDS_EEG_FIXTURES") or _bids_eeg_dir()
+    mri_dir = os.environ.get("LORIS_MRI_BIDS_FIXTURES") or _bids_mri_dir()
+    s = F.lit
+
+    halves = []
+    for root in (eeg_dir, mri_dir):
+        halves.append(
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(root)
+            .select(
+                F.regexp_extract(
+                    F.element_at(F.split("path", "/"), -3),
+                    r"^(sub-[0-9A-Za-z]+)$",
+                    1,
+                ).alias("sub"),
+                F.element_at(F.split("path", "/"), -2).alias("data_type"),
+            )
+        )
+    disp = (
+        halves[0]
+        .unionByName(halves[1])
+        .filter(F.col("sub") != "")
+        .filter(
+            F.col("data_type").isin(
+                *_BIDS_MRI_DATA_TYPES, *_BIDS_EEG_DATA_TYPES
+            )
+        )
+        .distinct()
+        .select(
+            s("dispatch").alias("kind"),
+            F.concat_ws("/", "sub", "data_type").alias("entity"),
+            s("arm").alias("name"),
+            F.when(
+                F.col("data_type").isin(*_BIDS_MRI_DATA_TYPES), s("mri")
+            )
+            .otherwise(s("eeg"))
+            .alias("value"),
+        )
+        .withColumn("modality", F.col("value"))
+    )
+    eeg = pipeline_eeg_bids_ingest(spark, sf_dir).withColumn(
+        "modality", s("eeg")
+    )
+    mri = pipeline_mri_bids_import(spark, sf_dir).withColumn(
+        "modality", s("mri")
+    )
+    return disp.unionByName(eeg).unionByName(mri)

@@ -403,6 +403,27 @@ def test_mri_bids_import_plan_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan  # the checkpoint anchors
 
 
+def test_bids_dataset_import_dispatch_plan(spark, sf_dir):
+    """The unified BIDS dataset import keeps both arms' pinned shapes
+    (no SortMergeJoin, no cartesian anywhere in the union) and its
+    dispatch listing is pure metadata: the two extra binaryFile scans
+    must be path-ONLY (`[path#`, no content column). The arms' S7/S4
+    parsers DO read content by design (small recordings / 348-byte
+    headers through Arrow — the documented pattern), so the pin counts
+    path-only scans rather than banning content globally."""
+    plan = _plan(
+        workload.QUERIES["pipeline_bids_dataset_import"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    path_only_scans = re.findall(
+        r"FileScan binaryFile \[path#\d+\]", plan
+    )
+    assert len(path_only_scans) >= 2, plan[:2000]
+
+
 def test_bpe_vocab_trainer_single_grouped_map(spark, sf_dir):
     """text_bpe_train_vocab's merge phase is ONE grouped-map task over
     the word-frequency table: exactly one FlatMapGroupsInPandas, fed by
