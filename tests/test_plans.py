@@ -301,6 +301,11 @@ def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
         # hop (its blake2b moved to a chunked-read mapInPandas stage in
         # r13 so recording bytes never cross Arrow)
         "pipeline_eeg_bids_ingest",
+        # the unified dispatcher composes the EEG arm verbatim, so it
+        # inherits exactly that same allow-listed HED hop — no new
+        # Arrow surface of its own (its dispatch scans are path-only,
+        # pinned in test_bids_dataset_import_dispatch_plan)
+        "pipeline_bids_dataset_import",
         "x3b_udtf_tar_members",  # Arrow-optimized Python UDTF (X3 surface)
         "x4_hed_parse",
         "x4b_hed_ancestors",
