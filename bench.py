@@ -354,9 +354,15 @@ def main() -> None:
         reverse=True,
     )
     adjudicate = os.environ.get("LORIS_BENCH_ADJUDICATE", "1") != "0"
-    # runaway guard: a globally-throttled host could flag dozens; bracket
-    # the 12 largest-absolute and mark the rest explicitly (no silent cap)
+    # runaway guards: a globally-throttled host could flag dozens;
+    # bracket the 12 largest-absolute (and stop after ~5 min of bracket
+    # wall-clock) and mark the rest explicitly (no silent cap) — the
+    # driver runs this script under its own timeout and a storm both
+    # inflates the flag count AND slows every bracket
     adj_cap = int(os.environ.get("LORIS_BENCH_ADJUDICATE_CAP", "12"))
+    adj_budget_sec = float(
+        os.environ.get("LORIS_BENCH_ADJUDICATE_BUDGET_SEC", "300")
+    )
     flags: dict[str, dict] = {}
     if flag_names and adjudicate:
         spark.stop()
@@ -384,7 +390,15 @@ def main() -> None:
         if prev_calib:
             session_ratio = min(max(fresh_calib / prev_calib, 1 / 3), 3.0)
         probe = _calib_probe()
+        adj_t0 = time.perf_counter()
         for name in flag_names[:adj_cap]:
+            if time.perf_counter() - adj_t0 > adj_budget_sec:
+                flags[name] = {
+                    "prev": prev[name],
+                    "now": timings[name],
+                    "verdict": "unadjudicated_time_budget",
+                }
+                continue
             fn = workload.QUERIES[name]
             try:
                 # untimed cold pass: codegen + shared-cache population
