@@ -53,3 +53,28 @@ def test_mri_acquisition_classifications(spark, sf_dir):
         == "sub-02_task-rest_events.tsv"
     )
     assert ("sub-01_T1w.nii.gz", "bids_bval") not in params
+
+
+def test_bids_dataset_dispatch_rows_pinned():
+    """The unified dispatcher's pure-Python dispatch walk must mirror
+    the committed fixture trees exactly: every (subject, data-type dir)
+    pair routed per the reference's match rule (MRI dirs
+    anat/dwi/fmap/func, EEG dirs eeg/ieeg) — an accidental fixture
+    add/removal surfaces here before it surfaces as a driver red."""
+    from loris_mri_spark.workload.pipeline import _bids_dispatch_rows
+
+    rows = _bids_dispatch_rows()
+    assert all(k == "dispatch" and n == "arm" for k, _, n, _, _ in rows)
+    by_ent = {e: v for _, e, _, v, m in rows}
+    eeg = sorted(e for e, v in by_ent.items() if v == "eeg")
+    mri = sorted(e for e, v in by_ent.items() if v == "mri")
+    assert eeg == [f"sub-0{i}/eeg" for i in range(1, 7)]
+    assert mri == [
+        "sub-01/anat",
+        "sub-01/dwi",
+        "sub-02/func",
+        "sub-03/anat",
+        "sub-04/anat",
+        "sub-05/anat",
+    ]
+    assert all(m == v for _, _, _, v, m in rows)
