@@ -35,6 +35,17 @@ def transitive_closure(
     Each iteration: frontier ⋈ edges on src -> new dsts, minus visited.
     Terminates when the frontier drains or ``max_iterations`` is hit
     (guards cyclic inputs; derivation DAGs are acyclic by construction).
+
+    Join strategy: the FRONTIER side is broadcast explicitly. A
+    localCheckpoint-backed frame reports no size statistics, so the
+    planner would otherwise sort-merge every round — shuffling and
+    sorting the (big, stationary) edge table once PER ROUND. The frontier
+    is cascade-seed-sized by contract (the delete-cascade seeds and each
+    round's newly-reached set), so broadcasting it turns every round into
+    one map-side hash join over an edge scan: the edges never shuffle at
+    any scale. The frontier is the bounded side by design; if a use ever
+    arises where it is not, pass the edge table pre-bucketed and drop the
+    hint rather than letting rounds degrade silently.
     """
     e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
     # localCheckpoint each frontier: it truncates lineage, so `visited`
@@ -47,10 +58,11 @@ def transitive_closure(
 
     for _ in range(max_iterations):
         nxt = (
-            frontier.join(e, frontier["__id"] == e["__src"])
+            F.broadcast(frontier)
+            .join(e, frontier["__id"] == e["__src"])
             .select(F.col("__dst").alias("__id"))
             .distinct()
-            .join(visited, on="__id", how="left_anti")
+            .join(F.broadcast(visited), on="__id", how="left_anti")
             .localCheckpoint()
         )
         if nxt.isEmpty():

@@ -128,6 +128,150 @@ def cell_centroids(cdouble: DataFrame) -> DataFrame:
     )
 
 
+def _dlit(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest decimal that
+    round-trips, and both CPython and the JVM parse decimal text to the
+    nearest double (correctly rounded), so the parsed value is
+    bit-identical to ``x``."""
+    if math.isinf(x):
+        return "double('" + ("-" if x < 0 else "") + "Infinity')"
+    if math.isnan(x):
+        return "double('NaN')"
+    return repr(float(x)) + "D"
+
+
+def _cells_lit_sql(cents: "list[tuple[int, list[float]]]") -> str:
+    """SQL text of the array<struct<cell:bigint, cv:array<double>>>
+    literal over the trained centroids. The whole argmax expression is
+    parsed from ONE SQL string (see kmeans_argmax_struct): building it
+    column-by-column costs one py4j round-trip per lit/struct/array/
+    lambda call — measured ~0.5 s per argmax expression at k=8, dim=64,
+    paid once per training round and once per assignment, which
+    DOMINATED the train loop at bench scale. One F.expr parse is ~2 ms."""
+    return "array(%s)" % ", ".join(
+        "named_struct('cell', %dL, 'cv', array(%s))"
+        % (int(cid), ", ".join(_dlit(v) for v in cv))
+        for cid, cv in sorted(cents)
+    )
+
+
+def kmeans_argmax_struct(
+    vec_col: str, cents: "list[tuple[int, list[float]]]"
+) -> Column:
+    """``struct(c, cell)`` of the argmax-cosine centroid for the double
+    array column named ``vec_col``, over DRIVER-SIDE centroid literals
+    (k rows of trained model state — the same bounded-model contract as
+    the broadcast centroid table, just folded into the expression). Ties
+    go to the LOWEST cell: cells are scored in ascending id order and the
+    RUNTIME left-fold replaces only on strictly-greater cosine — exactly
+    ``max_by(cell, struct(cos, -cell))`` under Spark's NaN-is-largest
+    comparison ordering. The cosine is the same sequential-fold shape as
+    :func:`cosine` (zip_with product fold / l2(a) / l2(b)), so every
+    (row, cell) pair computes bit-identical doubles to the former
+    crossJoin formulation (and to the DuckDB oracle's ``_SQL_COS``).
+
+    Shape notes: the fold must be a runtime ``aggregate`` over an array
+    of per-cell scores, NOT a nested when-chain — a chain of
+    ``when(cand > best, cand).otherwise(best)`` embeds ``best`` twice per
+    level, doubling the expression tree per cell (2^k blowup; measured:
+    planning alone pinned the driver for minutes at k=8). And the whole
+    expression is parsed from ONE SQL string: the Column-API build cost
+    ~0.5 s of py4j round-trips per call at k=8/dim=64 (one JVM hop per
+    lit/struct/lambda; the higher-order lambda conversion alone is
+    ~0.15 s), paid once per training round and once per assignment —
+    F.expr of the equivalent text is ~2 ms and parses to the same
+    Catalyst nodes (CaseWhen, zip_with/aggregate folds, double
+    literals), so the computed values are unchanged."""
+    assert cents, "kmeans_argmax_struct: empty centroid list"
+    v = vec_col
+    cos = (
+        "aggregate(zip_with({v}, s.cv, (xx, yy) -> xx * yy), 0.0D,"
+        " (acc, xx) -> acc + xx)"
+        " / sqrt(aggregate({v}, 0.0D, (acc, xx) -> acc + xx * xx))"
+        " / sqrt(aggregate(s.cv, 0.0D, (acc, xx) -> acc + xx * xx))"
+    ).format(v=v)
+    sql = (
+        "aggregate("
+        "transform({cells}, s -> named_struct('c', {cos}, 'cell', s.cell)), "
+        "named_struct('c', double('-Infinity'), 'cell', -1L), "
+        "(acc, s) -> CASE WHEN s.c > acc.c THEN s ELSE acc END"
+        ")"
+    ).format(cells=_cells_lit_sql(cents), cos=cos)
+    return F.expr(sql)
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    n_iter: int = 2,
+) -> "tuple[list[tuple[int, list[float]]], list[tuple[int, list[float]]]]":
+    """Run the deterministic spherical k-means training loop and return
+    the trained centroids as driver-side lists [(cell_id, centroid)].
+
+    Identical procedure to the pre-r13 DataFrame-only loop (seeds = first
+    ``n_cells`` vectors by id, cell label = seed id, argmax-cosine
+    assignment with ties to the lowest cell, decimal-exact component-mean
+    updates via cell_centroids) — but assignment is a MAP-SIDE expression
+    against centroid literals instead of a crossJoin + groupBy(id), so
+    each round costs ONE job with a single narrow (cell, pos) partial-agg
+    shuffle. The old shape shuffled the full vector payload per round
+    (groupBy(__id) carrying __cv) on top of the k-way row explosion; at
+    100 TB that was n_iter full-corpus shuffles of the embedding column —
+    now zero. The per-round collect is k rows of model state (same
+    bounded-contract collect as kmeans_cells_arrow's partial combine).
+
+    Returns ``(assign_cents, final_cents)``: the centroid list the FINAL
+    assignment is computed against (c_{n_iter-1} — the last round's
+    assignment precedes its update, mirroring the oracle's a{n}/c{n-1}
+    pairing) and the fully-updated centroid list (c_{n_iter})."""
+    v = vectors.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
+    )
+    seeds = v.orderBy("__id").limit(n_cells).collect()
+    cents: "list[tuple[int, list[float]]]" = sorted(
+        (int(r["__id"]), list(r["__cv"])) for r in seeds
+    )
+    assign_cents = cents
+    for _ in range(n_iter):
+        assign_cents = cents
+        assigned = v.select(
+            kmeans_argmax_struct("__cv", cents)["cell"].alias("__cell"),
+            "__cv",
+        )
+        # Collect the FLAT (cell, pos, avg) partial-agg output and
+        # assemble centroids driver-side: same per-component math as
+        # cell_centroids (exact decimal sum -> one double divide, so
+        # bit-identical components) minus its second groupBy/collect_list
+        # stage — one exchange per training round instead of two. k*dim
+        # rows of model state cross the driver, the same bounded-contract
+        # collect as the k-row version.
+        rows = (
+            assigned.select(
+                "__cell", F.posexplode("__cv").alias("__pos", "__v")
+            )
+            .groupBy("__cell", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__v").cast("decimal(27,9)")).cast("double")
+                    / F.count("*")
+                ).alias("__avg")
+            )
+            .collect()
+        )
+        by_cell: "dict[int, list[tuple[int, float]]]" = {}
+        for r in rows:
+            by_cell.setdefault(int(r["__cell"]), []).append(
+                (int(r["__pos"]), float(r["__avg"]))
+            )
+        cents = sorted(
+            (c, [a for _, a in sorted(pairs)])
+            for c, pairs in by_cell.items()
+        )
+    return assign_cents, cents
+
+
 def kmeans_cells(
     vectors: DataFrame,
     id_col: str,
@@ -135,54 +279,33 @@ def kmeans_cells(
     n_cells: int,
     n_iter: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
-    """Trained coarse quantizer for IVF: spherical k-means over the corpus,
-    DataFrame-only. Returns (assignment (id, cell), centroids
-    (__cell, __centroid)).
+    """Trained coarse quantizer for IVF: spherical k-means over the corpus.
+    Returns (assignment (id, cell), centroids (__cell, __centroid)).
 
     Deterministic end to end: seeds are the first ``n_cells`` vectors by
     id (cell label = seed id), assignment is argmax cosine with ties to
     the lowest cell, updates are the decimal-exact component means of
-    cell_centroids. Each round: one broadcast of the k-row centroid table,
-    one map-side argmax (max_by partial agg — no row-explosion shuffle),
-    one (cell, pos) partial-agg shuffle for the update; centroids are
-    localCheckpoint'ed per round so the plan stays flat (the
-    operators/traverse.py frontier-loop discipline). Rounds are O(n_iter)
-    full-data passes — the standard k-means cost profile, linear at 100 TB.
-    """
-    v = vectors.select(
-        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
+    cell_centroids (see kmeans_train). The returned assignment is a pure
+    MAP-SIDE projection over the input (argmax against the trained
+    centroid literals) — consuming it costs one corpus scan and no
+    shuffle, where the pre-r13 version dragged the whole training lineage
+    (n_iter crossJoin + payload-shuffle rounds) into every consumer's
+    plan. Rounds are O(n_iter) full-data passes — the standard k-means
+    cost profile, linear at 100 TB."""
+    assign_cents, final_cents = kmeans_train(
+        vectors, id_col, vec_col, n_cells, n_iter
     )
-    centroids = (
-        v.orderBy("__id")
-        .limit(n_cells)
-        .select(F.col("__id").alias("__cell"), F.col("__cv").alias("__centroid"))
-        .localCheckpoint()
+    assignment = vectors.select(
+        F.col(id_col), as_double(vec_col).alias("__cv")
+    ).select(
+        F.col(id_col),
+        kmeans_argmax_struct("__cv", assign_cents)["cell"].alias("cell"),
     )
-    assigned = None
-    for _ in range(n_iter):
-        assigned = (
-            v.crossJoin(F.broadcast(centroids))
-            .select(
-                "__id",
-                "__cv",
-                "__cell",
-                cosine(F.col("__cv"), F.col("__centroid")).alias("__cos"),
-            )
-            .groupBy("__id")
-            .agg(
-                F.max_by(
-                    "__cell", F.struct(F.col("__cos"), -F.col("__cell"))
-                ).alias("__cell"),
-                F.first("__cv").alias("__cv"),
-            )
-        )
-        centroids = cell_centroids(
-            assigned.select("__cell", "__cv")
-        ).localCheckpoint()
-    return (
-        assigned.select(F.col("__id").alias(id_col), F.col("__cell").alias("cell")),
-        centroids,
+    centroids = vectors.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in final_cents],
+        "__cell long, __centroid array<double>",
     )
+    return assignment, centroids
 
 
 def kmeans_cells_arrow(
