@@ -182,14 +182,54 @@ def jaccard_pairs(
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
             + 1
         )
-        .select("i", "s")
+        .select("i", "s", "__rk", "n")
     )
 
     a = ranked.alias("a")
-    b = ranked.select(F.col("i").alias("j"), F.col("s")).alias("b")
+    b = ranked.select(
+        F.col("i").alias("j"),
+        F.col("s"),
+        F.col("__rk").alias("__rkb"),
+        F.col("n").alias("nb"),
+    ).alias("b")
+    joined = a.join(
+        b, (F.col("a.s") == F.col("b.s")) & (F.col("a.i") < F.col("b.j"))
+    )
+    if max_shingle_df is None:
+        # PPJoin-style LENGTH + POSITIONAL filters — exact pruning on the
+        # hashed sets before the distinct/verify stages. Both bound the
+        # hash-level overlap, and J_hash >= J (merging-only hash image,
+        # see above), so a pruned pair has J <= J_hash < t strictly:
+        # no qualifying pair is ever lost.
+        #  - length: |A∩B| <= min(na,nb), |A∪B| >= max(na,nb), so J >= t
+        #    forces min >= t*max (epsilon errs toward keeping).
+        #  - positional: a shared prefix shingle at ranks (ra, rb) in the
+        #    shared (df, s) total order bounds the overlap by
+        #    1 + min(na-ra, nb-rb) (everything else in common lies in
+        #    both suffixes); J >= t forces overlap >= t/(1+t)*(na+nb).
+        #    Applied per posting row and OR-ed by the distinct below: for
+        #    a qualifying pair the FIRST shared prefix shingle's row
+        #    always passes, so the pair survives. Measured at sf0.1:
+        #    candidate pairs 118,649 -> a fraction, shrinking the
+        #    distinct exchange and the two array-verify joins that
+        #    dominated the query.
+        # Skipped when max_shingle_df is set: the df-capped contract
+        # surfaces pairs by FILTERED-prefix overlap but verifies on FULL
+        # arrays, and these hash-level bounds could drop a documented
+        # capped-contract pair.
+        na, nb = F.col("a.n"), F.col("nb")
+        overlap_ub = F.lit(1) + F.least(
+            na - F.col("a.__rk"), nb - F.col("__rkb")
+        )
+        min_required = (
+            F.lit(threshold) / (1.0 + threshold) * (na + nb) - F.lit(1e-9)
+        )
+        joined = joined.filter(
+            (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9))
+            & (overlap_ub >= min_required)
+        )
     cand = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.i") < F.col("b.j")))
-        .select(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+        joined.select(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
         .distinct()
     )
 

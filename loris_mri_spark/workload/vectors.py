@@ -833,13 +833,20 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
     ).select("query_id", "neighbor_id")
+    # exact/hits are topk-bounded (n_queries x k rows by the eval
+    # contract) but sit above windows/aggregates whose size estimates the
+    # planner can't trust, so without the hints both joins sort-merge —
+    # shuffling and sorting the approx side for a 50-row probe table
+    # (same hint rationale at every recall-eval site in this module).
     hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        approx.join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        )
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     qs = exact.select("query_id").distinct()
-    return qs.join(hits, "query_id", "left").select(
+    return qs.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias(
@@ -1046,12 +1053,14 @@ def ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
 
     hits = (
-        t_top.join(full, ["query_id", "neighbor_id"], "left_semi")
+        t_top.join(
+            F.broadcast(full), ["query_id", "neighbor_id"], "left_semi"
+        )
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     qs = full.select("query_id").distinct()
-    return qs.join(hits, "query_id", "left").select(
+    return qs.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias(
@@ -1212,7 +1221,7 @@ def ann_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_col="label", k=5, nprobe=2,
     ).select("query_id", "neighbor_id", F.col("rank").alias("irank"))
     judged = iv_top.join(
-        ex_rank, ["query_id", "neighbor_id"], "left"
+        F.broadcast(ex_rank), ["query_id", "neighbor_id"], "left"
     ).select(
         "query_id",
         "irank",
@@ -1580,12 +1589,14 @@ def ann_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=centroids,
     ).select("query_id", "neighbor_id")
     hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        approx.join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        )
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     qs = exact.select("query_id").distinct()
-    return qs.join(hits, "query_id", "left").select(
+    return qs.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall_r"),
@@ -1702,12 +1713,14 @@ def ann_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         qset, corpus_sq, id_col="vec_id", vec_col="embedding", k=5
     ).select("query_id", "neighbor_id")
     hits = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        approx.join(
+            F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi"
+        )
         .groupBy("query_id")
         .agg(F.count("*").alias("n_hits"))
     )
     qs = exact.select("query_id").distinct()
-    return qs.join(hits, "query_id", "left").select(
+    return qs.join(F.broadcast(hits), "query_id", "left").select(
         "query_id",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
         F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall_r"),
