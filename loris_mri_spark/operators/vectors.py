@@ -308,55 +308,31 @@ def kmeans_cells(
     return assignment, centroids
 
 
-def kmeans_cells_arrow(
-    vectors: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_cells: int,
-    n_iter: int = 2,
-) -> "tuple[DataFrame, DataFrame]":
-    """Throughput variant of kmeans_cells — the 100 TB training path.
+def _unit_rows(m: "np.ndarray") -> "np.ndarray":
+    n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    n_[n_ == 0] = 1.0
+    return m / n_
 
-    Same deterministic procedure (seeds = first n_cells vectors by id,
-    cell label = seed id, argmax-cosine assignment with ties to the
-    lowest cell, component-mean update) but the per-round math runs as
-    float64 numpy in Arrow-batched tasks: assignment is ONE
-    (batch x dim) @ (dim x k) matmul against the broadcast centroid
-    matrix instead of n_cells Catalyst fold expressions per row, and the
-    update combines per-batch partial (cell, count, sum-vector) rows on
-    the driver — O(k x partitions) rows, the standard distributed
-    k-means combine, a bounded-contract collect.
 
-    Trade: double-precision means a centroid component can differ from
-    kmeans_cells' decimal-exact mean in the last ulp, so a borderline
-    argmax tie can assign differently — this operator is for corpus-scale
-    training (raising k with n), while kmeans_cells stays the
-    oracle-parity anchor the driver-checked queries pin. Measured at
-    sf1/k=141 the fold-expression trainer costs ~104 s vs ~8 s here
-    (BENCH_SF1.json r8).
-    """
-    import numpy as np
-    import pandas as pd
-
-    spark = vectors.sparkSession
-    v = vectors.select(
-        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
-    )
-
+def _kmeans_arrow_train(
+    v: DataFrame, n_cells: int, n_iter: int
+) -> "tuple[np.ndarray, np.ndarray]":
+    """The Arrow k-means TRAINING rounds over ``v`` (__id, __cv), returning
+    the driver-side model (cell_ids, cent). Procedure bit-identical to the
+    historical kmeans_cells_arrow loop: seeds = first n_cells vectors by
+    id, per-batch partial (cell, cnt, vsum) rows, fixed combine order.
+    Shared by the flat Arrow trainer and the two-level trainer so the
+    latter can fuse coarse assignment into its fine-stage input pass
+    instead of joining an assignment table back against the corpus."""
     seeds = v.orderBy("__id").limit(n_cells).collect()  # k rows, bounded
     cell_ids = np.array([r["__id"] for r in seeds], dtype=np.int64)
     cent = np.array([r["__cv"] for r in seeds], dtype=np.float64)
     dim = cent.shape[1]
 
-    def _unit(m: "np.ndarray") -> "np.ndarray":
-        n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
-        n_[n_ == 0] = 1.0
-        return m / n_
-
     partial_schema = "cell long, cnt long, vsum array<double>"
 
     for _ in range(n_iter):
-        cu = _unit(cent).T  # dim x k, cells ordered ASC by id -> argmax
+        cu = _unit_rows(cent).T  # dim x k, cells ordered ASC by id -> argmax
         # ties resolve to the lowest cell, matching kmeans_cells
 
         def partials(batches, _cu=cu, _cells=cell_ids):  # noqa: ANN001
@@ -364,7 +340,7 @@ def kmeans_cells_arrow(
                 if not len(pdf):
                     continue
                 mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
-                a = np.argmax(_unit(mat) @ _cu, axis=1)
+                a = np.argmax(_unit_rows(mat) @ _cu, axis=1)
                 out = []
                 for ci in np.unique(a):
                     sel = mat[a == ci]
@@ -392,14 +368,49 @@ def kmeans_cells_arrow(
         cell_ids = np.array(alive, dtype=np.int64)
         cent = np.array([sums[c] / cnts[c] for c in alive], dtype=np.float64)
 
-    cu = _unit(cent).T
+    return cell_ids, cent
+
+
+def kmeans_cells_arrow(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    n_iter: int = 2,
+) -> "tuple[DataFrame, DataFrame]":
+    """Throughput variant of kmeans_cells — the 100 TB training path.
+
+    Same deterministic procedure (seeds = first n_cells vectors by id,
+    cell label = seed id, argmax-cosine assignment with ties to the
+    lowest cell, component-mean update) but the per-round math runs as
+    float64 numpy in Arrow-batched tasks: assignment is ONE
+    (batch x dim) @ (dim x k) matmul against the broadcast centroid
+    matrix instead of n_cells Catalyst fold expressions per row, and the
+    update combines per-batch partial (cell, count, sum-vector) rows on
+    the driver — O(k x partitions) rows, the standard distributed
+    k-means combine, a bounded-contract collect.
+
+    Trade: double-precision means a centroid component can differ from
+    kmeans_cells' decimal-exact mean in the last ulp, so a borderline
+    argmax tie can assign differently — this operator is for corpus-scale
+    training (raising k with n), while kmeans_cells stays the
+    oracle-parity anchor the driver-checked queries pin. Measured at
+    sf1/k=141 the fold-expression trainer costs ~104 s vs ~8 s here
+    (BENCH_SF1.json r8).
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
+    )
+    cell_ids, cent = _kmeans_arrow_train(v, n_cells, n_iter)
+    cu = _unit_rows(cent).T
 
     def assign(batches, _cu=cu, _cells=cell_ids):  # noqa: ANN001
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
-            a = np.argmax(_unit(mat) @ _cu, axis=1)
+            a = np.argmax(_unit_rows(mat) @ _cu, axis=1)
             yield pd.DataFrame(
                 {"__id": pdf["__id"].to_numpy(), "cell": _cells[a]}
             )
@@ -422,22 +433,27 @@ def kmeans_cells_two_level(
     k_fine: int,
     n_iter: int = 2,
     coarse_cell_cap: int = 4_000_000,
+    member_vecs: bool = False,
 ) -> "tuple[DataFrame, DataFrame]":
     """Two-level (coarse -> fine) trained quantizer — the standard remedy
     (IMI / coarse-then-fine, Babenko & Lempitsky 2012) for the
     single-level k ~ sqrt(n) training cost SCALE.md measured as an
     O(n^1.5) tail on `dedup_semdedup_sqrtk`.
 
-    Level 1: `kmeans_cells_arrow` over the corpus with ``k_coarse`` cells
-    (O(n x k_coarse) matmul work per round). Level 2: INSIDE each coarse
-    cell, an independent local spherical k-means with
-    min(k_fine, |cell|) seeds, run as ONE applyInPandas grouped-map
-    stage parallelized over coarse cells. Each fine kernel applies the
-    exact `kmeans_cells_arrow` contract to its slice: seeds = first k
-    vectors by id within the cell, cell label = seed vector id (globally
-    unique across coarse cells, because a vector id seeds at most one
-    cell), argmax-cosine assignment with first-max / lowest-label ties,
-    float64 component-mean updates, dead seeds dropped.
+    Level 1: the `kmeans_cells_arrow` training rounds over the corpus
+    with ``k_coarse`` cells (O(n x k_coarse) matmul work per round); the
+    coarse assignment is FUSED into the fine stage's input pass (one
+    mapInPandas carrying the vector through), not joined back against
+    the corpus — the trained model is k rows of driver state, so tagging
+    costs one scan and zero joins. Level 2: INSIDE each coarse cell, an
+    independent local spherical k-means with min(k_fine, |cell|) seeds,
+    run as ONE applyInPandas grouped-map stage parallelized over coarse
+    cells. Each fine kernel applies the exact `kmeans_cells_arrow`
+    contract to its slice: seeds = first k vectors by id within the
+    cell, cell label = seed vector id (globally unique across coarse
+    cells, because a vector id seeds at most one cell), argmax-cosine
+    assignment with first-max / lowest-label ties, float64
+    component-mean updates, dead seeds dropped.
 
     Cost: per-vector assignment is O(k_coarse + k_fine) instead of the
     flat quantizer's O(k_coarse x k_fine). For k_total ~ sqrt(n) cells
@@ -451,25 +467,35 @@ def kmeans_cells_two_level(
     is cheap). Returns (assignment (id_col, cell), centroids
     (__cell, __centroid)) where ``cell`` is the FINE label — the same
     shape as the flat trainers, so SemDeDup / IVF consume it unchanged.
+    With ``member_vecs=True`` the assignment additionally carries
+    ``__vec`` (the as_double image of ``vec_col``): every current
+    consumer re-joins the corpus to get the vector next to the cell
+    label, and that join is a full corpus shuffle the fine stage's
+    output can provide for free.
     """
-    coarse_assign, _ = kmeans_cells_arrow(
-        vectors, id_col=id_col, vec_col=vec_col,
-        n_cells=k_coarse, n_iter=n_iter,
-    )
     v = vectors.select(
         F.col(id_col).alias("__id"), as_double(vec_col).alias("__cv")
     )
-    tagged = v.join(
-        coarse_assign.select(
-            F.col(id_col).alias("__id"), F.col("cell").alias("__coarse")
-        ),
-        "__id",
-    )
+    coarse_ids, coarse_cent = _kmeans_arrow_train(v, k_coarse, n_iter)
+    cu = _unit_rows(coarse_cent).T
 
-    def _unit(m: "np.ndarray") -> "np.ndarray":
-        n_ = np.sqrt((m * m).sum(axis=1, keepdims=True))
-        n_[n_ == 0] = 1.0
-        return m / n_
+    def tag(batches, _cu=cu, _cells=coarse_ids):  # noqa: ANN001
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            a = np.argmax(_unit_rows(mat) @ _cu, axis=1)
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "__cv": pdf["__cv"],
+                    "__coarse": _cells[a],
+                }
+            )
+
+    tagged = v.mapInPandas(
+        tag, "__id long, __cv array<double>, __coarse long"
+    )
 
     def fine_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) > coarse_cell_cap:
@@ -485,27 +511,46 @@ def kmeans_cells_two_level(
         cell_ids = ids[:k].copy()
         cent = mat[:k].copy()
         for _ in range(n_iter):
-            a = np.argmax(_unit(mat) @ _unit(cent).T, axis=1)
+            a = np.argmax(_unit_rows(mat) @ _unit_rows(cent).T, axis=1)
             alive = sorted(set(a.tolist()))
             cent = np.array([mat[a == ci].mean(axis=0) for ci in alive])
             cell_ids = cell_ids[alive]
-        a = np.argmax(_unit(mat) @ _unit(cent).T, axis=1)
+        a = np.argmax(_unit_rows(mat) @ _unit_rows(cent).T, axis=1)
+        # per-MEMBER rows (cell, id, vec), the fine centroid attached to
+        # the cell's first member row only (null elsewhere): one output
+        # feeds both the centroid table and the vector-carrying
+        # assignment, so no consumer has to join the corpus back. A cell
+        # alive after the last update can still end MEMBERLESS in the
+        # final argmax; it gets a row with null id/vec so the centroid
+        # table keeps the exact historical cell set (an IVF probe may
+        # rank such a cell — dropping it would change probe choices).
+        out_cells = [int(cell_ids[int(ci)]) for ci in a]
+        out_id: list = ids.tolist()
+        out_cv: list = [mat[i].tolist() for i in range(len(ids))]
+        out_cent: list = [None] * len(ids)
+        for ci in range(len(cell_ids)):
+            pos = np.nonzero(a == ci)[0]
+            if len(pos):
+                out_cent[int(pos[0])] = cent[ci].tolist()
+            else:
+                out_cells.append(int(cell_ids[ci]))
+                out_id.append(None)
+                out_cv.append(None)
+                out_cent.append(cent[ci].tolist())
         return pd.DataFrame(
             {
-                "cell": [int(cell_ids[ci]) for ci in range(len(cell_ids))],
-                "centroid": [cent[ci].tolist() for ci in range(len(cell_ids))],
-                "member_ids": [
-                    ids[a == ci].tolist() for ci in range(len(cell_ids))
-                ],
+                "cell": out_cells,
+                "__id": out_id,
+                "__cv": out_cv,
+                "centroid": out_cent,
             }
         )
 
-    # One summary row per alive fine cell (O(sqrt n) ids each at the
-    # SemDeDup sizing). Explicit-exchange anchor: BOTH outputs embed the
-    # identical repartition subplan, so the fine-training stage runs once
-    # and the second consumer reads the shuffle files back
-    # (ReusedExchange) — no lazy checkpoint, no heap pinning. The rows
-    # are O(k) summaries, so the extra exchange is metadata-sized.
+    # One row per MEMBER (the payload any consumer needs anyway).
+    # Explicit-exchange anchor: BOTH outputs embed the identical
+    # repartition subplan, so the fine-training stage runs once and the
+    # second consumer reads the shuffle files back (ReusedExchange) — no
+    # lazy checkpoint, no heap pinning.
     # ONE-JOB ASSUMPTION: ReusedExchange dedups within a single job, so
     # the compute-once guarantee holds only when a caller consumes both
     # returned DataFrames in one plan (every current caller does —
@@ -517,14 +562,16 @@ def kmeans_cells_two_level(
         tagged.groupBy("__coarse")
         .applyInPandas(
             fine_kernel,
-            "cell long, centroid array<double>, member_ids array<long>",
+            "cell long, __id long, __cv array<double>, "
+            "centroid array<double>",
         )
         .repartition("cell")
     )
-    assignment = summary.select(
-        "cell", F.explode("member_ids").alias("__id")
-    ).select(F.col("__id").alias(id_col), "cell")
-    centroids = summary.select(
+    cols = [F.col("__id").alias(id_col), "cell"]
+    if member_vecs:
+        cols.append(F.col("__cv").alias("__vec"))
+    assignment = summary.filter(F.col("__id").isNotNull()).select(*cols)
+    centroids = summary.filter(F.col("centroid").isNotNull()).select(
         F.col("cell").alias("__cell"), F.col("centroid").alias("__centroid")
     )
     return assignment, centroids

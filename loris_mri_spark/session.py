@@ -37,6 +37,14 @@ _DEFAULTS = {
     # by default; read it as raw int64 nanos (catalog.load_table re-derives a
     # usable timestamp column and keeps the exact ns value).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4 wraps every DataFrame API call to capture the Python call
+    # site for error context (errors/utils._with_origin): 3 extra py4j
+    # round-trips per op (~2-5 ms each, measured). Query BUILD time is
+    # driver-side real time at any scale, and build-heavy pipelines
+    # (~400 wrapped ops) pay ~0.3-1 s per build for context that only
+    # enriches error messages. Results are unaffected; re-enable via
+    # extra_conf when debugging a failing job.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Quieter local runs; harmless on a cluster.
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

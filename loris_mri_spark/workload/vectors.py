@@ -521,22 +521,30 @@ def dedup_semdedup(
         import math as _math
 
         kc = max(2, _math.isqrt(max(n_cells - 1, 0)) + 1)
+        # member_vecs: the trainer's fine stage already holds every
+        # member's vector, so take (id, cell, vec) straight from it
+        # instead of shuffling the corpus into a join with the
+        # assignment table (2 exchanges + a corpus-wide hash join saved)
         assignment, centroids = kmeans_cells_two_level(
             e, id_col="vec_id", vec_col="embedding",
-            k_coarse=kc, k_fine=kc, n_iter=2,
+            k_coarse=kc, k_fine=kc, n_iter=2, member_vecs=True,
+        )
+        base = assignment.select(
+            "vec_id", "cell", F.col("__vec").alias("__e")
         )
     else:
         trainer = kmeans_cells_arrow if use_arrow_trainer else kmeans_cells
         assignment, centroids = trainer(
             e, id_col="vec_id", vec_col="embedding", n_cells=n_cells, n_iter=2
         )
+        base = e.select("vec_id", as_double("embedding").alias("__e")).join(
+            assignment, "vec_id"
+        )
     # ccos (the keep-rule key) stays JVM-side — identical fold order to
     # the oracle's _SQL_COS, so keep ranking compares bit-identical
     # doubles on both sides.
     members = (
-        e.select("vec_id", as_double("embedding").alias("__e"))
-        .join(assignment, "vec_id")
-        .join(F.broadcast(centroids), F.col("cell") == F.col("__cell"))
+        base.join(F.broadcast(centroids), F.col("cell") == F.col("__cell"))
         .select(
             "vec_id",
             "cell",
@@ -1470,11 +1478,15 @@ def ann_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
+    # member_vecs: the fine stage emits (id, cell, vec) directly — no
+    # corpus ⋈ assignment shuffle join to reattach the embedding
     assignment, centroids = kmeans_cells_two_level(
         e, id_col="vec_id", vec_col="embedding",
-        k_coarse=_TL_KC, k_fine=_TL_KF, n_iter=_TL_ITER,
+        k_coarse=_TL_KC, k_fine=_TL_KF, n_iter=_TL_ITER, member_vecs=True,
     )
-    corpus = e.join(assignment, "vec_id")
+    corpus = assignment.select(
+        "vec_id", F.col("__vec").alias("embedding"), "cell"
+    )
     out = ivf_topk(
         e.filter(F.col("vec_id") < 10),
         corpus,
@@ -1575,9 +1587,11 @@ def ann_imi_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id")
     assignment, centroids = kmeans_cells_two_level(
         e, id_col="vec_id", vec_col="embedding",
-        k_coarse=_TL_KC, k_fine=_TL_KF, n_iter=_TL_ITER,
+        k_coarse=_TL_KC, k_fine=_TL_KF, n_iter=_TL_ITER, member_vecs=True,
     )
-    corpus = e.join(assignment, "vec_id")
+    corpus = assignment.select(
+        "vec_id", F.col("__vec").alias("embedding"), "cell"
+    )
     approx = ivf_topk(
         qset,
         corpus,
