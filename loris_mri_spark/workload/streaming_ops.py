@@ -435,31 +435,44 @@ def t11_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_b = (F.col("ts_us") >= b_lo) & (F.col("ts_us") < b_hi)
     is_c = F.col("ts_us") >= c_lo
-    a = ev.filter(~is_b & ~is_c)
-    # filler = a's first two days: guaranteed non-empty and free of a's
-    # maximum, so the watermark set by the bulk file is in effect when
-    # the late file arrives.
+    # filler = the bulk's first two days: guaranteed non-empty and free
+    # of the bulk's maximum, so the watermark set by the bulk file is in
+    # effect when the late file arrives.
     filler_cut = lo + 2 * _T11_D
-    arrivals = [
-        a.filter(F.col("ts_us") >= filler_cut),
-        a.filter(F.col("ts_us") < filler_cut),
-        ev.filter(is_b),
-        ev.filter(is_c),
-    ]
+    # ONE staging pass (was: four scans of events, each a serial
+    # coalesce(1) write): tag each row with its arrival index, one
+    # repartition on the tag (all rows of an arrival colocate in one
+    # task), one partitioned write — then rename the four part files
+    # into mtime-ordered arrival files exactly as before. Same rows per
+    # arrival file (row order within a file is irrelevant to the
+    # windowed aggregation); b/c/filler predicates are disjoint by
+    # construction so the when-chain reproduces the old filter splits.
     staged = scratch_dir("t11-staged")
     now = os.stat(staged).st_mtime
-    for i, part_df in enumerate(arrivals):
-        wdir = f"{staged}/_w{i}"
-        part_df.select("event_type", "ts").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(wdir)
-        (part,) = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+    wdir = f"{staged}/_w"
+    (
+        ev.withColumn(
+            "__arr",
+            F.when(is_b, F.lit(2))
+            .when(is_c, F.lit(3))
+            .when(F.col("ts_us") < filler_cut, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .select("event_type", "ts", "__arr")
+        .repartition("__arr")
+        .write.partitionBy("__arr")
+        .mode("overwrite")
+        .parquet(wdir)
+    )
+    for i in range(4):
+        pdir = os.path.join(wdir, f"__arr={i}")
+        (part,) = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         dst = os.path.join(staged, f"arrival-{i:03d}.parquet")
-        os.replace(os.path.join(wdir, part), dst)
+        os.replace(os.path.join(pdir, part), dst)
         os.utime(dst, (now - 100 + i, now - 100 + i))
-        import shutil
+    import shutil
 
-        shutil.rmtree(wdir, ignore_errors=True)
+    shutil.rmtree(wdir, ignore_errors=True)
 
     schema = spark.read.parquet(staged).schema
     sdf = (
