@@ -415,9 +415,23 @@ def main() -> None:
                 med = statistics.median(runs)
                 probe_after = _calib_probe()
                 was = prev[name]
+                # Two-sided bar (r13 fix): the fresh median must cross
+                # BOTH the host-normalized threshold AND the same RAW
+                # 1.4x bar that selected the flag. When prev came from a
+                # throttled session (e.g. prev_calib 1.394 vs fresh
+                # 0.285, ratio clamped to 1/3) the normalized bar alone
+                # demands fresh < 0.47x prev — impossible for queries
+                # whose cost is scheduler/micro-batch floor, not CPU, so
+                # fully-recovered queries (fresh median raw BELOW prev)
+                # were branded "regression". Flag selection is raw-ratio
+                # >= 1.4, so a faster-host-masked regression never
+                # enters this population anyway; the verdict now takes
+                # the max of the two bars instead of the min.
                 still = (
                     med > 1.4 * was * session_ratio
                     and med - was * session_ratio > 0.3
+                    and med >= 1.4 * was
+                    and med - was > 0.3
                 )
                 # STORM DETECTOR (measured r13: the fixed calib read
                 # 14.84 s cold / 0.449 s hot in ONE session and a
