@@ -278,6 +278,7 @@ def kmeans_cells(
     vec_col: str,
     n_cells: int,
     n_iter: int = 2,
+    keep_cols: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Trained coarse quantizer for IVF: spherical k-means over the corpus.
     Returns (assignment (id, cell), centroids (__cell, __centroid)).
@@ -291,16 +292,33 @@ def kmeans_cells(
     shuffle, where the pre-r13 version dragged the whole training lineage
     (n_iter crossJoin + payload-shuffle rounds) into every consumer's
     plan. Rounds are O(n_iter) full-data passes — the standard k-means
-    cost profile, linear at 100 TB."""
+    cost profile, linear at 100 TB.
+
+    ``keep_cols=True`` returns the assignment as the INPUT rows plus the
+    ``cell`` column (still the same pure projection): a consumer that
+    needs the vector (or any other column) next to the cell label takes
+    it directly instead of joining the corpus against the (id, cell)
+    table — that join is a corpus self-join (broadcast of a corpus-sized
+    table at best, a full corpus shuffle at scale) carrying data the
+    projection already had."""
     assign_cents, final_cents = kmeans_train(
         vectors, id_col, vec_col, n_cells, n_iter
     )
-    assignment = vectors.select(
-        F.col(id_col), as_double(vec_col).alias("__cv")
-    ).select(
-        F.col(id_col),
-        kmeans_argmax_struct("__cv", assign_cents)["cell"].alias("cell"),
-    )
+    if keep_cols:
+        assignment = (
+            vectors.withColumn("__kc_cv", as_double(vec_col))
+            .withColumn(
+                "cell", kmeans_argmax_struct("__kc_cv", assign_cents)["cell"]
+            )
+            .drop("__kc_cv")
+        )
+    else:
+        assignment = vectors.select(
+            F.col(id_col), as_double(vec_col).alias("__cv")
+        ).select(
+            F.col(id_col),
+            kmeans_argmax_struct("__cv", assign_cents)["cell"].alias("cell"),
+        )
     centroids = vectors.sparkSession.createDataFrame(
         [(int(c), [float(x) for x in cv]) for c, cv in final_cents],
         "__cell long, __centroid array<double>",
@@ -377,6 +395,7 @@ def kmeans_cells_arrow(
     vec_col: str,
     n_cells: int,
     n_iter: int = 2,
+    member_vecs: bool = False,
 ) -> "tuple[DataFrame, DataFrame]":
     """Throughput variant of kmeans_cells — the 100 TB training path.
 
@@ -397,6 +416,13 @@ def kmeans_cells_arrow(
     oracle-parity anchor the driver-checked queries pin. Measured at
     sf1/k=141 the fold-expression trainer costs ~104 s vs ~8 s here
     (BENCH_SF1.json r8).
+
+    ``member_vecs=True`` makes the assignment additionally carry ``__vec``
+    (the as_double image of ``vec_col``) straight out of the assign pass
+    — same contract as kmeans_cells_two_level(member_vecs=True): the
+    vector is already in the Python worker's batch, so emitting it costs
+    one extra Arrow column, where the consumer's alternative is a corpus
+    self-join against the (id, cell) table.
     """
     spark = vectors.sparkSession
     v = vectors.select(
@@ -405,19 +431,24 @@ def kmeans_cells_arrow(
     cell_ids, cent = _kmeans_arrow_train(v, n_cells, n_iter)
     cu = _unit_rows(cent).T
 
-    def assign(batches, _cu=cu, _cells=cell_ids):  # noqa: ANN001
+    def assign(batches, _cu=cu, _cells=cell_ids, _mv=member_vecs):  # noqa: ANN001
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
             a = np.argmax(_unit_rows(mat) @ _cu, axis=1)
-            yield pd.DataFrame(
-                {"__id": pdf["__id"].to_numpy(), "cell": _cells[a]}
-            )
+            out = {"__id": pdf["__id"].to_numpy(), "cell": _cells[a]}
+            if _mv:
+                out["__vec"] = pdf["__cv"]
+            yield pd.DataFrame(out)
 
-    assignment = v.mapInPandas(assign, "__id long, cell long").select(
-        F.col("__id").alias(id_col), "cell"
+    schema = "__id long, cell long" + (
+        ", __vec array<double>" if member_vecs else ""
     )
+    cols = [F.col("__id").alias(id_col), "cell"] + (
+        ["__vec"] if member_vecs else []
+    )
+    assignment = v.mapInPandas(assign, schema).select(*cols)
     centroids = spark.createDataFrame(
         [(int(c), [float(x) for x in cent[i]]) for i, c in enumerate(cell_ids)],
         "__cell long, __centroid array<double>",

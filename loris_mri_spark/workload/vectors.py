@@ -216,10 +216,15 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loris_mri_spark.operators.vectors import kmeans_cells
 
     e = load_table(spark, sf_dir, "embeddings")
-    assignment, centroids = kmeans_cells(
-        e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2
+    # keep_cols: the assignment IS the corpus rows plus the argmax cell
+    # column (a pure projection) — the former e.join(assignment, vec_id)
+    # was a corpus self-join reattaching columns the projection already
+    # carried (broadcast of a corpus-sized side here, a full corpus
+    # shuffle at scale).
+    corpus, centroids = kmeans_cells(
+        e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2,
+        keep_cols=True,
     )
-    corpus = e.join(assignment, "vec_id")
     out = ivf_topk(
         e.filter(F.col("vec_id") < 10),
         corpus,
@@ -532,13 +537,28 @@ def dedup_semdedup(
         base = assignment.select(
             "vec_id", "cell", F.col("__vec").alias("__e")
         )
-    else:
-        trainer = kmeans_cells_arrow if use_arrow_trainer else kmeans_cells
-        assignment, centroids = trainer(
-            e, id_col="vec_id", vec_col="embedding", n_cells=n_cells, n_iter=2
+    elif use_arrow_trainer:
+        # member_vecs: the assign pass already holds the vector in its
+        # Arrow batch — carrying it out replaces the corpus self-join
+        # (e ⋈ assignment) that reattached the embedding to the label.
+        assignment, centroids = kmeans_cells_arrow(
+            e, id_col="vec_id", vec_col="embedding", n_cells=n_cells,
+            n_iter=2, member_vecs=True,
         )
-        base = e.select("vec_id", as_double("embedding").alias("__e")).join(
-            assignment, "vec_id"
+        base = assignment.select(
+            "vec_id", F.col("__vec").alias("__e"), "cell"
+        )
+    else:
+        # keep_cols: assignment = corpus rows + argmax cell (pure
+        # projection) — take (vec_id, __e, cell) straight from it; the
+        # former join shipped the corpus into a self-join for columns
+        # the projection already had.
+        assignment, centroids = kmeans_cells(
+            e, id_col="vec_id", vec_col="embedding", n_cells=n_cells,
+            n_iter=2, keep_cols=True,
+        )
+        base = assignment.select(
+            "vec_id", as_double("embedding").alias("__e"), "cell"
         )
     # ccos (the keep-rule key) stays JVM-side — identical fold order to
     # the oracle's _SQL_COS, so keep ranking compares bit-identical
@@ -621,7 +641,13 @@ def dedup_semdedup_cellstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, id_col="vec_id", vec_col="embedding", n_cells=8, n_iter=2
     )
     sizes = assignment.groupBy("cell").agg(F.count("*").alias("n"))
-    tot = sizes.agg(F.sum("n").alias("t"))
+    # The corpus total: count the INPUT rows, not sum(n) over sizes —
+    # sum-over-sizes re-evaluates the whole sizes subtree on the broadcast
+    # side (Spark does not dedupe it), i.e. a second corpus scan that
+    # re-runs the argmax assignment fold per row. count(*) over e is the
+    # same value (every row gets exactly one cell) and column-prunes to a
+    # bare scan.
+    tot = e.agg(F.count("*").alias("t"))
     return sizes.crossJoin(F.broadcast(tot)).select(
         F.col("cell").cast("long").alias("cell"),
         F.col("n").cast("long").alias("n_members"),
