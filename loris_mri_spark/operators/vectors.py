@@ -304,11 +304,25 @@ def kmeans_cells(
     assign_cents, final_cents = kmeans_train(
         vectors, id_col, vec_col, n_cells, n_iter
     )
+    # coalesce(-1): the argmax fold runs over a LITERAL centroid array, so
+    # it can never actually be null — but Catalyst cannot prove that, and
+    # a downstream join on `cell` infers an isnotnull(cell) filter that is
+    # pushed BELOW this projection, duplicating the whole k*dim-literal
+    # fold as a per-row Filter condition (measured: the argmax — the
+    # query's dominant expression — evaluated twice per corpus row in
+    # dedup_semdedup / ann_ivf_kmeans_topk). The coalesce makes the
+    # column non-nullable, so the inferred isnotnull constant-folds away.
+    # Values are unchanged (x is never null); IF it ever were, a null key
+    # is dropped by an inner join exactly as -1 is (no centroid id is -1).
+    def _cell(col: Column) -> Column:
+        return F.coalesce(col, F.lit(-1).cast("long"))
+
     if keep_cols:
         assignment = (
             vectors.withColumn("__kc_cv", as_double(vec_col))
             .withColumn(
-                "cell", kmeans_argmax_struct("__kc_cv", assign_cents)["cell"]
+                "cell",
+                _cell(kmeans_argmax_struct("__kc_cv", assign_cents)["cell"]),
             )
             .drop("__kc_cv")
         )
@@ -317,7 +331,9 @@ def kmeans_cells(
             F.col(id_col), as_double(vec_col).alias("__cv")
         ).select(
             F.col(id_col),
-            kmeans_argmax_struct("__cv", assign_cents)["cell"].alias("cell"),
+            _cell(
+                kmeans_argmax_struct("__cv", assign_cents)["cell"]
+            ).alias("cell"),
         )
     centroids = vectors.sparkSession.createDataFrame(
         [(int(c), [float(x) for x in cv]) for c, cv in final_cents],

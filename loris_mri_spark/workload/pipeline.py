@@ -289,26 +289,36 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events")
     )
-    roster = (
-        ev.select("user_id")
-        .distinct()
-        .filter(F.col("user_id") % 37 == 0)
-    )
+    # no .distinct(): the anti-join only tests MEMBERSHIP of the key, so
+    # duplicate roster rows cannot change which rows are kept, and the
+    # broadcast hash relation dedupes keys as it builds — dropping the
+    # distinct removes one aggregate exchange from every roster
+    # evaluation (it is evaluated once per store rewrite)
+    roster = ev.select("user_id").filter(F.col("user_id") % 37 == 0)
 
-    out_rows = []
-    for store_name, df, key in (
-        ("events", ev, "user_id"),
-        ("user_profiles", profiles, "user_id"),
-    ):
+    def erase(store_name: str, df: DataFrame, key: str):
         store = scratch_dir(f"gdpr-{store_name}")
         v1 = write_versioned(df, store)
         kept = df.join(F.broadcast(roster), key, "left_anti")
         v2 = write_versioned(kept, store)
         n_before = load_versioned(spark, store, v1).count()
         n_after = load_versioned(spark, store, v2).count()
-        out_rows.append(
-            (store_name, n_before, n_before - n_after, n_after)
-        )
+        return (store_name, n_before, n_before - n_after, n_after)
+
+    # the two stores' rewrite+audit chains are independent job sequences;
+    # overlapping them lets each chain's tail back-fill the other's idle
+    # executors (within a store the order v1 -> v2 -> counts still holds)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(erase, store_name, df, key)
+            for store_name, df, key in (
+                ("events", ev, "user_id"),
+                ("user_profiles", profiles, "user_id"),
+            )
+        ]
+        out_rows = [f.result() for f in futs]
     return spark.createDataFrame(
         out_rows, "store string, n_before long, n_erased long, n_after long"
     )
@@ -3035,13 +3045,63 @@ def pipeline_mri_bids_import(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.row_number().over(dup_w) > 1, "duplicate_hash")
         .otherwise("inserted"),
     )
+    # --- aux + scans file hashes (one metadata scan, chunked hash) ------
+    # defined HERE (it depends only on the fixture dir) so its anchor
+    # job can overlap the volume-hash anchor below
+    aux = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(fdir)
+        .select(fname.alias("aux_fname"), "path")
+        .withColumn(
+            "kind",
+            F.when(F.col("aux_fname").endswith(".bval"), "bval")
+            .when(F.col("aux_fname").endswith(".bvec"), "bvec")
+            .when(F.col("aux_fname").endswith("_events.tsv"), "events")
+            .when(F.col("aux_fname").endswith("_physio.tsv"), "physio")
+            .when(F.col("aux_fname").endswith("_scans.tsv"), "scans")
+            .when(F.col("aux_fname").endswith(".json"), "json"),
+        )
+        .filter(F.col("kind").isNotNull())
+        .withColumn(
+            "key",
+            F.when(
+                F.col("kind").isin("bval", "bvec", "json"),
+                F.regexp_replace(
+                    "aux_fname", r"\.(bval|bvec|json)$", ""
+                ),
+            )
+            .when(
+                F.col("kind").isin("events", "physio"),
+                F.regexp_replace(
+                    "aux_fname", r"_(events|physio)\.tsv$", ""
+                ),
+            )
+            .otherwise(
+                F.regexp_extract("aux_fname", r"(sub-[0-9A-Za-z]+)", 1)
+            ),
+        )
+    )
+    aux_hashed = aux.select("kind", "key", "aux_fname", "path").mapInPandas(
+        _blake2b_stream_partition,
+        schema="kind string, key string, aux_fname string, b2b string",
+    )
     # the hashed table feeds ~10 union branches below; without an anchor
     # each branch would RE-RUN the chunked content hash of every volume
     # (the t16/vec_cosine_pairs_lsh lesson). EAGER local checkpoint: the
     # rows-sized table materializes exactly once at plan-build time —
     # lazy would let the concurrent union branches RACE to compute the
     # same partitions (duplicate hash work + accumulator-GC noise).
-    hashed = hashed.localCheckpoint(eager=True)
+    # aux_hashed has the same anchor contract (four association joins
+    # consume it); the two content-hash anchor jobs are independent, so
+    # they materialize CONCURRENTLY — each job's task tail back-fills
+    # the other's idle cores instead of running serially.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fh = pool.submit(hashed.localCheckpoint, True)
+        fa = pool.submit(aux_hashed.localCheckpoint, True)
+        hashed, aux_hashed = fh.result(), fa.result()
 
     def rows4(df: DataFrame, kind, entity, name, value) -> DataFrame:
         return df.select(
@@ -3213,49 +3273,8 @@ def pipeline_mri_bids_import(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("fname").alias("entity"),
              F.col("r.n").alias("name"), F.col("r.v").alias("value"))
 
-    # --- aux + scans file hashes (one metadata scan, chunked hash) ------
-    aux = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(fdir)
-        .select(fname.alias("aux_fname"), "path")
-        .withColumn(
-            "kind",
-            F.when(F.col("aux_fname").endswith(".bval"), "bval")
-            .when(F.col("aux_fname").endswith(".bvec"), "bvec")
-            .when(F.col("aux_fname").endswith("_events.tsv"), "events")
-            .when(F.col("aux_fname").endswith("_physio.tsv"), "physio")
-            .when(F.col("aux_fname").endswith("_scans.tsv"), "scans")
-            .when(F.col("aux_fname").endswith(".json"), "json"),
-        )
-        .filter(F.col("kind").isNotNull())
-        .withColumn(
-            "key",
-            F.when(
-                F.col("kind").isin("bval", "bvec", "json"),
-                F.regexp_replace(
-                    "aux_fname", r"\.(bval|bvec|json)$", ""
-                ),
-            )
-            .when(
-                F.col("kind").isin("events", "physio"),
-                F.regexp_replace(
-                    "aux_fname", r"_(events|physio)\.tsv$", ""
-                ),
-            )
-            .otherwise(
-                F.regexp_extract("aux_fname", r"(sub-[0-9A-Za-z]+)", 1)
-            ),
-        )
-    )
-    aux_hashed = aux.select("kind", "key", "aux_fname", "path").mapInPandas(
-        _blake2b_stream_partition,
-        schema="kind string, key string, aux_fname string, b2b string",
-    )
-    # four association joins consume this — anchor it so the aux files
-    # are listed and hashed exactly once (same pattern as above)
-    aux_hashed = aux_hashed.localCheckpoint(eager=True)
-
+    # (aux + scans hashes were anchored above, concurrently with the
+    # volume-hash anchor)
     base_aux = (
         aux_hashed.filter(F.col("kind").isin("bval", "bvec"))
         .join(F.broadcast(ins_files.select(
@@ -3523,10 +3542,16 @@ def pipeline_bids_dataset_import(
         )
         .withColumn("modality", F.col("value"))
     )
-    eeg = pipeline_eeg_bids_ingest(spark, sf_dir).withColumn(
-        "modality", s("eeg")
-    )
-    mri = pipeline_mri_bids_import(spark, sf_dir).withColumn(
-        "modality", s("mri")
-    )
+    # the two arm builds are independent: each is ~200-400 driver-side
+    # py4j ops (which release the GIL on every JVM round-trip) plus, for
+    # the MRI arm, two eager anchor jobs — building them from two
+    # threads overlaps the EEG arm's build with the MRI arm's anchor
+    # execution instead of paying the sum serially
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_eeg = pool.submit(pipeline_eeg_bids_ingest, spark, sf_dir)
+        f_mri = pool.submit(pipeline_mri_bids_import, spark, sf_dir)
+        eeg = f_eeg.result().withColumn("modality", s("eeg"))
+        mri = f_mri.result().withColumn("modality", s("mri"))
     return disp.unionByName(eeg).unionByName(mri)

@@ -269,21 +269,39 @@ def t8_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop0 = the corpus; drop1 = a RE-UPLOAD of the same content under new
     # ids — every drop1 row must be rejected by the store. Staged as FLAT
     # files (the file source does not recurse); mtimes order the batches.
+    # ONE staging pass (was: two scans, each re-running the regex
+    # normalization + md5 funneled through a serial coalesce(1) task):
+    # the fingerprint is computed once per document, exploded into both
+    # drops, and one partitioned write lands both files in parallel —
+    # then the part files are renamed into the same mtime-ordered drop
+    # files as before (row order within a file is irrelevant: the batch
+    # keeps min doc_id per fingerprint via a window, not arrival order).
     now = os.stat(staged).st_mtime
-    halves = [
-        d,
-        d.withColumn("doc_id", F.col("doc_id") + 1_000_000),
-    ]
-    for i, half in enumerate(halves):
-        wdir = f"{staged}/_w{i}"
-        half.coalesce(1).write.mode("overwrite").parquet(wdir)
-        (part,) = [f for f in os.listdir(wdir) if f.endswith(".parquet")]
+    wdir = f"{staged}/_w"
+    (
+        d.select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("__drop"),
+            "doc_id",
+            "fingerprint",
+        )
+        .withColumn(
+            "doc_id",
+            F.col("doc_id") + F.col("__drop").cast("long") * 1_000_000,
+        )
+        .repartition("__drop")
+        .write.partitionBy("__drop")
+        .mode("overwrite")
+        .parquet(wdir)
+    )
+    for i in range(2):
+        pdir = os.path.join(wdir, f"__drop={i}")
+        (part,) = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         dst = os.path.join(staged, f"drop-{i:03d}.parquet")
-        os.replace(os.path.join(wdir, part), dst)
+        os.replace(os.path.join(pdir, part), dst)
         os.utime(dst, (now - 100 + i, now - 100 + i))
-        import shutil
+    import shutil
 
-        shutil.rmtree(wdir, ignore_errors=True)
+    shutil.rmtree(wdir, ignore_errors=True)
     out = run_incremental_store_dedup(
         spark, staged, "fingerprint", "doc_id", "t8"
     )
