@@ -1005,9 +1005,29 @@ def _t16_detect_batch(
         .filter(F.col("jaccard") >= 0.8)
         .select("i", "j", F.round("jaccard", 4).alias("jaccard_r"))
     )
-    pairs.write.mode("overwrite").parquet(f"{pair_sink}/bid={bid}")
-    bands.write.mode("overwrite").parquet(f"{band_store}/bid={bid}")
-    docs.write.mode("overwrite").parquet(f"{sh_store}/bid={bid}")
+    # three independent sinks off the same checkpointed batch (pairs =
+    # the verify join; bands/docs = narrow projections of the anchor):
+    # write them CONCURRENTLY so the two tiny store writes back-fill the
+    # verify join's task tail instead of queueing behind it (guide
+    # §2.6) — ~2 job floors saved per micro-batch, every batch
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [
+            pool.submit(
+                pairs.write.mode("overwrite").parquet,
+                f"{pair_sink}/bid={bid}",
+            ),
+            pool.submit(
+                bands.write.mode("overwrite").parquet,
+                f"{band_store}/bid={bid}",
+            ),
+            pool.submit(
+                docs.write.mode("overwrite").parquet,
+                f"{sh_store}/bid={bid}",
+            ),
+        ]:
+            f.result()
 
 
 @query("t16_stream_near_dedup", oracle=_t16_oracle())
