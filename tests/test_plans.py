@@ -371,6 +371,24 @@ def test_semdedup_cell_local_grouped_map(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_kmeans_argmax_not_duplicated_into_pushed_filter(spark, sf_dir):
+    """The trained-quantizer assignment is a projection whose `cell`
+    column is the k*dim-literal argmax fold — the dominant expression of
+    every consumer. Regression mode (r13 §I, caught by the bench's
+    fresh-session bracket at 2x the plan cost): a consumer join on
+    `cell` makes Catalyst infer isnotnull(cell) and push it BELOW the
+    projection, re-running the whole fold as a per-row Filter condition.
+    kmeans_cells guards this by projecting coalesce(argmax, -1) — a
+    non-nullable column whose inferred nullcheck constant-folds away.
+    Pin: the fold's init literal ([-Infinity,-1], one per argmax
+    instance) appears EXACTLY once in each consumer's executed plan."""
+    for name in ("dedup_semdedup", "ann_ivf_kmeans_topk",
+                 "dedup_semdedup_cellstats"):
+        plan = _plan(workload.QUERIES[name](spark, sf_dir))
+        n = plan.count("[-Infinity,-1]")
+        assert n == 1, f"{name}: argmax fold appears {n}x (expected 1)"
+
+
 def test_eeg_bids_ingest_broadcast_only_joins(spark, sf_dir):
     """The EEG BIDS capstone's joins are all dims-sized (participants,
     event dictionary, inserted-file list) and must broadcast — a
