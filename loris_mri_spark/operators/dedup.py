@@ -390,14 +390,19 @@ def capped_index_coverage(
 
 
 def minhash_band_table(
-    docs: DataFrame, num_hashes: int, bands: int
+    docs: DataFrame, num_hashes: int, bands: int,
+    extra_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """(i, band, bkey) banded MinHash keys from ``docs(i, __sh)`` — the
     signature/banding core shared by the batch pair finder below and the
     streaming near-dedup (workload/streaming_ops.t16): two documents are
     LSH candidates iff they share a (band, bkey) row, and the keys are
     deterministic (seeded xxhash64), so keys computed in DIFFERENT
-    micro-batches / runs join correctly against a persistent store."""
+    micro-batches / runs join correctly against a persistent store.
+
+    ``extra_cols``: additional ``docs`` columns to carry through onto
+    every band row (e.g. the shingle-set size a consumer prefilters
+    candidate pairs on). Default () keeps the original 3-column shape."""
     from loris_mri_spark.functions.texthash import let
 
     assert num_hashes % bands == 0
@@ -420,6 +425,7 @@ def minhash_band_table(
     # deterministic, order-preserving encoding of the slice).
     return sigs.select(
         "i",
+        *extra_cols,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -428,7 +434,8 @@ def minhash_band_table(
             )
         ).alias("bb"),
     ).select(
-        "i", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        "i", *extra_cols,
+        F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"),
     )
 
 

@@ -5,6 +5,7 @@ which must equal the batch answer, so each has a full DuckDB oracle."""
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -295,6 +296,15 @@ def t8_incremental_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(2):
         pdir = os.path.join(wdir, f"__drop={i}")
+        # an empty documents table writes no partition dir at all (the
+        # old per-drop coalesce(1) always emitted one part file); fail
+        # with a clear message instead of FileNotFoundError/ValueError
+        if not os.path.isdir(pdir):
+            raise RuntimeError(
+                f"t8 staging: no rows for drop {i} — the documents "
+                "table is empty; the incremental-store drain needs at "
+                "least one staged row per drop"
+            )
         (part,) = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
         dst = os.path.join(staged, f"drop-{i:03d}.parquet")
         os.replace(os.path.join(pdir, part), dst)
@@ -926,6 +936,11 @@ def t16_compact_stores(spark: SparkSession, store: str) -> int:
     return v
 
 
+# reused across micro-batches (and t16 runs) — see the submit site in
+# _t16_detect_batch for why; 3 = the batch's three independent sinks
+_T16_POOL = ThreadPoolExecutor(max_workers=3, thread_name_prefix="t16-sink")
+
+
 def _t16_detect_batch(
     bdf: DataFrame, bid: int, band_store: str, sh_store: str,
     pair_sink: str,
@@ -945,18 +960,31 @@ def _t16_detect_batch(
             word_shingles(tokens("text"), 3).alias("__sh"),
         )
         .filter(F.col("i").isNotNull() & (F.size("__sh") > 0))
+        .withColumn("__n", F.size("__sh"))
         .localCheckpoint()  # one shingle evaluation, three consumers
     )
-    bands = minhash_band_table(docs, num_hashes=32, bands=16)
+    # band rows CARRY the shingle-set size so candidate pairs can be
+    # pruned BEFORE the array-verify joins ship full shingle arrays:
+    # jaccard(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair can reach
+    # 0.8 only if 5*min >= 4*max (exact integer form of min/max >= 4/5)
+    # — a LOSSLESS prefilter that drops ~61% of banded candidates at
+    # sf0.1 (measured r13) off the two widest joins of the batch. The
+    # size rides the band STORE too, so batch-x-store candidates prune
+    # the same way against every earlier batch.
+    bands = minhash_band_table(
+        docs, num_hashes=32, bands=16, extra_cols=("__n",)
+    )
+    size_ok = F.least("x.__n", "__nj") * 5 >= F.greatest("x.__n", "__nj") * 4
     cand = (
         bands.alias("x")
         .join(
             bands.select(
-                F.col("i").alias("j"), "band", "bkey"
+                F.col("i").alias("j"), F.col("__n").alias("__nj"),
+                "band", "bkey",
             ).alias("y"),
             ["band", "bkey"],
         )
-        .filter(F.col("x.i") < F.col("y.j"))
+        .filter((F.col("x.i") < F.col("y.j")) & size_ok)
         .select("i", "j")
     )
     sides = docs.select("i", "__sh")
@@ -966,10 +994,12 @@ def _t16_detect_batch(
             bands.alias("x")
             .join(
                 prev_bands.select(
-                    F.col("i").alias("j"), "band", "bkey"
+                    F.col("i").alias("j"), F.col("__n").alias("__nj"),
+                    "band", "bkey",
                 ).alias("y"),
                 ["band", "bkey"],
             )
+            .filter(size_ok)
             .select(
                 F.least("i", "j").alias("i"),
                 F.greatest("i", "j").alias("j"),
@@ -1009,25 +1039,29 @@ def _t16_detect_batch(
     # the verify join; bands/docs = narrow projections of the anchor):
     # write them CONCURRENTLY so the two tiny store writes back-fill the
     # verify join's task tail instead of queueing behind it (guide
-    # §2.6) — ~2 job floors saved per micro-batch, every batch
-    from concurrent.futures import ThreadPoolExecutor
+    # §2.6) — ~2 job floors saved per micro-batch, every batch. The
+    # pool is module-level (3 fresh JVM-paired threads per micro-batch
+    # added up at continuous cadence) and every submission is wrapped
+    # `inheritable`, so the sink jobs keep the streaming query's job
+    # group — query.stop() can cancel them and the UI attributes them
+    # (pinned-thread mode gives plain pool threads FRESH properties).
+    from loris_mri_spark.session import inheritable
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        for f in [
-            pool.submit(
-                pairs.write.mode("overwrite").parquet,
-                f"{pair_sink}/bid={bid}",
-            ),
-            pool.submit(
-                bands.write.mode("overwrite").parquet,
-                f"{band_store}/bid={bid}",
-            ),
-            pool.submit(
-                docs.write.mode("overwrite").parquet,
-                f"{sh_store}/bid={bid}",
-            ),
-        ]:
-            f.result()
+    for f in [
+        _T16_POOL.submit(
+            inheritable(pairs.write.mode("overwrite").parquet, bspark),
+            f"{pair_sink}/bid={bid}",
+        ),
+        _T16_POOL.submit(
+            inheritable(bands.write.mode("overwrite").parquet, bspark),
+            f"{band_store}/bid={bid}",
+        ),
+        _T16_POOL.submit(
+            inheritable(docs.write.mode("overwrite").parquet, bspark),
+            f"{sh_store}/bid={bid}",
+        ),
+    ]:
+        f.result()
 
 
 @query("t16_stream_near_dedup", oracle=_t16_oracle())

@@ -76,3 +76,58 @@ def test_t16_compaction_preserves_drained_pairs(spark, sf_dir):
     compacted = drain(2)
     assert base, "expected non-empty near-dup pairs"
     assert compacted == base
+
+
+def test_t16_size_prefilter_is_lossless(spark, sf_dir):
+    """The band rows carry the shingle-set size and candidate pairs are
+    pruned by 5*min >= 4*max BEFORE the array-verify joins (jaccard <=
+    min/max, so no >= 0.8 pair can be pruned). Pin both halves: the
+    store schema actually carries __n (so batch-x-store candidates
+    prune against every EARLIER batch too), and the drained pair set
+    still equals the brute-force jaccard >= 0.8 ground truth."""
+    from pyspark.sql import functions as F
+
+    from loris_mri_spark.catalog import load_table
+    from loris_mri_spark.functions.texthash import tokens, word_shingles
+    from loris_mri_spark.streaming.incremental import scratch_dir
+    from loris_mri_spark.workload.streaming_ops import _t16_detect_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    band = scratch_dir("t16size-bands")
+    sh = scratch_dir("t16size-sh")
+    sink = scratch_dir("t16size-pairs")
+    for b in range(3):
+        _t16_detect_batch(
+            docs.filter(F.col("doc_id") % 3 == b), b, band, sh, sink
+        )
+
+    assert "__n" in spark.read.parquet(band).columns
+
+    got = {
+        (r["i"], r["j"])
+        for r in spark.read.parquet(sink).select("i", "j").collect()
+    }
+
+    shingled = (
+        docs.select(
+            F.col("doc_id").alias("i"),
+            word_shingles(tokens("text"), 3).alias("__sh"),
+        )
+        .filter(F.col("i").isNotNull() & (F.size("__sh") > 0))
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    brute = (
+        shingled.select("i", F.col("__sh").alias("__sha"))
+        .crossJoin(
+            shingled.select(
+                F.col("i").alias("j"), F.col("__sh").alias("__shb")
+            )
+        )
+        .filter(F.col("i") < F.col("j"))
+        .filter(jac >= 0.8)
+        .select("i", "j")
+    )
+    want = {(r["i"], r["j"]) for r in brute.collect()}
+    assert want, "expected non-empty ground-truth pairs"
+    assert got == want
