@@ -28,6 +28,7 @@ def transitive_closure(
     dst_col: str = "dst",
     id_col: str = "id",
     max_iterations: int = 20,
+    broadcast_max_rows: "int | None" = None,
 ) -> DataFrame:
     """All nodes reachable from ``seeds[id_col]`` by following
     ``edges(src -> dst)``, seeds included. Returns one column ``id_col``.
@@ -36,39 +37,64 @@ def transitive_closure(
     Terminates when the frontier drains or ``max_iterations`` is hit
     (guards cyclic inputs; derivation DAGs are acyclic by construction).
 
-    Join strategy: the FRONTIER side is broadcast explicitly. A
-    localCheckpoint-backed frame reports no size statistics, so the
-    planner would otherwise sort-merge every round — shuffling and
-    sorting the (big, stationary) edge table once PER ROUND. The frontier
-    is cascade-seed-sized by contract (the delete-cascade seeds and each
-    round's newly-reached set), so broadcasting it turns every round into
-    one map-side hash join over an edge scan: the edges never shuffle at
-    any scale. The frontier is the bounded side by design; if a use ever
-    arises where it is not, pass the edge table pre-bucketed and drop the
-    hint rather than letting rounds degrade silently.
+    Join strategy: the FRONTIER side (and the visited set on the
+    anti-join) is broadcast explicitly. A localCheckpoint-backed frame
+    reports no size statistics, so the planner would otherwise
+    sort-merge every round — shuffling and sorting the (big, stationary)
+    edge table once PER ROUND. The frontier is cascade-seed-sized by
+    contract, so broadcasting it turns every round into one map-side
+    hash join over an edge scan: the edges never shuffle at any scale.
+
+    Scale safety is MECHANICAL, not contractual: ``visited`` grows
+    monotonically with the closure, so each side's hint is applied only
+    while its exact row count (tracked from the per-round termination
+    count — no extra jobs beyond the seed count) stays at or below
+    ``broadcast_max_rows`` (default: conf
+    ``spark.loris.closure.broadcastMaxRows``, 4M rows ≈ tens of MB of
+    bigint keys). Past the threshold the hint is dropped and the planner
+    falls back to a shuffle join for that side — slower, but never an
+    8 GB-cap broadcast OOM if the seed contract ever drifts.
     """
     e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    if broadcast_max_rows is None:
+        broadcast_max_rows = int(
+            edges.sparkSession.conf.get(
+                "spark.loris.closure.broadcastMaxRows", "4000000"
+            )
+        )
+
+    def hinted(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if n_rows <= broadcast_max_rows else df
+
     # localCheckpoint each frontier: it truncates lineage, so `visited`
     # stays a FLAT union of materialized frontiers instead of a plan that
     # re-derives every earlier round on each termination check (the
     # un-checkpointed loop went quadratic in plan size; a persist-only
     # variant kept the whole chain pinned and OOM'd a 1g driver).
     frontier = seeds.select(F.col(id_col).alias("__id")).distinct().localCheckpoint()
+    n_frontier = frontier.count()
     visited = frontier
+    n_visited = n_frontier
 
     for _ in range(max_iterations):
+        f = hinted(frontier, n_frontier)
         nxt = (
-            F.broadcast(frontier)
-            .join(e, frontier["__id"] == e["__src"])
+            f.join(e, f["__id"] == e["__src"])
             .select(F.col("__dst").alias("__id"))
             .distinct()
-            .join(F.broadcast(visited), on="__id", how="left_anti")
+            .join(hinted(visited, n_visited), on="__id", how="left_anti")
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        # count replaces the old isEmpty probe 1:1 (same one cheap job
+        # over the just-checkpointed partitions) and doubles as the
+        # broadcast-size ledger for the next round.
+        n_new = nxt.count()
+        if n_new == 0:
             break
         visited = visited.unionByName(nxt)
+        n_visited += n_new
         frontier = nxt
+        n_frontier = n_new
     else:
         # Frontier still live at the cap: the closure is TRUNCATED (deep or
         # cyclic graph). A cascade delete planned on a partial closure would

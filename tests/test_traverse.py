@@ -43,6 +43,26 @@ def test_transitive_closure_reaches_and_stops(spark):
     assert got == {1, 2, 3}
 
 
+def test_transitive_closure_broadcast_guard_fallback(spark):
+    """Above ``broadcast_max_rows`` the frontier/visited broadcast hints
+    are DROPPED (shuffle-join fallback) instead of trusting the
+    cascade-seed contract — the closure itself must be unchanged. With
+    threshold 0 every round takes the fallback path; the conf default
+    (4M rows) keeps the hinted plan at any realistic seed size."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src int, dst int"
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "id int")
+    hinted = {r["id"] for r in transitive_closure(edges, seeds).collect()}
+    fallback = {
+        r["id"]
+        for r in transitive_closure(
+            edges, seeds, broadcast_max_rows=0
+        ).collect()
+    }
+    assert hinted == fallback == {1, 2, 3, 4, 10, 11}
+
+
 def test_pointer_doubling_roots_matches_closure(spark):
     """pointer_doubling_roots must agree with the per-round closure on
     root (deepest ancestor) and depth, including PHANTOM parents (a
