@@ -893,6 +893,116 @@ R14_TOPUP_FIRST: list[str] = [
 ]
 
 
+# Registered late-r13, after the 50-entry window filled: the unified
+# BIDS dataset import — the reference entry point's match-dispatch
+# (loris_bids_importer/main.py:190-194) composing the EEG and MRI arm
+# capstones over both fixture trees with per-directory dispatch rows.
+# Never driver-checked before r14 (verified locally against its composed
+# golden oracle at sf0.01, the verify recipe); enters the r14 window at
+# slot 13 — the queue pattern.
+R14_QUEUE: list[str] = [
+    "pipeline_bids_dataset_import",
+]
+
+
+# The r14 window (r13 VERDICT item 3). Slots, in order:
+#   1-13  the r13 optimization-touched queries whose changed expression
+#         trees have NO driver hash check yet (the r13 window was
+#         declared before most r13 optimization commits — VERDICT
+#         what's-wrong item 2 names exactly this list; its last entry,
+#         pipeline_bids_dataset_import, doubles as R14_QUEUE's
+#         first-ever driver check).
+#   14-19 R14_TOPUP_FIRST — the six top-up greens displaced from r13,
+#         promised first re-entry.
+#   20-21 code changed THIS round: re-green per the rotation rule —
+#         - t16_stream_near_dedup: the band rows/store now carry the
+#           shingle-set size and candidate pairs are pruned by the
+#           lossless 5*min >= 4*max bound before the array-verify
+#           joins (r13 VERDICT item 4);
+#         - pipeline_hrrt_insertion: the whole-file blake2b pandas_udf
+#           became a metadata-pruned scan + chunked (8 MiB) mapInPandas
+#           stream (r13 VERDICT item 6).
+#         (transitive_closure gained a mechanical broadcast-size guard
+#         and j9's plan is unchanged below the threshold, but j9 is
+#         re-checked anyway in slot 9; pipeline_gdpr_erasure's
+#         rosterDedup conf leaves the default tree unchanged and is
+#         re-checked in slot 12; the inheritable-thread and
+#         dispatch-overlap changes in the BIDS arms change no
+#         expression tree.)
+#   22-50 top-up: the 29 alphabetically-first of the r9-latest greens
+#         not already in the window (the r9 cohort is now the oldest —
+#         40 queries, 5 already lead this window). The 6 displaced
+#         (t7_stream_stream_join, vec_cosine_clusters,
+#         vec_cosine_pairs_lsh, w2_lead_next_event,
+#         x1_session_config_hook, x4_hed_parse) re-enter first in r15 —
+#         R15_TOPUP_FIRST below.
+R14_WINDOW: list[str] = [
+    # -- r13-optimized, changed trees never driver-checked (lead 13) --
+    "dedup_semdedup_twolevel",
+    "ann_imi_topk",
+    "ann_imi_recall",
+    "ann_recall_at_k",
+    "ann_sq8_recall",
+    "ann_matryoshka_recall",
+    "ann_mrr_ndcg",
+    "dedup_ngram_jaccard_pairs",
+    "j9_transitive_closure",
+    "t8_incremental_store_dedup",
+    "t11_late_data_drop",
+    "pipeline_gdpr_erasure",
+    # -- R14_QUEUE: first-ever driver check --
+    *R14_QUEUE,
+    # -- promised first re-entries --
+    *R14_TOPUP_FIRST,
+    # -- code changed this round: re-green --
+    "t16_stream_near_dedup",
+    "pipeline_hrrt_insertion",
+    # -- top-up: 29 oldest (r9-latest) greens --
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact",
+    "dedup_exact_bow",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "graph_triangle_count",
+    "j10_get_or_create",
+    "j8_asof_purchase_last_click",
+    "mm_binary_metadata",
+    "mm_decode_png_roundtrip",
+    "mm_frame_sample",
+    "o2_sort_by_series",
+    "o3_sort_by_acq_time",
+    "pipeline_nifti_insertion",
+    "pipeline_non_minc_insertion",
+    "profile_approx_distinct",
+    "profile_approx_percentiles",
+    "profile_rollup_revenue",
+    "qc_checks_violations",
+    "s4_nifti_headers",
+    "s7_ctf_channels",
+    "s7_ctf_headers",
+    "s7_edf_channels",
+    "s8_bids_events",
+    "s8_bids_participants",
+    "s8_sidecar_json",
+    "t2_upload_state_machine",
+    "t3_stream_dedup_watermark",
+    "t6_stateful_running_index",
+]
+
+
+# Displaced from the r14 top-up tail (the 40 r9-latest greens exceed the
+# 29 available slots, minus the 5 already leading the window); re-enter
+# the r15 window first.
+R15_TOPUP_FIRST: list[str] = [
+    "t7_stream_stream_join",
+    "vec_cosine_clusters",
+    "vec_cosine_pairs_lsh",
+    "w2_lead_next_event",
+    "x1_session_config_hook",
+    "x4_hed_parse",
+]
+
+
 def _first_occurrence(names: "list[str]") -> "list[str]":
     seen: set = set()
     out: list[str] = []
@@ -906,7 +1016,7 @@ def _first_occurrence(names: "list[str]") -> "list[str]":
 # The current window leads; prior windows follow for priority continuity.
 # First occurrence wins, so a query re-windowed this round appears ONCE,
 # at its new position (the layout test asserts the invariant).
-PRIORITY_ORDER: list[str] = _first_occurrence(R13_WINDOW + R12_WINDOW + R11_WINDOW + R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
+PRIORITY_ORDER: list[str] = _first_occurrence(R14_WINDOW + R13_WINDOW + R12_WINDOW + R11_WINDOW + R10_WINDOW + R9_WINDOW + R8_WINDOW + R7_WINDOW + R8_TOPUP_FIRST + R6_WINDOW + [
     # -- r5-window queries, all driver-green r5 at unchanged code --
     "mm_audio_wav_meta",
     "profile_percentiles_distributed",
@@ -969,16 +1079,6 @@ PRIORITY_ORDER: list[str] = _first_occurrence(R13_WINDOW + R12_WINDOW + R11_WIND
 ])
 
 
-# Registered late-r13, after the 50-entry window filled: the unified
-# BIDS dataset import — the reference entry point's match-dispatch
-# (loris_bids_importer/main.py:190-194) composing the EEG and MRI arm
-# capstones over both fixture trees with per-directory dispatch rows.
-# Never driver-checked yet (verified locally against its composed
-# golden oracle at sf0.01, the verify recipe); enters the r14 window
-# right after R14_TOPUP_FIRST — the queue pattern.
-R14_QUEUE: list[str] = [
-    "pipeline_bids_dataset_import",
-]
 
 
 def load_all() -> None:

@@ -27,25 +27,43 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     assert len(df.schema.fields) > 0
 
 
-def test_r13_correctness_window_layout():
+def test_r14_correctness_window_layout():
     """The external driver hash-checks only the FIRST 50 registry entries.
-    Pin the declared r13 window (the seven displaced R13_TOPUP_FIRST
-    leading + the R13_QUEUE first-check + this round's new MRI-arm
-    capstone + code-changed re-greens + oldest-green rotation) as
-    exactly those 50 — a late registration must not silently displace a
-    promised query. Also pin the hygiene invariants the r7 ADVICE asked
-    for: the window and the full priority order are duplicate-free, and
-    every priority entry is registered. The window leads with
-    R13_TOPUP_FIRST then R13_QUEUE — the r12 VERDICT's item 1."""
+    Pin the declared r14 window (the 12 r13-optimization-touched queries
+    with changed, never-driver-checked trees leading + the R14_QUEUE
+    first-check + the displaced R14_TOPUP_FIRST + this round's
+    code-changed re-greens + oldest-green rotation) as exactly those
+    50 — a late registration must not silently displace a promised
+    query. Also pin the hygiene invariants the r7 ADVICE asked for: the
+    window and the full priority order are duplicate-free, and every
+    priority entry is registered. The window leads with the r13 VERDICT
+    what's-wrong item 2 list — r13 VERDICT item 3."""
     first50 = list(workload.QUERIES)[:50]
-    assert len(workload.R13_WINDOW) == 50
-    assert first50 == workload.R13_WINDOW, [
-        (a, b) for a, b in zip(first50, workload.R13_WINDOW) if a != b
+    assert len(workload.R14_WINDOW) == 50
+    assert first50 == workload.R14_WINDOW, [
+        (a, b) for a, b in zip(first50, workload.R14_WINDOW) if a != b
     ]
-    assert len(set(workload.R13_WINDOW)) == 50
-    assert workload.R13_WINDOW[:7] == workload.R13_TOPUP_FIRST
-    assert workload.R13_WINDOW[7:8] == workload.R13_QUEUE
-    assert workload.R13_WINDOW[8] == "pipeline_mri_bids_import"
+    assert len(set(workload.R14_WINDOW)) == 50
+    assert workload.R14_WINDOW[:13] == [
+        "dedup_semdedup_twolevel",
+        "ann_imi_topk",
+        "ann_imi_recall",
+        "ann_recall_at_k",
+        "ann_sq8_recall",
+        "ann_matryoshka_recall",
+        "ann_mrr_ndcg",
+        "dedup_ngram_jaccard_pairs",
+        "j9_transitive_closure",
+        "t8_incremental_store_dedup",
+        "t11_late_data_drop",
+        "pipeline_gdpr_erasure",
+        *workload.R14_QUEUE,
+    ]
+    assert workload.R14_WINDOW[13:19] == workload.R14_TOPUP_FIRST
+    assert workload.R14_WINDOW[19:21] == [
+        "t16_stream_near_dedup",
+        "pipeline_hrrt_insertion",
+    ]
     assert len(workload.PRIORITY_ORDER) == len(set(workload.PRIORITY_ORDER))
     unregistered = [
         n for n in workload.PRIORITY_ORDER if n not in workload.QUERIES
@@ -90,3 +108,20 @@ def test_registry_consistency():
     qs, os_ = se.queries(), se.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) > 0
+
+
+def test_gdpr_roster_dedup_conf_identical_rows(spark, sf_dir):
+    """spark.loris.gdpr.rosterDedup=true adds a distinct before the
+    erasure roster broadcasts (bounding the driver-side collect to one
+    row per distinct user at corpus scale, r13 ADVICE item 1); the
+    anti-join tests key membership only, so the erased stores — and the
+    query's output — must be bit-identical either way."""
+    q = workload.QUERIES["pipeline_gdpr_erasure"]
+    base = sorted(map(tuple, q(spark, sf_dir).collect()))
+    spark.conf.set("spark.loris.gdpr.rosterDedup", "true")
+    try:
+        deduped = sorted(map(tuple, q(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset("spark.loris.gdpr.rosterDedup")
+    assert base == deduped
+    assert base
