@@ -59,6 +59,34 @@ def main() -> None:
                     "SPARK_GRAFT_DRIVER_MEM", "16g"
                 ),
                 "spark.cleaner.periodicGC.interval": "5min",
+                # SESSION-AGING root cause #2 (r14 probe, /tmp/r14
+                # aging_* + OPTIMIZATION_r14.md): the UI is disabled in
+                # this session, but the App/SQL status listeners still
+                # retain per-job/stage/task/execution state at their
+                # defaults (1000 jobs / 1000 stages / 100k tasks / 1000
+                # SQL executions, each SQL entry holding the full plan
+                # graph of these very large plans). ~900 query
+                # executions/window churn that store on every task
+                # event; the probe measured job-floor-bound queries
+                # (j9, t10, s12b) 2-4x slower in exactly the sessions
+                # where the store is fullest, and back at steady state
+                # with the caps. History depth is a UI feature this
+                # headless bench never reads; capping it is
+                # measurement-environment hygiene, not a plan change —
+                # per-query timed regions are untouched.
+                "spark.ui.retainedJobs": "30",
+                "spark.ui.retainedStages": "30",
+                "spark.ui.retainedTasks": "1000",
+                "spark.sql.ui.retainedExecutions": "5",
+                "spark.ui.retainedDeadExecutors": "0",
+                # SESSION-AGING root cause #3: ~900 executions of big
+                # WholeStageCodegen classes push the default 240 MB
+                # reserved code cache toward flushing/compiler-disable
+                # territory late in a window, and the C2 queue floods at
+                # session start; headroom keeps the JIT steady. Driver
+                # JVM only; scale-independent.
+                "spark.driver.extraJavaOptions":
+                    "-XX:ReservedCodeCacheSize=512m",
             },
         )
         s.sparkContext.setLogLevel("ERROR")
@@ -530,16 +558,46 @@ def main() -> None:
         # run positions at which the SparkContext was stopped and
         # rebuilt (LORIS_BENCH_RECYCLE) — the aging reset; empty = off
         "session_recycles_at": recycles,
+        # adjudication self-description (r13 VERDICT item 9): under a
+        # flag storm the 12-bracket cap / 5-min budget binds and flags
+        # age out with only per-entry verdicts to show it; this summary
+        # names the unadjudicated set in ONE field so a storm run is
+        # self-describing (SCALE.md narrates the latest storm from here)
+        "adjudication": {
+            "n_flags": len(flag_names),
+            "cap": adj_cap,
+            "budget_sec": adj_budget_sec,
+            "unadjudicated": sorted(
+                n
+                for n, f in flags.items()
+                if str(f.get("verdict", "")).startswith("unadjudicated")
+            ),
+            "storm": sum(
+                1
+                for f in flags.values()
+                if str(f.get("verdict", "")).startswith("unadjudicated")
+                or f.get("verdict") == "indeterminate_host_burst"
+            )
+            >= 3,
+        },
     }
     Path(_REPO, "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1))
-    # Per-query map on an EARLIER line; the parseable summary must be LAST.
+    # Full detail on an EARLIER line (transparency when the tail survives).
     print(json.dumps(detail), flush=True)
+    # FINAL line: the driver-parsed summary. r13 VERDICT item 2 /
+    # what's-wrong item 1: the per-query map MUST ride the final line —
+    # PERF had per_query: {}, n_common: 0, geomean null and an empty
+    # scaling block for two rounds because only the totals lived here
+    # (a measurement-contract fix, not a timing change; the old fields
+    # are unchanged and the detail line/BENCH_DETAIL.json still carry
+    # the full record).
     result = {
         "metric": "workload_total_sec",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "queries": timings,
         "cold_total_sec": cold_total,
         "calib_python_loop_sec": calib_py,
         "calib_jvm_agg_sec": calib_jvm,
